@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational analytics core (SURVEY.md §2.2).
+  *
+  * Scan→filter→agg / join / window shapes expressed declaratively so Catalyst
+  * gets full pushdown + join-strategy freedom. Dimension-sized sides are
+  * explicitly `broadcast(...)` — at 100 TB the fact tables (lineitem, orders,
+  * events) shuffle only when an agg/join key requires it, and dims never do.
+  *
+  * Float outputs of aggregations are rounded (in both the Spark query and the
+  * DuckDB oracle) because summation order differs across engines; raw
+  * pass-through columns are left exact.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary (scan + partial-agg friendly groupBy). */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join, filtered, revenue agg. */
+  def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+    val li   = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+    // customer is dim-sized relative to orders/lineitem: broadcast it.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1996-06-01'
+      |  AND l_shipdate > TIMESTAMP '1996-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin
+
+  /** TPC-H Q5-flavored multijoin: fact chain + broadcast dimension chain. */
+  def q5Multijoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li   = Tables.lineitem(spark, sfDir)
+    val ord  = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val nat  = Tables.nation(spark, sfDir)
+    val reg  = Tables.region(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+                             col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val q5MultijoinSql: String =
+    """SELECT n_name, r_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem, orders, customer, supplier, nation, region
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name, r_name""".stripMargin
+
+  /** Top-3 orders by totalprice per priority class (window rank). */
+  def qTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3""".stripMargin
+
+  /** Multi-level ROLLUP aggregate over order status/priority. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+
+  val qRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Pivot event_type → columns via conditional aggregation (shuffle-once). */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("event_type") === "click", col("value")).otherwise(lit(0.0))), 2).as("click_v"),
+        round(sum(when(col("event_type") === "view", col("value")).otherwise(lit(0.0))), 2).as("view_v"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))), 2).as("purchase_v"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 2) AS click_v,
+      |  round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 2) AS view_v,
+      |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_v,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** JSON property extraction from the string-typed props column. */
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  count(json_extract_string(props, '$.k')) AS n_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Tumbling 1-hour window aggregation over the event stream (batch twin of
+    * the Structured Streaming query in graft.streaming). Window start emitted
+    * as epoch millis: Spark truncates parquet ns-timestamps to µs while DuckDB
+    * keeps ns, so raw timestamp output would never hash-match.
+    */
+  def qTumblingAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(unix_millis(col("w.start")).as("w_start_ms"), col("event_type"), col("n"), col("v"))
+
+  val qTumblingAggSql: String =
+    """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS w_start_ms,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS v
+      |FROM events GROUP BY 1, 2""".stripMargin
+}
