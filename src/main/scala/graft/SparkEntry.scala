@@ -21,6 +21,27 @@ object SparkEntry {
     "q_pivot"         -> (Relational.qPivot _),
     "q_json_extract"  -> (Relational.qJsonExtract _),
     "q_tumbling_agg"  -> (Relational.qTumblingAgg _),
+    // §2.1 time-series core (reference semantics)
+    "ts_traj_scale"        -> (TimeSeriesQueries.tsTrajScale _),
+    "ts_rul_label"         -> (TimeSeriesQueries.tsRulLabel _),
+    "ts_zscore_norm"       -> (TimeSeriesQueries.tsZscoreNorm _),
+    "ts_sliding_window"    -> (TimeSeriesQueries.tsSlidingWindow _),
+    "ts_lag_features"      -> (TimeSeriesQueries.tsLagFeatures _),
+    "ts_rolling_agg"       -> (TimeSeriesQueries.tsRollingAgg _),
+    "ts_resample"          -> (TimeSeriesQueries.tsResample _),
+    "ts_ffill"             -> (TimeSeriesQueries.tsFfill _),
+    "ts_nonoverlap_window" -> (TimeSeriesQueries.tsNonoverlapWindow _),
+    "ts_split"             -> (TimeSeriesQueries.tsSplit _),
+    "ts_remove_zero"       -> (TimeSeriesQueries.tsRemoveZero _),
+    "ts_mse_eval"          -> (TimeSeriesQueries.tsMseEval _),
+    "ts_linreg_rul"        -> (TimeSeriesQueries.tsLinregRul _),
+    "ts_asof_join"         -> (TimeSeriesQueries.tsAsofJoin _),
+    "ts_sessionize"        -> (TimeSeriesQueries.tsSessionize _),
+    // §2.1 spec-only (array-valued / generative; driver does rows-only check)
+    "ts_window_tensorize"   -> (Tensorize.tsWindowTensorize _),
+    "ts_pad_truncate"       -> (Tensorize.tsPadTruncate _),
+    "ts_adding_problem"     -> ((s, d) => Synthetic.tsAddingProblem(s, d)),
+    "ts_autoregressive_gen" -> (AutoReg.tsAutoregressiveGen _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables).
@@ -36,5 +57,20 @@ object SparkEntry {
     "q_pivot"          -> Relational.qPivotSql,
     "q_json_extract"   -> Relational.qJsonExtractSql,
     "q_tumbling_agg"   -> Relational.qTumblingAggSql,
+    "ts_traj_scale"        -> TimeSeriesQueries.tsTrajScaleSql,
+    "ts_rul_label"         -> TimeSeriesQueries.tsRulLabelSql,
+    "ts_zscore_norm"       -> TimeSeriesQueries.tsZscoreNormSql,
+    "ts_sliding_window"    -> TimeSeriesQueries.tsSlidingWindowSql,
+    "ts_lag_features"      -> TimeSeriesQueries.tsLagFeaturesSql,
+    "ts_rolling_agg"       -> TimeSeriesQueries.tsRollingAggSql,
+    "ts_resample"          -> TimeSeriesQueries.tsResampleSql,
+    "ts_ffill"             -> TimeSeriesQueries.tsFfillSql,
+    "ts_nonoverlap_window" -> TimeSeriesQueries.tsNonoverlapWindowSql,
+    "ts_split"             -> TimeSeriesQueries.tsSplitSql,
+    "ts_remove_zero"       -> TimeSeriesQueries.tsRemoveZeroSql,
+    "ts_mse_eval"          -> TimeSeriesQueries.tsMseEvalSql,
+    "ts_linreg_rul"        -> TimeSeriesQueries.tsLinregRulSql,
+    "ts_asof_join"         -> TimeSeriesQueries.tsAsofJoinSql,
+    "ts_sessionize"        -> TimeSeriesQueries.tsSessionizeSql,
   )
 }

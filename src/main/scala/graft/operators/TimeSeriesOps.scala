@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+/** Time-series operator suite (SURVEY.md §2.1) — the reference's data
+  * pipeline re-expressed on Spark window functions.
+  *
+  * Reference semantics covered (file:line refer to /root/reference):
+  *  - datasets/turbofan.py:198 `scale_data` → [[trajScale]]
+  *  - datasets/turbofan.py:253 `normalize_data` → [[zscoreNorm]]
+  *  - datasets/turbofan.py:128 `sliding_window_rul` → [[rulLabel]], [[slidingWindowStats]]
+  *  - datasets/timeseries.py:95 `rolling_window` → [[slidingWindowStats]], [[rollingAggs]]
+  *  - datasets/timeseries.py:119 `non_overlapping_window` → [[nonOverlappingWindows]]
+  *  - datasets/timeseries.py:157 `_remove_zero_batches` → [[removeZeroWindows]]
+  *  - datasets/timeseries.py:44 train/test ratio split → [[ratioSplit]]
+  *  - turbofan.py:61 `X_prev = np.roll(X, 1)` → [[lagFeatures]]
+  *  - pandas `fillna(method='bfill'/'ffill')` in turbofan.py:166 → [[forwardFill]]
+  *
+  * Scale design: every op shuffles at most once, on the trajectory key, then
+  * works within-partition through `Window.partitionBy(key).orderBy(...)`.
+  * Trajectory lengths are bounded (sensor series), so per-key state is
+  * bounded and skew-safe at 100 TB. All arithmetic that feeds an oracle is
+  * done on epoch-µs integers (`unix_micros`) so results are engine-exact.
+  */
+object TimeSeriesOps {
+
+  /** Per-trajectory ordering used everywhere: event-time with a unique
+    * tie-break so window functions are deterministic across engines. */
+  private def perKey(key: String, order: Seq[String]): WindowSpec =
+    Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+
+  /** turbofan.scale_data: x / max(x) per trajectory (max-scaling). Pure
+    * division of identical doubles — engine-exact, no rounding needed. */
+  def trajScale(df: DataFrame, key: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    df.withColumn(s"${valueCol}_scaled", col(valueCol) / max(col(valueCol)).over(w))
+  }
+
+  /** turbofan.sliding_window_rul label: remaining-useful-life = steps until
+    * the trajectory's end, capped at `cap` (max_rul_predictable). */
+  def rulLabel(df: DataFrame, key: String, order: Seq[String], cap: Int): DataFrame = {
+    val w = perKey(key, order)
+    val wAll = Window.partitionBy(col(key))
+    df.withColumn("rul",
+      least(lit(cap), count(lit(1)).over(wAll) - row_number().over(w)))
+  }
+
+  /** turbofan.normalize_data: per-key z-score with eps-guarded std
+    * (std <= eps → divide by 1, exactly like the reference). */
+  def zscoreNorm(df: DataFrame, key: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    val mu = avg(col(valueCol)).over(w)
+    val sd = stddev_samp(col(valueCol)).over(w)
+    val sdSafe = when(sd.isNull || sd <= lit(1e-12), lit(1.0)).otherwise(sd)
+    df.withColumn(s"${valueCol}_z", (col(valueCol) - mu) / sdSafe)
+  }
+
+  /** timeseries.rolling_window + turbofan `skip` stride: per-trajectory
+    * sliding windows of length `t`, stride `skip`, emitted as per-window
+    * summary stats (the array form lives in [[Tensorize]]). Only complete
+    * windows are emitted (reference skips trajectories shorter than T). */
+  def slidingWindowStats(df: DataFrame, key: String, order: Seq[String],
+                         valueCol: String, t: Int, skip: Int): DataFrame = {
+    val w = perKey(key, order)
+    val frame = w.rowsBetween(-(t - 1), 0)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("w_sum", sum(col(valueCol)).over(frame))
+      .withColumn("w_min", min(col(valueCol)).over(frame))
+      .withColumn("w_max", max(col(valueCol)).over(frame))
+      .withColumn("w_n", count(lit(1)).over(frame))
+      .filter(col("rn") >= t && (col("rn") - t) % skip === 0)
+      .withColumn("widx", ((col("rn") - t) / skip).cast("long"))
+  }
+
+  /** X_prev = np.roll(X, shift=1) analog: lag/lead feature columns. */
+  def lagFeatures(df: DataFrame, key: String, order: Seq[String],
+                  valueCol: String, lags: Seq[Int]): DataFrame =
+    lags.foldLeft(df) { (d, k) =>
+      val w = perKey(key, order)
+      if (k >= 0) d.withColumn(s"${valueCol}_lag$k", lag(col(valueCol), k).over(w))
+      else d.withColumn(s"${valueCol}_lead${-k}", lead(col(valueCol), -k).over(w))
+    }
+
+  /** Rolling mean/std/min/max over the trailing `n` rows per trajectory. */
+  def rollingAggs(df: DataFrame, key: String, order: Seq[String],
+                  valueCol: String, n: Int): DataFrame = {
+    val frame = perKey(key, order).rowsBetween(-(n - 1), 0)
+    df.withColumn("roll_mean", avg(col(valueCol)).over(frame))
+      .withColumn("roll_std", stddev_samp(col(valueCol)).over(frame))
+      .withColumn("roll_min", min(col(valueCol)).over(frame))
+      .withColumn("roll_max", max(col(valueCol)).over(frame))
+  }
+
+  /** Time-bucket resampling (downsample to fixed intervals). Bucketing is
+    * done on epoch-µs integers for engine-exact bucket edges. */
+  def resample(df: DataFrame, key: String, tsCol: String, bucketUs: Long,
+               valueCol: String): DataFrame =
+    df.withColumn("bucket_us",
+        (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)), lit(bucketUs))))
+      .groupBy(col(key), col("bucket_us"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("v_avg"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        round(sum(col(valueCol)), 2).as("v_sum"))
+
+  /** Forward fill (pandas ffill analog): carry the last non-null value
+    * forward within the trajectory. */
+  def forwardFill(df: DataFrame, key: String, order: Seq[String],
+                  valueCol: String): DataFrame = {
+    val frame = perKey(key, order).rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(s"${valueCol}_ffill",
+      last(col(valueCol), ignoreNulls = true).over(frame))
+  }
+
+  /** timeseries.non_overlapping_window: chop each trajectory into
+    * back-to-back windows of length `t`; targets are the same windows
+    * shifted `lookAhead` steps. Emits per-window (x, y) summary pairs for
+    * complete windows only. */
+  def nonOverlappingWindows(df: DataFrame, key: String, order: Seq[String],
+                            valueCol: String, t: Int, lookAhead: Int): DataFrame = {
+    val w = perKey(key, order)
+    val d = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("y_val", lead(col(valueCol), lookAhead).over(w))
+      .withColumn("wid", floor((col("rn") - 1) / t))
+    d.groupBy(col(key), col("wid"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("y_val")).as("n_y"),
+        round(sum(col(valueCol)), 2).as("x_sum"),
+        round(sum(col("y_val")), 2).as("y_sum"))
+      .filter(col("n") === t && col("n_y") === t)
+      .drop("n", "n_y")
+  }
+
+  /** timeseries._remove_zero_batches: drop windows whose total absolute
+    * signal is ~zero (here: windows with no signal in `signalCol`). */
+  def removeZeroWindows(df: DataFrame, key: String, order: Seq[String],
+                        signalCol: Column, t: Int, eps: Double): DataFrame = {
+    val frame = perKey(key, order).rowsBetween(-(t - 1), 0)
+    val w = perKey(key, order)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("w_abs_sum", sum(abs(signalCol)).over(frame))
+      .filter(col("rn") >= t)
+      .filter(col("w_abs_sum") > eps)
+  }
+
+  /** Time-ordered train/test split by ratio (timeseries.py train_ratio). */
+  def ratioSplit(df: DataFrame, key: String, order: Seq[String],
+                 trainRatio: Double): DataFrame = {
+    val w = perKey(key, order)
+    val wAll = Window.partitionBy(col(key))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n_all", count(lit(1)).over(wAll))
+      .withColumn("fold",
+        when(col("rn") <= ceil(col("n_all") * trainRatio), lit("train"))
+          .otherwise(lit("test")))
+      .drop("rn", "n_all")
+  }
+
+  /** MSE evaluation of forecasts (trainer eval-loop analog): naive
+    * persistence forecast (previous value) and rolling-mean forecast. */
+  def mseEval(df: DataFrame, key: String, order: Seq[String],
+              valueCol: String): DataFrame = {
+    val w = perKey(key, order)
+    val rollFrame = w.rowsBetween(-5, -1)
+    val d = df
+      .withColumn("pred_naive", lag(col(valueCol), 1).over(w))
+      .withColumn("pred_roll", avg(col(valueCol)).over(rollFrame))
+    d.groupBy(col(key))
+      .agg(
+        round(avg(pow(col(valueCol) - col("pred_naive"), 2)), 4).as("mse_naive"),
+        round(avg(pow(col(valueCol) - col("pred_roll"), 2)), 4).as("mse_roll"),
+        count(col("pred_naive")).as("n_eval"))
+  }
+
+  /** Per-trajectory OLS of value against elapsed time (baseline-model
+    * analog; the reference's simplest predictor family). Uses Spark's
+    * codegen'd regr_* aggregates — single shuffle on the key. */
+  def linearTrend(df: DataFrame, key: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val x = (unix_micros(col(tsCol)) / lit(3600000000.0)) // hours, engine-exact input
+    df.groupBy(col(key))
+      .agg(
+        round(regr_slope(col(valueCol), x), 6).as("slope"),
+        round(regr_intercept(col(valueCol), x), 2).as("intercept"),
+        round(regr_r2(col(valueCol), x), 6).as("r2"),
+        count(lit(1)).as("n"))
+  }
+
+  /** As-of join: for each left row, the most recent right value at or
+    * before it (per key). Implemented the scale-friendly way — union the
+    * two sides, one shuffle on (key, time), forward-fill the right value —
+    * instead of a per-row lookup join. Right columns arrive as `rightVal`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               tsUsCol: String, rightValCol: String,
+               tieCols: Seq[String] = Nil): DataFrame = {
+    val l = left.withColumn("_side", lit(1)).withColumn("_rv", lit(null).cast("double"))
+    val r = right.select((Seq(key, tsUsCol) ++ tieCols).map(col) ++
+      Seq(lit(0).as("_side"), col(rightValCol).cast("double").as("_rv")): _*)
+    val cols = l.columns.filterNot(c => c == "_side" || c == "_rv")
+    val unioned = l.select(cols.map(col) :+ col("_side") :+ col("_rv"): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at the same timestamp → "at or before";
+    // tieCols make the order total when timestamps collide.
+    val w = Window.partitionBy(col(key))
+      .orderBy(Seq(col(tsUsCol), col("_side")) ++ tieCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("asof_val", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_rv")
+  }
+
+  /** Gap-based sessionization (batch twin of the streaming state op):
+    * a new session starts after `gapUs` of inactivity. */
+  def sessionize(df: DataFrame, key: String, tsCol: String, gapUs: Long): DataFrame = {
+    val order = Seq("ts_us", "event_id")
+    val d = df.withColumn("ts_us", unix_micros(col(tsCol)))
+    val w = perKey(key, order)
+    val newSess = when(
+      col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs || lag(col("ts_us"), 1).over(w).isNull,
+      1L).otherwise(0L)
+    d.withColumn("new_sess", newSess)
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+}

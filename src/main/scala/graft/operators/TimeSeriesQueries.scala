@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SparkEntry instantiations of TimeSeriesOps over the `events` table
+  * (`user_id` = trajectory id, `ts` = time axis, `value` = sensor reading),
+  * with matching DuckDB oracle SQL.
+  *
+  * Oracle-parity rules (see SURVEY.md §7): arithmetic on epoch-µs integers,
+  * unique (ts_us, event_id) ordering, lattice-precision rounding on sums,
+  * round-6 on means/ratios.
+  */
+object TimeSeriesQueries {
+
+  private val OrderCols = Seq("ts_us", "event_id")
+  private def ev(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts")))
+
+  // §2.1 #1 — per-trajectory max-scaling (turbofan.scale_data)
+  def tsTrajScale(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.trajScale(ev(spark, sfDir), "user_id", "value")
+      .select("user_id", "event_id", "value", "value_scaled")
+
+  val tsTrajScaleSql: String =
+    """SELECT user_id, event_id, value,
+      |  value / max(value) OVER (PARTITION BY user_id) AS value_scaled
+      |FROM events""".stripMargin
+
+  // §2.1 #2 — RUL labels capped at 130 (turbofan max_rul_predictable)
+  def tsRulLabel(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.rulLabel(ev(spark, sfDir), "user_id", OrderCols, cap = 130)
+      .select("user_id", "event_id", "rul")
+
+  val tsRulLabelSql: String =
+    """SELECT user_id, event_id,
+      |  least(130, count(*) OVER (PARTITION BY user_id)
+      |             - row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) AS rul
+      |FROM events""".stripMargin
+
+  // §2.1 #3 — per-trajectory z-score with eps-guarded std
+  def tsZscoreNorm(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.zscoreNorm(ev(spark, sfDir), "user_id", "value")
+      .select(col("user_id"), col("event_id"), round(col("value_z"), 6).as("value_z"))
+
+  val tsZscoreNormSql: String =
+    """SELECT user_id, event_id,
+      |  round((value - avg(value) OVER w) /
+      |        (CASE WHEN stddev_samp(value) OVER w IS NULL
+      |               OR stddev_samp(value) OVER w <= 1e-12
+      |              THEN 1.0 ELSE stddev_samp(value) OVER w END), 6) AS value_z
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id)""".stripMargin
+
+  // §2.1 #4 — sliding windows T=20 stride=5, per-window stats
+  def tsSlidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.slidingWindowStats(ev(spark, sfDir), "user_id", OrderCols,
+        "value", t = 20, skip = 5)
+      .select(col("user_id"), col("widx"),
+        round(col("w_sum"), 2).as("w_sum"), col("w_min"), col("w_max"), col("w_n"))
+
+  val tsSlidingWindowSql: String =
+    """SELECT user_id, CAST((rn - 20) / 5 AS BIGINT) AS widx,
+      |  round(w_sum, 2) AS w_sum, w_min, w_max, w_n
+      |FROM (
+      |  SELECT user_id,
+      |    row_number() OVER w AS rn,
+      |    sum(value) OVER wf AS w_sum,
+      |    min(value) OVER wf AS w_min,
+      |    max(value) OVER wf AS w_max,
+      |    count(*) OVER wf AS w_n
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+      |         wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |WHERE rn >= 20 AND (rn - 20) % 5 = 0""".stripMargin
+
+  // §2.1 #6 — lag/lead feature columns (X_prev analog)
+  def tsLagFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.lagFeatures(ev(spark, sfDir), "user_id", OrderCols,
+        "value", lags = Seq(1, 2, -1))
+      .select("user_id", "event_id", "value", "value_lag1", "value_lag2", "value_lead1")
+
+  val tsLagFeaturesSql: String =
+    """SELECT user_id, event_id, value,
+      |  lag(value, 1) OVER w AS value_lag1,
+      |  lag(value, 2) OVER w AS value_lag2,
+      |  lead(value, 1) OVER w AS value_lead1
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+
+  // §2.1 #7 — rolling aggregates over trailing 10 rows
+  def tsRollingAgg(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.rollingAggs(ev(spark, sfDir), "user_id", OrderCols, "value", n = 10)
+      .select(col("user_id"), col("event_id"),
+        round(col("roll_mean"), 6).as("roll_mean"),
+        round(col("roll_std"), 6).as("roll_std"),
+        col("roll_min"), col("roll_max"))
+
+  val tsRollingAggSql: String =
+    """SELECT user_id, event_id,
+      |  round(avg(value) OVER wf, 6) AS roll_mean,
+      |  round(stddev_samp(value) OVER wf, 6) AS roll_std,
+      |  min(value) OVER wf AS roll_min,
+      |  max(value) OVER wf AS roll_max
+      |FROM events
+      |WINDOW wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // §2.1 #8 — hourly resampling
+  def tsResample(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.resample(ev(spark, sfDir), "user_id", "ts", 3600000000L, "value")
+
+  val tsResampleSql: String =
+    """SELECT user_id,
+      |  epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+      |  count(*) AS n,
+      |  round(avg(value), 6) AS v_avg,
+      |  min(value) AS v_min,
+      |  max(value) AS v_max,
+      |  round(sum(value), 2) AS v_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // §2.1 #9 — forward fill over a sparse derived signal
+  def tsFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ev(spark, sfDir)
+      .withColumn("v", when(col("event_type") === "click", col("value")))
+    TimeSeriesOps.forwardFill(d, "user_id", OrderCols, "v")
+      .select("user_id", "event_id", "v", "v_ffill")
+  }
+
+  val tsFfillSql: String =
+    """SELECT user_id, event_id, v,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      |FROM (SELECT *, CASE WHEN event_type = 'click' THEN value END AS v FROM events)""".stripMargin
+
+  // §2.1 #10 — non-overlapping (X, y) windows, T=25, look_ahead=1
+  def tsNonoverlapWindow(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.nonOverlappingWindows(ev(spark, sfDir), "user_id", OrderCols,
+      "value", t = 25, lookAhead = 1)
+
+  val tsNonoverlapWindowSql: String =
+    """SELECT user_id, wid,
+      |  round(sum(value), 2) AS x_sum,
+      |  round(sum(y_val), 2) AS y_sum
+      |FROM (
+      |  SELECT user_id, value,
+      |    lead(value, 1) OVER w AS y_val,
+      |    CAST(floor((row_number() OVER w - 1) / 25) AS BIGINT) AS wid
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |GROUP BY user_id, wid
+      |HAVING count(*) = 25 AND count(y_val) = 25""".stripMargin
+
+  // §2.1 #12 — time-ordered 80/20 split
+  def tsSplit(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.ratioSplit(ev(spark, sfDir), "user_id", OrderCols, 0.8)
+      .select("user_id", "event_id", "fold")
+
+  val tsSplitSql: String =
+    """SELECT user_id, event_id,
+      |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |         <= ceil(count(*) OVER (PARTITION BY user_id) * 0.8)
+      |       THEN 'train' ELSE 'test' END AS fold
+      |FROM events""".stripMargin
+
+  // §2.1 #13 — remove ~zero windows (windows of 10 with no error-signal)
+  def tsRemoveZero(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ev(spark, sfDir)
+    val signal = when(col("event_type") === "error", col("value")).otherwise(lit(0.0))
+    TimeSeriesOps.removeZeroWindows(d, "user_id", OrderCols, signal, t = 10, eps = 1e-9)
+      .select(col("user_id"), col("event_id"), round(col("w_abs_sum"), 2).as("w_abs_sum"))
+  }
+
+  val tsRemoveZeroSql: String =
+    """SELECT user_id, event_id, round(w_abs_sum, 2) AS w_abs_sum
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER w AS rn,
+      |    sum(abs(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END)) OVER wf AS w_abs_sum
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+      |         wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      |WHERE rn >= 10 AND w_abs_sum > 1e-9""".stripMargin
+
+  // §2.1 #15 — forecast MSE evaluation
+  def tsMseEval(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.mseEval(ev(spark, sfDir), "user_id", OrderCols, "value")
+
+  val tsMseEvalSql: String =
+    """SELECT user_id,
+      |  round(avg((value - pred_naive) ^ 2), 4) AS mse_naive,
+      |  round(avg((value - pred_roll) ^ 2), 4) AS mse_roll,
+      |  count(pred_naive) AS n_eval
+      |FROM (
+      |  SELECT user_id, value,
+      |    lag(value, 1) OVER w AS pred_naive,
+      |    avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                     ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS pred_roll
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |GROUP BY user_id""".stripMargin
+
+  // §2.1 #16 — per-trajectory linear trend (baseline model analog).
+  // x = hours since 2024-01-01 (not since epoch) to avoid catastrophic
+  // cancellation in the regr_* sufficient statistics.
+  def tsLinregRul(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ev(spark, sfDir)
+      .withColumn("ts_h", (col("ts_us") - lit(1704067200000000L)) / lit(3600000000.0))
+    d.groupBy(col("user_id"))
+      .agg(
+        round(regr_slope(col("value"), col("ts_h")), 6).as("slope"),
+        round(regr_intercept(col("value"), col("ts_h")), 4).as("intercept"),
+        round(regr_r2(col("value"), col("ts_h")), 6).as("r2"),
+        count(lit(1)).as("n"))
+  }
+
+  val tsLinregRulSql: String =
+    """SELECT user_id,
+      |  round(regr_slope(value, ts_h), 6) AS slope,
+      |  round(regr_intercept(value, ts_h), 4) AS intercept,
+      |  round(regr_r2(value, ts_h), 6) AS r2,
+      |  count(*) AS n
+      |FROM (SELECT user_id, value,
+      |        (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS ts_h
+      |      FROM events)
+      |GROUP BY user_id""".stripMargin
+
+  // §2.1 #18 — as-of join: every event gets the most recent purchase value
+  // of the same user at or before it.
+  def tsAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ev(spark, sfDir)
+    val purchases = d.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value").as("pv"))
+    TimeSeriesOps.asofJoin(d, purchases, "user_id", "ts_us", "pv", tieCols = Seq("event_id"))
+      .select("user_id", "event_id", "event_type", "value", "asof_val")
+  }
+
+  val tsAsofJoinSql: String =
+    """SELECT user_id, event_id, event_type, value,
+      |  last_value(pv IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_val
+      |FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events)""".stripMargin
+
+  // §2.1 #19 — 30-minute-gap sessionization
+  def tsSessionize(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.sessionize(Tables.events(spark, sfDir), "user_id", "ts", 1800000000L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("sess_start_us"),
+           max(col("ts_us")).as("sess_end_us"),
+           round(sum(col("value")), 2).as("v_sum"))
+
+  val tsSessionizeSql: String =
+    """SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
+      |  round(sum(value), 2) AS v_sum
+      |FROM (
+      |  SELECT user_id, value, ts_us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (
+      |    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+      |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+      |             OR lag(epoch_us(ts), 1) OVER w IS NULL
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
+      |GROUP BY user_id, session_idx""".stripMargin
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.operators._
+
+class TimeSeriesSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  private def mkSeries(rows: Seq[(Int, Long, Double)]) =
+    rows.toDF("k", "t", "v")
+
+  test("trajScale divides by per-key max") {
+    val df = mkSeries(Seq((1, 1L, 2.0), (1, 2L, 4.0), (2, 1L, 5.0)))
+    val got = TimeSeriesOps.trajScale(df, "k", "v")
+      .select("k", "t", "v_scaled").as[(Int, Long, Double)].collect().toSet
+    assert(got == Set((1, 1L, 0.5), (1, 2L, 1.0), (2, 1L, 1.0)))
+  }
+
+  test("rulLabel counts steps to trajectory end, capped") {
+    val df = mkSeries((1 to 5).map(i => (1, i.toLong, 0.0)))
+    val got = TimeSeriesOps.rulLabel(df, "k", Seq("t"), cap = 3)
+      .select("t", "rul").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("slidingWindowStats emits only complete windows at stride") {
+    val df = mkSeries((1 to 10).map(i => (1, i.toLong, i.toDouble)))
+    val got = TimeSeriesOps.slidingWindowStats(df, "k", Seq("t"), "v", t = 4, skip = 2)
+      .select("widx", "w_sum").as[(Long, Double)].collect().toMap
+    // windows end at rows 4,6,8,10 → sums 1+2+3+4=10, 3..6=18, 5..8=26, 7..10=34
+    assert(got == Map(0L -> 10.0, 1L -> 18.0, 2L -> 26.0, 3L -> 34.0))
+  }
+
+  test("nonOverlappingWindows pairs X with look-ahead Y, complete only") {
+    val df = mkSeries((1 to 7).map(i => (1, i.toLong, i.toDouble)))
+    val got = TimeSeriesOps.nonOverlappingWindows(df, "k", Seq("t"), "v", t = 3, lookAhead = 1)
+      .select("wid", "x_sum", "y_sum").as[(Long, Double, Double)].collect().toSet
+    // wid 0: x=1,2,3 y=2,3,4 ; wid 1: x=4,5,6 y=5,6,7 ; wid 2 incomplete
+    assert(got == Set((0L, 6.0, 9.0), (1L, 15.0, 18.0)))
+  }
+
+  test("forwardFill carries last non-null forward per key") {
+    val df = Seq((1, 1L, Some(5.0)), (1, 2L, None), (1, 3L, None),
+                 (2, 1L, None)).toDF("k", "t", "v")
+    val got = TimeSeriesOps.forwardFill(df, "k", Seq("t"), "v")
+      .select("k", "t", "v_ffill").collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got == Set((1, 1L, Some(5.0)), (1, 2L, Some(5.0)), (1, 3L, Some(5.0)),
+                      (2, 1L, None)))
+  }
+
+  test("asofJoin picks most recent right value at or before each left row") {
+    val left = Seq((1, 10L, "a"), (1, 20L, "b"), (1, 5L, "c")).toDF("k", "ts_us", "tag")
+    val right = Seq((1, 8L, 100.0), (1, 15L, 200.0)).toDF("k", "ts_us", "rv")
+    val got = TimeSeriesOps.asofJoin(left, right, "k", "ts_us", "rv")
+      .select("tag", "asof_val").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(got == Set(("c", None), ("a", Some(100.0)), ("b", Some(200.0))))
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val df = Seq((1L, 0L, 0L, 1.0), (2L, 1000L, 0L, 1.0), (3L, 5000L, 0L, 1.0))
+      .toDF("event_id", "ts_us_raw", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us_raw")))
+    val got = TimeSeriesOps.sessionize(df, "user_id", "ts", gapUs = 2000L)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("windowTensorize: features are z-normed windows, labels capped RUL") {
+    val df = mkSeries((1 to 8).map(i => (1, i.toLong, i.toDouble)))
+    val out = Tensorize.windowTensorize(df, "k", Seq("t"), "v", t = 4, skip = 2, rulCap = 100)
+      .orderBy("widx").collect()
+    assert(out.length == 3) // windows ending at rows 4, 6, 8
+    val feats = out(0).getAs[scala.collection.Seq[Double]]("features")
+    assert(feats.length == 4)
+    // scaled v = i/8; window (1..4)/8 → znorm symmetric around 0
+    assert(math.abs(feats.sum) < 1e-9)
+    assert(out.map(_.getAs[Long]("rul")).toSeq == Seq(4L, 2L, 0L))
+  }
+
+  test("padTruncate pads short series with leading zeros, keeps last T of long ones") {
+    val df = mkSeries(Seq((1, 1L, 1.0), (1, 2L, 2.0), (2, 1L, 1.0), (2, 2L, 2.0),
+                          (2, 3L, 3.0), (2, 4L, 4.0)))
+    val got = Tensorize.padTruncate(df, "k", "t", "v", t = 3).collect()
+      .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]]("seq")).toMap
+    assert(got(1) == Seq(0.0, 1.0, 2.0))
+    assert(got(2) == Seq(2.0, 3.0, 4.0))
+  }
+
+  test("addingProblem: y equals sum of the two masked positions, deterministic") {
+    val df = Synthetic.addingProblem(spark, n = 50, t = 16)
+    val rows = df.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val x = r.getAs[scala.collection.Seq[Double]]("x")
+      val m = r.getAs[scala.collection.Seq[Double]]("mask")
+      assert(m.count(_ == 1.0) == 2)
+      val expected = x.zip(m).filter(_._2 == 1.0).map(_._1).sum
+      assert(math.abs(r.getAs[Double]("y") - expected) < 1e-12)
+    }
+    // determinism across partitioning
+    val again = Synthetic.addingProblem(spark, 50, 16).repartition(7).collect()
+    assert(again.map(r => r.getLong(0) -> r.getAs[Double]("y")).toMap ==
+           rows.map(r => r.getLong(0) -> r.getAs[Double]("y")).toMap)
+  }
+
+  test("autoregressive generate follows x_{t+1} = a*x_t + b") {
+    // exact AR(1): x_t = 0.5*x_{t-1} + 1, x0=2 → 2,2,1.5+... build series
+    val series = Iterator.iterate(10.0)(x => 0.5 * x + 1.0).take(20).toSeq
+    val df = series.zipWithIndex.map { case (v, i) => (1, i.toLong, v) }.toDF("k", "t", "v")
+    val got = AutoReg.generate(df, "k", Seq("t"), "v", steps = 3)
+      .orderBy("step").select("x_gen").as[Double].collect()
+    val last = series.last
+    val expect = Iterator.iterate(last)(x => 0.5 * x + 1.0).drop(1).take(3).toSeq
+    got.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+  }
+
+  test("TrajectoryCsv reads turbofan format, drops trailing null column") {
+    val dir = java.nio.file.Files.createTempDirectory("traj").toFile
+    val f = new java.io.File(dir, "train.txt")
+    val pw = new java.io.PrintWriter(f)
+    // 2 ids + 2 t + 3 settings + 21 sensors, trailing space
+    (1 to 4).foreach { i =>
+      val vals = Seq(i % 2 + 1, i) ++ (1 to 24).map(j => j * 0.5)
+      pw.println(vals.mkString(" ") + " ")
+    }
+    pw.close()
+    val df = sources.TrajectoryCsv.read(spark, f.getAbsolutePath)
+    assert(df.columns.head == "trajectory_id")
+    assert(df.columns.length == 26)
+    assert(df.count() == 4)
+    assert(df.select(countDistinct(col("trajectory_id"))).head.getLong(0) == 2)
+  }
+}
