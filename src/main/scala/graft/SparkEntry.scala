@@ -42,6 +42,20 @@ object SparkEntry {
     "ts_pad_truncate"       -> (Tensorize.tsPadTruncate _),
     "ts_adding_problem"     -> ((s, d) => Synthetic.tsAddingProblem(s, d)),
     "ts_autoregressive_gen" -> (AutoReg.tsAutoregressiveGen _),
+    // §2.3 dedup + similarity
+    "dedup_exact"            -> (Dedup.dedupExact _),
+    "dedup_exact_keep_first" -> (Dedup.dedupExactKeepFirst _),
+    "dedup_minhash"          -> (Dedup.dedupMinhash _),
+    "dedup_simhash"          -> (Dedup.dedupSimhash _),
+    "dedup_ngram"            -> (Dedup.dedupNgram _),
+    "dedup_embed"            -> (Dedup.dedupEmbed _),
+    "ann_topk"               -> (Similarity.annTopkQuery _),
+    "ann_lsh"                -> (Similarity.annLshQuery _),
+    // §2.4 text analysis
+    "text_tokens"      -> (TextOps.textTokens _),
+    "text_quality"     -> (TextOps.textQuality _),
+    "text_langid"      -> (TextOps.textLangid _),
+    "text_fingerprint" -> (TextOps.textFingerprint _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables).
@@ -72,5 +86,12 @@ object SparkEntry {
     "ts_linreg_rul"        -> TimeSeriesQueries.tsLinregRulSql,
     "ts_asof_join"         -> TimeSeriesQueries.tsAsofJoinSql,
     "ts_sessionize"        -> TimeSeriesQueries.tsSessionizeSql,
+    "dedup_exact"            -> Dedup.dedupExactSql,
+    "dedup_exact_keep_first" -> Dedup.dedupExactKeepFirstSql,
+    "dedup_ngram"            -> Dedup.dedupNgramSql,
+    "dedup_embed"            -> Dedup.dedupEmbedSql,
+    "ann_topk"               -> Similarity.annTopkSql,
+    "text_tokens"            -> TextOps.textTokensSql,
+    "text_quality"           -> TextOps.textQualitySql,
   )
 }

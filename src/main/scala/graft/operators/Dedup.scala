@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Deduplication family for large-scale corpus curation (SURVEY.md §2.3).
+  *
+  * Scale design, per variant:
+  *  - exact: one map-side hash + one shuffle on the 128-bit digest. The
+  *    digest (not the full text) is the shuffle key, so 100 TB of documents
+  *    shuffles only ~32 bytes/row.
+  *  - MinHash/LSH: signatures are computed map-side with higher-order
+  *    functions (no UDF); the only shuffle is the (band, band_hash) bucket
+  *    join, and candidate verification touches only bucket collisions —
+  *    never the n² pair space.
+  *  - SimHash: map-side 64-bit sketch; banding the sketch into 16-bit
+  *    quarters finds all pairs within hamming distance 3 with one shuffle.
+  *  - n-gram Jaccard: exact verification on a bounded candidate generator.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact-duplicate groups: md5 of the raw text. */
+  def exactGroups(docs: DataFrame, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+
+  /** Canonical-document mapping: every doc points at the smallest doc_id
+    * with identical text; `is_dup` marks rows a dedup pass would drop. */
+  def exactKeepFirst(docs: DataFrame, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
+    docs.select(col("doc_id"), min(col("doc_id")).over(w).as("keep_id"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** Word k-shingles of the lowercased text, de-duplicated. */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64 over the shingle set. Pure map-side HOF expression. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shinglesCol, s => xxhash64(seed, s))))
+
+  /** LSH band keys: signature split into `bands` slices of `rowsPerBand`,
+    * each slice hashed to one bucket key. */
+  def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Candidate near-dup pairs via LSH banding + exact Jaccard verification.
+    * Returns (doc_id_a, doc_id_b, jaccard) for bucket-colliding pairs with
+    * jaccard >= threshold. */
+  def minhashPairs(docs: DataFrame, textCol: String, k: Int = 3,
+                   numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .select(col("doc_id"), shingles(col(textCol), k).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bandkeys", lshBands(col("sig"), bands, rowsPerBand))
+    val buckets = withSig.select(col("doc_id"), col("sh"),
+      posexplode(col("bandkeys")).as(Seq("band", "bh")))
+    val a = buckets.select(col("band"), col("bh"),
+      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = buckets.select(col("band"), col("bh"),
+      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Per-document MinHash diagnostics joined with each doc's best LSH match
+    * — always one row per document (robust under data with no near-dups),
+    * while still exercising the full shingle→sign→band→bucket-join path. */
+  def minhashProfile(docs: DataFrame, textCol: String): DataFrame = {
+    val pairs = minhashPairs(docs, textCol, threshold = 0.0)
+    val sym = pairs.select(col("doc_id_a").as("doc_id"),
+                  col("doc_id_b").as("match_id"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_id_b").as("doc_id"),
+                  col("doc_id_a").as("match_id"), col("jaccard")))
+    val best = sym.groupBy(col("doc_id"))
+      .agg(max_by(col("match_id"), struct(col("jaccard"), col("match_id"))).as("best_match_id"),
+           max(col("jaccard")).as("best_jaccard"),
+           count(lit(1)).as("n_candidates"))
+    docs.select(col("doc_id"),
+        size(shingles(col(textCol), 3)).as("n_shingles"))
+      .join(best, Seq("doc_id"), "left")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over whitespace tokens: per bit, tokens vote +-1 by
+    * their hash bit; the sketch bit is the vote sign. Emitted with the four
+    * 16-bit band keys used for hamming-distance candidate generation. */
+  def simhash(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = array_distinct(split(lower(trim(col(textCol))), "\\s+"))
+    // votes: array of 64 ints, sequential fold over tokens. Each bit is an
+    // independent hash sign (hash parity of (bit, token)) — equivalent to
+    // extracting bits of one wide hash, but expressible without
+    // column-indexed shifts.
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
+        b => when(pmod(xxhash64(b, t), lit(2)) === 0, 1).otherwise(-1)),
+        (a, v) => a + v))
+    val bits = transform(votes, v => when(v > 0, lit(1L)).otherwise(lit(0L)))
+    // fold bits into a long via two 32-bit halves (a single 64-bit
+    // multiply-add fold would overflow under ANSI mode when bit 63 is set)
+    val hi = aggregate(slice(bits, 1, 32), lit(0L), (acc, b) => acc * 2 + b)
+    val lo = aggregate(slice(bits, 33, 32), lit(0L), (acc, b) => acc * 2 + b)
+    val hash = shiftleft(hi, 32).bitwiseOR(lo)
+    docs.select(col("doc_id"), hash.as("simhash"))
+      .withColumn("band0", shiftright(col("simhash"), 0).bitwiseAND(0xFFFFL))
+      .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
+      .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(0xFFFFL))
+      .withColumn("band3", shiftright(col("simhash"), 48).bitwiseAND(0xFFFFL))
+  }
+
+  // ---------- n-gram Jaccard (exact, bounded candidates) ----------
+
+  /** Word 3-gram multiset → distinct set per doc. */
+  def ngramSet(textCol: Column, n: Int): Column = shingles(textCol, n)
+
+  /** Exact n-gram Jaccard over a bounded candidate generator: same-lang
+    * pairs whose lengths differ by <= `lenTol` chars (a cheap prefilter a
+    * production pipeline would replace with LSH buckets; keeps the pair
+    * space linear and the oracle SQL-expressible). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, lenTol: Int = 2): DataFrame = {
+    val withG = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      ngramSet(col("text"), n).as("g"))
+    val a = withG.select(col("lang"), col("doc_id").as("doc_id_a"),
+      col("n_chars").as("nc_a"), col("g").as("g_a"))
+    a.join(withG.select(col("lang"), col("doc_id").as("doc_id_b"),
+        col("n_chars").as("nc_b"), col("g").as("g_b")), Seq("lang"))
+      .filter(col("doc_id_a") < col("doc_id_b") &&
+              abs(col("nc_a") - col("nc_b")) <= lenTol)
+      .withColumn("jaccard",
+        round(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))), 6))
+      .select("lang", "doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  // ---------- embedding cosine near-dup ----------
+
+  /** Embedding near-dup pairs within a bounded candidate window: same
+    * label, vec_id within `idWindow` (stand-in for an ANN bucket join at
+    * scale — see Similarity.annLsh for the unbounded path). */
+  def embedCosinePairs(emb: DataFrame, idWindow: Int = 50): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("e_a"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("e_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_id_a") < col("vec_id_b") &&
+              col("vec_id_b") - col("vec_id_a") <= idWindow)
+      .withColumn("cos", round(graft.functions.VectorOps.cosine(col("e_a"), col("e_b")), 6))
+      .select("label", "vec_id_a", "vec_id_b", "cos")
+  }
+
+  // ---------- SparkEntry glue ----------
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    exactGroups(Tables.documents(spark, sfDir), "text")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  def dedupExactKeepFirst(spark: SparkSession, sfDir: String): DataFrame =
+    exactKeepFirst(Tables.documents(spark, sfDir), "text")
+
+  val dedupExactKeepFirstSql: String =
+    """SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+      |  CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+      |FROM documents""".stripMargin
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashProfile(Tables.documents(spark, sfDir), "text")
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhash(Tables.documents(spark, sfDir), "text")
+
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, sfDir))
+
+  val dedupNgramSql: String =
+    """SELECT a.lang AS lang, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  round(len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(a.g || b.g)), 6) AS jaccard
+      |FROM (SELECT doc_id, lang, n_chars,
+      |        list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+      |          THEN list_transform(range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+      |            i -> list_aggregate(string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], 'string_agg', ' '))
+      |          ELSE [list_aggregate(string_split_regex(lower(trim(text)), '\s+'), 'string_agg', ' ')] END) AS g
+      |      FROM documents) a
+      |JOIN (SELECT doc_id, lang, n_chars,
+      |        list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+      |          THEN list_transform(range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+      |            i -> list_aggregate(string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], 'string_agg', ' '))
+      |          ELSE [list_aggregate(string_split_regex(lower(trim(text)), '\s+'), 'string_agg', ' ')] END) AS g
+      |      FROM documents) b
+      |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 2
+      |""".stripMargin
+
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame =
+    embedCosinePairs(Tables.embeddings(spark, sfDir))
+
+  val dedupEmbedSql: String =
+    """SELECT a.label AS label, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 50""".stripMargin
+}

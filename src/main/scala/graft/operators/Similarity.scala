@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY.md §2.3 #34-35).
+  *
+  * Scale design: the query set is broadcast (it is small by construction),
+  * so the brute-force pass is one map-side scan of the corpus — no shuffle
+  * of the big side — followed by a per-query top-k (shuffle keyed by the
+  * tiny query id space; skew bounded by k). The LSH path buckets the corpus
+  * once with map-side random-hyperplane signatures and joins only within
+  * buckets, turning the n·q pair space into bucket collisions.
+  */
+object Similarity {
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `queries` must be small (it is broadcast). */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "cos")
+  }
+
+  /** Random-hyperplane LSH: `nBits`-bit signature; hyperplane components
+    * are deterministic pseudo-uniforms in [-1, 1) derived from
+    * xxhash64(bit, dim) — reproducible across any cluster/partitioning. */
+  def lshSignature(embCol: org.apache.spark.sql.Column, dim: Int, nBits: Int): org.apache.spark.sql.Column = {
+    val M = 1000003L
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, b) => {
+        val d = zip_with(VectorOps.toDouble(embCol),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => (pmod(xxhash64(b, i), lit(M)).cast("double") / lit(M.toDouble)) * 2.0 - 1.0),
+          (x, h) => x * h)
+        val dotv = aggregate(d, lit(0.0), (a, x) => a + x)
+        acc * 2 + when(dotv >= 0, 1L).otherwise(0L)
+      })
+  }
+
+  /** Bucketed ANN: candidates share an LSH bucket with the query; exact
+    * cosine re-rank inside buckets, top-k per query. Recall vs [[annTopK]]
+    * is traded against bucket size via `nBits`. */
+  def annLsh(corpus: DataFrame, queries: DataFrame, dim: Int, nBits: Int,
+             k: Int): DataFrame = {
+    val sig = (e: org.apache.spark.sql.Column) => lshSignature(e, dim, nBits)
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      sig(col("embedding")).as("bucket"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      sig(col("embedding")).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "cos")
+  }
+
+  // ---------- SparkEntry glue ----------
+
+  /** Queries = vec_id < 10; top-5 exact cosine neighbors each. */
+  def annTopkQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    annTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val annTopkSql: String =
+    """SELECT q_id, rk, c_id, cos FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+      |                                c.vec_id) AS rk
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 10)
+      |WHERE rk <= 5""".stripMargin
+
+  /** LSH-bucketed variant of the same search (spec checks recall vs exact). */
+  def annLshQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    annLsh(emb, emb.filter(col("vec_id") < 10), dim = 64, nBits = 8, k = 5)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis for corpus curation (SURVEY.md §2.4): token counting,
+  * quality scoring, language ID, document fingerprinting. All map-side
+  * (per-document) computations from codegen'd string/array functions —
+  * embarrassingly parallel, no shuffle except langid's tiny lexicon
+  * broadcast.
+  */
+object TextOps {
+
+  def wsTokens(textCol: Column): Column = split(lower(trim(textCol)), "\\s+")
+
+  // ---------- token counting ----------
+
+  /** Whitespace token count + BPE-ish sub-token count (letter runs, digit
+    * runs, and individual other-glyphs — the shape of a byte-pair encoder's
+    * pre-tokenizer) + char count. */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(wsTokens(col(textCol))).as("n_ws_tokens"),
+      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"),
+      length(col(textCol)).as("n_chars_computed"))
+
+  // ---------- quality scoring ----------
+
+  /** Heuristic quality features: length, alpha/punct/whitespace ratios,
+    * stopword ratio, mean word length, and a combined [0,1] score
+    * (Gopher/C4-style filters' feature set). */
+  def qualityScore(docs: DataFrame, textCol: String,
+                   stopwords: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val toks = wsTokens(t)
+    val nAlpha = regexp_count(t, lit("[A-Za-z]"))
+    val nPunct = regexp_count(t, lit("[.,;:!?'\"()-]"))
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, tk => array_contains(stopArr, tk)))
+    docs.select(
+        col("doc_id"),
+        length(t).as("n_chars"),
+        nTok.as("n_tokens"),
+        round(nAlpha.cast("double") / greatest(length(t), lit(1)), 6).as("alpha_ratio"),
+        round(nPunct.cast("double") / greatest(length(t), lit(1)), 6).as("punct_ratio"),
+        round(nStop.cast("double") / greatest(nTok, lit(1)), 6).as("stop_ratio"),
+        round(aggregate(toks, lit(0), (acc, tk) => acc + length(tk)).cast("double") /
+          greatest(nTok, lit(1)), 6).as("mean_word_len"))
+      .withColumn("quality",
+        round(least(lit(1.0),
+          (least(col("n_tokens"), lit(200)) / lit(200.0)) * lit(0.4) +
+          col("alpha_ratio") * lit(0.4) +
+          least(col("stop_ratio") * lit(4.0), lit(1.0)) * lit(0.2)), 6))
+  }
+
+  // ---------- language ID ----------
+
+  /** Score each document against per-language lexicons (word → weight);
+    * prediction = argmax language. The lexicon is broadcast; scoring is one
+    * map-side HOF pass per doc. This is the classic stopword/n-gram
+    * profile method at Spark scale. */
+  def langId(docs: DataFrame, textCol: String,
+             lexicons: Map[String, Seq[String]]): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val scoreCols = lexicons.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      round(size(filter(toks, t => array_contains(arr, t))).cast("double") /
+        greatest(size(toks), lit(1)), 6).as(s"score_$lang")
+    }
+    val scored = docs.select(col("doc_id") +: scoreCols: _*)
+    val langs = lexicons.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    scored.withColumn("pred_lang", best("l"))
+  }
+
+  // ---------- fingerprinting ----------
+
+  /** Winnowing-style document fingerprint: hash every k-gram, then keep the
+    * minimum hash in each sliding window of `w` k-grams; the distinct kept
+    * hashes are the fingerprint (Schleimer et al., SIGMOD'03). Robust to
+    * local edits; used for near-dup detection and provenance. */
+  def fingerprint(docs: DataFrame, textCol: String, k: Int = 3,
+                  w: Int = 4): DataFrame = {
+    val grams = Dedup.shingles(col(textCol), k) // distinct k-shingles, ordered
+    val hashes = transform(grams, g => xxhash64(g))
+    val nWin = greatest(size(hashes) - (w - 1), lit(1))
+    val fps = array_distinct(transform(sequence(lit(0), nWin - 1),
+      i => array_min(slice(hashes, i + 1, lit(w)))))
+    docs.select(col("doc_id"), fps.as("fingerprints"))
+      .withColumn("n_fp", size(col("fingerprints")))
+      .withColumn("fp_min", array_min(col("fingerprints")))
+      .withColumn("fp_max", array_max(col("fingerprints")))
+  }
+
+  // ---------- SparkEntry glue ----------
+
+  private val EnStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "on", "for", "with", "as", "at", "by")
+
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, sfDir), "text")
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      |  length(text) AS n_chars_computed
+      |FROM documents""".stripMargin
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScore(Tables.documents(spark, sfDir), "text", EnStop)
+
+  val textQualitySql: String =
+    """SELECT doc_id, n_chars, n_tokens, alpha_ratio, punct_ratio, stop_ratio,
+      |  mean_word_len,
+      |  round(least(1.0, (least(n_tokens, 200) / 200.0) * 0.4
+      |        + alpha_ratio * 0.4
+      |        + least(stop_ratio * 4.0, 1.0) * 0.2), 6) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars,
+      |    len(toks) AS n_tokens,
+      |    round(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+      |    round(len(regexp_extract_all(text, '[.,;:!?''"()-]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+      |    round(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'], t))) * 1.0
+      |          / greatest(len(toks), 1), 6) AS stop_ratio,
+      |    round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_word_len
+      |  FROM (SELECT *, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents))""".stripMargin
+
+  /** Lexicons here are tiny demo profiles; real deployments plug in
+    * trained per-language frequency tables. */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame =
+    langId(Tables.documents(spark, sfDir), "text", Map(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+      "es" -> Seq("el", "la", "los", "y", "es", "un", "una")))
+
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprint(Tables.documents(spark, sfDir), "text")
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.VectorOps
+
+class DedupTextSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s1", 0L),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend", "en", "s1", 0L),
+    (3L, "completely different text about spark engines and distributed joins", "en", "s2", 0L),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s3", 0L),
+    (5L, "der schnelle braune fuchs springt ueber den faulen hund", "de", "s4", 0L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    .withColumn("n_chars", length(col("text")))
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val g = Dedup.exactGroups(docs, "text")
+    assert(g.count() == 4)
+    assert(g.filter(col("n_dups") === 2 && col("keep_id") === 1).count() == 1)
+    val kf = Dedup.exactKeepFirst(docs, "text")
+    val dup = kf.filter(col("is_dup") === 1).select("doc_id", "keep_id")
+      .as[(Long, Long)].collect().toSet
+    assert(dup == Set((4L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "identical docs must collide")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "one-word-edit near-dups should collide in some band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    val prof = Dedup.minhashProfile(docs, "text")
+    assert(prof.count() == 5)
+    assert(prof.filter(col("doc_id") === 1 && col("best_jaccard") === 1.0).count() == 1)
+  }
+
+  test("simhash: identical docs get identical sketches, near-dups are close") {
+    val sh = Dedup.simhash(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+
+  test("ngram jaccard: identical=1, near-dup high, computed only for bounded candidates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, lenTol = 2)
+      .select("doc_id_a", "doc_id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(m((1L, 2L)) > 0.7 && m((1L, 2L)) < 1.0)
+  }
+
+  test("cosine on array<float> matches hand computation") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+    val c = df.select(VectorOps.cosine(col("a"), col("b")).as("c"))
+      .head.getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12)
+  }
+
+  test("annTopK returns k ranked neighbors; annLsh achieves recall > 0.3 vs exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+    val perQ = exact.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(perQ.values.forall(_ == 5))
+    val lsh = Similarity.annLsh(emb, emb.filter(col("vec_id") < 5), dim = 64, nBits = 2, k = 5)
+    val exactSet = exact.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val lshSet = lsh.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exactSet & lshSet).size.toDouble / exactSet.size
+    assert(recall > 0.3, s"LSH recall too low: $recall")
+  }
+
+  test("token counts and quality features behave sanely") {
+    val t = TextOps.tokenCounts(docs, "text").filter(col("doc_id") === 1).head
+    assert(t.getAs[Int]("n_ws_tokens") == 13)
+    val q = TextOps.qualityScore(docs, "text", Seq("the", "over", "near"))
+      .filter(col("doc_id") === 1).head
+    assert(q.getAs[Double]("stop_ratio") > 0.3)
+    assert(q.getAs[Double]("alpha_ratio") > 0.7)
+    assert(q.getAs[Double]("quality") > 0.0 && q.getAs[Double]("quality") <= 1.0)
+  }
+
+  test("langId predicts the language whose lexicon matches") {
+    val lex = Map(
+      "en" -> Seq("the", "over", "near"),
+      "de" -> Seq("der", "den", "ueber"))
+    val got = TextOps.langId(docs, "text", lex)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(5L) == "de")
+  }
+
+  test("fingerprints: identical docs identical, robust to small edits") {
+    val fp = TextOps.fingerprint(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("fingerprints")).toMap
+    assert(fp(1L) == fp(4L))
+    val overlap = (fp(1L).toSet & fp(2L).toSet).size.toDouble / fp(1L).toSet.size
+    assert(overlap > 0.5, s"near-dup fingerprint overlap too low: $overlap")
+    assert((fp(1L).toSet & fp(3L).toSet).size <
+           (fp(1L).toSet & fp(2L).toSet).size)
+  }
+}
