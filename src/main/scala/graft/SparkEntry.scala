@@ -56,6 +56,9 @@ object SparkEntry {
     "text_quality"     -> (TextOps.textQuality _),
     "text_langid"      -> (TextOps.textLangid _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    // §2.5 multimodal plumbing + clustering (streaming lives in specs)
+    "mm_binary_features" -> (Multimodal.mmBinaryFeatures _),
+    "ts_kmeans_embed"    -> (graft.ml.KMeans.tsKmeansEmbed _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables).

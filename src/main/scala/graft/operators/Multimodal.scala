@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.5 #42): images/audio/video as
+  * opaque `binary` payloads with a typed metadata struct, processed in
+  * partition-local batches.
+  *
+  * The DECODE step is a clearly-marked deterministic STUB (the real codec
+  * libraries are not in this environment); everything Spark-level — the
+  * schema contract, batch shape, partition-local processing, feature
+  * column layout — is real and tested, so swapping in a JNI/FFI decoder
+  * changes one function.
+  *
+  * Scale notes: payloads never shuffle (all ops are map-side until the
+  * final projection); batch processing amortizes per-record codec setup
+  * exactly like an Arrow-batch UDF would.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
+                      width: Int, height: Int, format: String)
+  case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
+                           mean_byte: Double, byte_entropy: Double,
+                           n_frames: Int)
+
+  /** STUB decoder: a real implementation hands `payload` to an image/audio
+    * codec and returns pixel/sample arrays. This deterministic fake
+    * computes byte-level statistics so the full pipeline is testable
+    * end-to-end with stable outputs. */
+  private def decodeStub(payload: Array[Byte]): (Double, Double) = {
+    if (payload.isEmpty) return (0.0, 0.0)
+    val counts = new Array[Long](256)
+    payload.foreach(b => counts(b & 0xFF) += 1)
+    val n = payload.length.toDouble
+    val mean = payload.map(b => (b & 0xFF).toDouble).sum / n
+    val entropy = -counts.filter(_ > 0)
+      .map { c => val p = c / n; p * math.log(p) / math.log(2) }.sum
+    (mean, entropy)
+  }
+
+  /** Build a media table from documents: payload = utf-8 bytes of the text
+    * (deterministic fake "media bytes"), metadata derived per row. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(16)) * 64 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(9)) * 64 + 64).cast("int").as("height"),
+        element_at(array(lit("png"), lit("wav"), lit("mp4")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format")).as("meta"))
+
+  /** Batched feature extraction: partition-local iteration in fixed-size
+    * batches (the Arrow-batch shape), stub-decoding each payload. Frame
+    * sampling: one "frame" per 256 payload bytes. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media.select(col("doc_id"), col("modality"), col("payload"),
+        col("meta.width"), col("meta.height"), col("meta.format"))
+      .as[MediaRow]
+    rows.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real decoder would be invoked once per
+        // batch (codec context reuse); the stub decodes per row.
+        batch.iterator.map { r =>
+          val (mean, entropy) = decodeStub(r.payload)
+          MediaFeatures(r.doc_id, r.modality, r.payload.length, mean, entropy,
+            n_frames = math.max(1, r.payload.length / 256))
+        }
+      }
+    }.toDF()
+  }
+
+  /** SparkEntry glue. */
+  def mmBinaryFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(mediaTable(Tables.documents(spark, sfDir)))
+}

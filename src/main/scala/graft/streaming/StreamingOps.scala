@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch time-series operators
+  * (SURVEY.md §2.5): watermarked tumbling-window aggregation and
+  * gap-sessionization as an explicit state machine.
+  *
+  * The batch queries (`q_tumbling_agg`, `ts_sessionize`) define the
+  * semantics; these streaming versions produce the same results when a
+  * static parquet directory is replayed through `readStream` (verified in
+  * StreamingSpec). At scale the state store is keyed by (window,
+  * event_type) / user_id respectively — both bounded key spaces.
+  */
+object StreamingOps {
+
+  /** Raw events schema as stored (ts is TIMESTAMP(NANOS) → read as long). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events parquet directory, ts normalized to µs
+    * timestamp exactly like Tables.events. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Watermarked 1-hour tumbling window aggregation (streaming twin of
+    * Relational.qTumblingAgg). */
+  def windowedAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(unix_millis(col("w.start")).as("w_start_ms"), col("event_type"),
+        col("n"), col("v"))
+
+  case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
+  case class SessState(startUs: Long, lastUs: Long, n: Long, vSum: Double)
+  case class Session(user_id: Long, sess_start_us: Long, sess_end_us: Long,
+                     n_events: Long, v_sum: Double)
+
+  /** Gap-based sessionization as a `flatMapGroupsWithState` state machine —
+    * the streaming twin of TimeSeriesOps.sessionize. Sessions are emitted
+    * when a gap larger than `gapUs` is observed (or on state timeout).
+    *
+    * Events within one micro-batch arrive unordered, so the handler sorts
+    * the batch per key; cross-batch ordering is the same best-effort any
+    * event-time state machine has before watermark-based timeout closes the
+    * session.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapUs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit enc1: org.apache.spark.sql.Encoder[Long],
+      enc2: org.apache.spark.sql.Encoder[SessState],
+      enc3: org.apache.spark.sql.Encoder[Session]): Dataset[Session] = {
+
+    def handle(userId: Long, evs: Iterator[Ev],
+               state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, s.startUs, s.lastUs, s.n, s.vSum))
+      }
+      val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+            cur = Some(SessState(s.startUs, e.ts_us, s.n + 1, s.vSum + e.value))
+          case Some(s) =>
+            out += Session(userId, s.startUs, s.lastUs, s.n, s.vSum)
+            cur = Some(SessState(e.ts_us, e.ts_us, 1, e.value))
+          case None =>
+            cur = Some(SessState(e.ts_us, e.ts_us, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // with ProcessingTimeTimeout, arm a timer so idle sessions close;
+        // with NoTimeout (bounded replays — a pending timer would keep an
+        // AvailableNow query alive forever), open sessions stay in state.
+        if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+          state.setTimeoutDuration(60000L)
+      }
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(handle)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  /** File streaming sources need a directory: stage the single events
+    * parquet file into a temp dir once. */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming windowed agg equals the batch tumbling agg") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    // complete mode: one-shot replay emits every window's final totals
+    val q = StreamingOps.windowedAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("stream_win_c")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_win_c")
+      .select("w_start_ms", "event_type", "n", "v")
+    val want = operators.Relational.qTumblingAgg(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming sessionization emits the same closed sessions as batch") {
+    val batchSessions = operators.TimeSeriesQueries.tsSessionize(spark, sf)
+    // replay events as a stream of Ev
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"))
+      .as[StreamingOps.Ev]
+    val sessions = StreamingOps.sessionizeStream(stream, gapUs = 1800000000L)
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("stream_sess")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_sess")
+    // all events arrive in one batch → every session except each user's
+    // last (still open in state) must match a batch session exactly
+    val gotKeyed = got.select("user_id", "sess_start_us", "sess_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchKeyed = batchSessions
+      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotKeyed.nonEmpty, "no sessions emitted")
+    assert(gotKeyed.subsetOf(batchKeyed),
+      s"streaming emitted sessions not present in batch: ${(gotKeyed -- batchKeyed).take(3)}")
+    // and it must have emitted nearly all of them (all but ≤1 open per user)
+    val nUsers = batchSessions.select("user_id").distinct.count()
+    assert(gotKeyed.size >= batchKeyed.size - nUsers)
+  }
+
+  test("multimodal feature extraction: deterministic stub features, schema contract") {
+    val feats = operators.Multimodal.mmBinaryFeatures(spark, sf)
+    assert(feats.columns.toSeq ==
+      Seq("doc_id", "modality", "n_bytes", "mean_byte", "byte_entropy", "n_frames"))
+    val n = Tables.documents(spark, sf).count()
+    assert(feats.count() == n)
+    assert(feats.filter(col("modality").isin("image", "audio", "video")).count() == n)
+    assert(feats.filter(col("byte_entropy") <= 0 || col("byte_entropy") > 8).count() == 0)
+    // determinism
+    val a = feats.orderBy("doc_id").collect().map(_.toString)
+    val b = operators.Multimodal.mmBinaryFeatures(spark, sf)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("kmeans: deterministic assignment, k clusters, SSE decreases with iterations") {
+    val emb = Tables.embeddings(spark, sf)
+    val a1 = ml.KMeans.fit(emb, k = 5, iters = 1)
+    val a3 = ml.KMeans.fit(emb, k = 5, iters = 3)
+    assert(a3.select("cluster").distinct().count() <= 5)
+    assert(a3.count() == emb.count())
+    val sse1 = ml.KMeans.sse(emb, a1).head.getDouble(0)
+    val sse3 = ml.KMeans.sse(emb, a3).head.getDouble(0)
+    assert(sse3 <= sse1 + 1e-6, s"SSE should not increase: $sse1 -> $sse3")
+    // determinism
+    val again = ml.KMeans.fit(emb, k = 5, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a3.as[(Long, Long)].collect().toMap == again)
+  }
+}
