@@ -29,12 +29,15 @@ object AutoReg {
       regr_slope(col(valueCol), col("_prev")).as("a"),
       regr_intercept(col(valueCol), col("_prev")).as("b"),
       max_by(col(valueCol), struct(order.map(col): _*)).as("x0"))
-    // rollout: fold the recurrence into an array column, then explode
-    val rollout = (1 to steps).foldLeft(model.withColumn("xs", array())) {
-      case (d, i) =>
-        val prev = if (i == 1) col("x0") else element_at(col("xs"), i - 1)
-        d.withColumn("xs", concat(col("xs"), array(col("a") * prev + col("b"))))
-    }
+    // rollout: one sequential fold building the whole generated series as a
+    // single array expression (a chained-withColumn version builds a
+    // quadratic expression tree; this is linear and stays in codegen)
+    val rollout = model.withColumn("xs",
+      slice(aggregate(
+        sequence(lit(1), lit(steps)),
+        array(col("x0")),
+        (acc, _) => concat(acc, array(col("a") * element_at(acc, -1) + col("b")))),
+        2, steps))
     rollout
       .select(col(key), posexplode(col("xs")).as(Seq("step0", "x_gen")))
       .withColumn("step", col("step0") + 1)

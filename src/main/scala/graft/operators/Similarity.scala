@@ -31,22 +31,36 @@ object Similarity {
       .select("q_id", "rk", "c_id", "cos")
   }
 
-  /** Random-hyperplane LSH: `nBits`-bit signature; hyperplane components
-    * are deterministic pseudo-uniforms in [-1, 1) derived from
-    * xxhash64(bit, dim) — reproducible across any cluster/partitioning. */
+  /** Deterministic pseudo-random hyperplanes (components in [-1, 1) from a
+    * splitmix64-style generator) materialized once as literals — they are
+    * row-independent, so computing them inside the per-row expression would
+    * waste nBits·dim hashes per row. */
+  private def hyperplanes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until nBits).map { b =>
+      (0 until dim).map { i =>
+        val h = splitmix(b.toLong * 1000003L + i)
+        ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH: `nBits`-bit signature via sign of dot products
+    * against fixed hyperplanes — reproducible across any
+    * cluster/partitioning. */
   def lshSignature(embCol: org.apache.spark.sql.Column, dim: Int, nBits: Int): org.apache.spark.sql.Column = {
-    val M = 1000003L
-    aggregate(
-      sequence(lit(0), lit(nBits - 1)),
-      lit(0L),
-      (acc, b) => {
-        val d = zip_with(VectorOps.toDouble(embCol),
-          transform(sequence(lit(0), lit(dim - 1)),
-            i => (pmod(xxhash64(b, i), lit(M)).cast("double") / lit(M.toDouble)) * 2.0 - 1.0),
-          (x, h) => x * h)
-        val dotv = aggregate(d, lit(0.0), (a, x) => a + x)
-        acc * 2 + when(dotv >= 0, 1L).otherwise(0L)
-      })
+    val planes = hyperplanes(dim, nBits)
+    planes.map { p =>
+      val dotv = aggregate(
+        zip_with(VectorOps.toDouble(embCol), typedLit(p), (x, h) => x * h),
+        lit(0.0), (a, x) => a + x)
+      when(dotv >= 0, 1L).otherwise(0L)
+    }.reduce((acc, bit) => acc * 2 + bit)
   }
 
   /** Bucketed ANN: candidates share an LSH bucket with the query; exact
