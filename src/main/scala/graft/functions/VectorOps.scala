@@ -29,6 +29,12 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd single-pass cosine (CosineSimilarity expression) — same
+    * left-to-right double fold as [[cosine]], bit-identical results, one
+    * fused loop instead of interpreted per-element lambdas. Use this in
+    * pairwise hot loops (ANN, near-dup). */
+  def cosineNative(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
   /** Squared euclidean distance. */
   def distSq(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
