@@ -21,6 +21,8 @@ object SparkEntry {
     "q_pivot"         -> (Relational.qPivot _),
     "q_json_extract"  -> (Relational.qJsonExtract _),
     "q_tumbling_agg"  -> (Relational.qTumblingAgg _),
+    "q_semi_anti"     -> (Relational.qSemiAnti _),
+    "q_distinct"      -> (Relational.qDistinct _),
     // §2.1 time-series core (reference semantics)
     "ts_traj_scale"        -> (TimeSeriesQueries.tsTrajScale _),
     "ts_rul_label"         -> (TimeSeriesQueries.tsRulLabel _),
@@ -37,6 +39,10 @@ object SparkEntry {
     "ts_linreg_rul"        -> (TimeSeriesQueries.tsLinregRul _),
     "ts_asof_join"         -> (TimeSeriesQueries.tsAsofJoin _),
     "ts_sessionize"        -> (TimeSeriesQueries.tsSessionize _),
+    "ts_ewma"              -> (TimeSeriesQueries.tsEwma _),
+    "ts_interpolate"       -> (TimeSeriesQueries.tsInterpolate _),
+    "ts_outliers"          -> (TimeSeriesQueries.tsOutliers _),
+    "ts_diff"              -> (TimeSeriesQueries.tsDiff _),
     // §2.1 spec-only (array-valued / generative; driver does rows-only check)
     "ts_window_tensorize"   -> (Tensorize.tsWindowTensorize _),
     "ts_pad_truncate"       -> (Tensorize.tsPadTruncate _),
@@ -89,6 +95,12 @@ object SparkEntry {
     "ts_linreg_rul"        -> TimeSeriesQueries.tsLinregRulSql,
     "ts_asof_join"         -> TimeSeriesQueries.tsAsofJoinSql,
     "ts_sessionize"        -> TimeSeriesQueries.tsSessionizeSql,
+    "ts_ewma"              -> TimeSeriesQueries.tsEwmaSql,
+    "ts_interpolate"       -> TimeSeriesQueries.tsInterpolateSql,
+    "ts_outliers"          -> TimeSeriesQueries.tsOutliersSql,
+    "ts_diff"              -> TimeSeriesQueries.tsDiffSql,
+    "q_semi_anti"          -> Relational.qSemiAntiSql,
+    "q_distinct"           -> Relational.qDistinctSql,
     "dedup_exact"            -> Dedup.dedupExactSql,
     "dedup_exact_keep_first" -> Dedup.dedupExactKeepFirstSql,
     "dedup_ngram"            -> Dedup.dedupNgramSql,

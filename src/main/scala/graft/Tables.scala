@@ -31,10 +31,12 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.LongType
+    // ns→µs MUST be integer division: `/` on longs promotes to double, and
+    // epoch-ns (~1.7e18) exceeds double's 2^53 mantissa → off-by-1µs noise.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(col("ts") / 1000 cast LongType))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")

@@ -163,6 +163,49 @@ object Relational {
       |  count(json_extract_string(props, '$.k')) AS n_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Semi/anti-join: per market segment, customers with at least one order
+    * (EXISTS) and customers with orders but none above 300k (NOT EXISTS). */
+  def qSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+    val bigOrders = ord.filter(col("o_totalprice") > 300000)
+    val noBig = withOrders.join(bigOrders,
+      withOrders("c_custkey") === bigOrders("o_custkey"), "left_anti")
+    withOrders.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+      .join(noBig.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_no_big")),
+        Seq("c_mktsegment"), "left")
+  }
+
+  val qSemiAntiSql: String =
+    """WITH wo AS (
+      |  SELECT * FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)),
+      |nb AS (
+      |  SELECT * FROM wo c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000))
+      |SELECT a.c_mktsegment AS c_mktsegment, a.n_with_orders, b.n_no_big
+      |FROM (SELECT c_mktsegment, count(*) AS n_with_orders FROM wo GROUP BY 1) a
+      |LEFT JOIN (SELECT c_mktsegment, count(*) AS n_no_big FROM nb GROUP BY 1) b
+      |  USING (c_mktsegment)""".stripMargin
+
+  /** Distinct aggregations: exact user/day cardinalities per event type. */
+  def qDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_days"),
+        count(lit(1)).as("n_events"))
+
+  val qDistinctSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT date_trunc('day', ts)) AS n_days,
+      |  count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Tumbling 1-hour window aggregation over the event stream (batch twin of
     * the Structured Streaming query in graft.streaming). Window start emitted
     * as epoch millis: Spark truncates parquet ns-timestamps to µs while DuckDB

@@ -217,6 +217,81 @@ object TimeSeriesOps {
       .drop("_side", "_rv")
   }
 
+  /** Exponentially-weighted moving average — a true sequential recurrence
+    * (e_t = α·x_t + (1-α)·e_{t-1}, e_1 = x_1; pandas ewm(adjust=False)).
+    *
+    * Window functions cannot express a recurrence without O(n²) prefix
+    * materialization, so this is the one operator family where the
+    * mapPartitions tier is the *right* scale answer: one shuffle
+    * (repartition by key) + in-partition sort, then a streaming O(n) fold
+    * with per-key reset. Constant memory per partition, any trajectory
+    * length.
+    */
+  def ewma(df: DataFrame, key: String, order: Seq[String], valueCol: String,
+           alpha: Double): DataFrame = {
+    val sortCols = (key +: order).map(col)
+    val sorted = df.repartition(col(key)).sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema.add("ewma", org.apache.spark.sql.types.DoubleType)
+    val keyIdx = sorted.schema.fieldIndex(key)
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var acc = 0.0
+      var first = true
+      it.map { r =>
+        val k = r.get(keyIdx)
+        val x = r.getDouble(valIdx)
+        if (first || k != curKey) { curKey = k; acc = x; first = false }
+        else acc = acc * (1.0 - alpha) + x * alpha
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+  }
+
+  /** Linear interpolation of missing values between the surrounding
+    * non-null observations (time-weighted, on epoch-µs integers). Rows
+    * with no neighbor on either side stay null. */
+  def interpolate(df: DataFrame, key: String, tsUsCol: String, order: Seq[String],
+                  valueCol: String): DataFrame = {
+    val w = perKey(key, order)
+    val past = w.rowsBetween(Window.unboundedPreceding, 0)
+    val future = w.rowsBetween(1, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val obsTs = when(v.isNotNull, col(tsUsCol))
+    val pv = last(v, ignoreNulls = true).over(past)
+    val pt = last(obsTs, ignoreNulls = true).over(past)
+    val nv = first(v, ignoreNulls = true).over(future)
+    val nt = first(obsTs, ignoreNulls = true).over(future)
+    df.withColumn(s"${valueCol}_interp",
+      when(v.isNotNull, v)
+        .otherwise(round(
+          pv + (nv - pv) * (col(tsUsCol) - pt).cast("double") / (nt - pt).cast("double"),
+          6)))
+  }
+
+  /** Per-key z-score outlier detection (|z| > threshold on the rounded
+    * score, so engines agree at the boundary). */
+  def outliers(df: DataFrame, key: String, valueCol: String,
+               threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    val mu = avg(col(valueCol)).over(w)
+    val sd = stddev_samp(col(valueCol)).over(w)
+    val z = round((col(valueCol) - mu) /
+      when(sd.isNull || sd <= lit(1e-12), lit(1.0)).otherwise(sd), 6)
+    df.withColumn("z", z).filter(abs(col("z")) > threshold)
+  }
+
+  /** First difference and percent change per trajectory. */
+  def diff(df: DataFrame, key: String, order: Seq[String],
+           valueCol: String): DataFrame = {
+    val w = perKey(key, order)
+    val prev = lag(col(valueCol), 1).over(w)
+    df.withColumn("diff", col(valueCol) - prev)
+      .withColumn("pct_change", (col(valueCol) - prev) / prev)
+  }
+
   /** Gap-based sessionization (batch twin of the streaming state op):
     * a new session starts after `gapUs` of inactivity. */
   def sessionize(df: DataFrame, key: String, tsCol: String, gapUs: Long): DataFrame = {

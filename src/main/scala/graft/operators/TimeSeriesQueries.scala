@@ -247,6 +247,72 @@ object TimeSeriesQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_val
       |FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events)""".stripMargin
 
+  // §2.1 extras — EWMA (α=0.1), sequential recurrence via mapPartitions
+  def tsEwma(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.ewma(ev(spark, sfDir), "user_id", OrderCols, "value", alpha = 0.1)
+      .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma"))
+
+  val tsEwmaSql: String =
+    """SELECT user_id, event_id,
+      |  round(list_reduce(
+      |    list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ewma
+      |FROM events""".stripMargin
+
+  // §2.1 extras — linear interpolation over a sparse derived signal
+  def tsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ev(spark, sfDir)
+      .withColumn("v", when(col("event_type") === "click", col("value")))
+    TimeSeriesOps.interpolate(d, "user_id", "ts_us", OrderCols, "v")
+      .select("user_id", "event_id", "v", "v_interp")
+  }
+
+  val tsInterpolateSql: String =
+    """SELECT user_id, event_id, v,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE round(pv + (nv - pv) * ((ts_us - pt) * 1.0 / (nt - pt)), 6) END AS v_interp
+      |FROM (
+      |  SELECT user_id, event_id, v, ts_us,
+      |    last_value(v IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wp AS pt,
+      |    first_value(v IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wf AS nt
+      |  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |          CASE WHEN event_type = 'click' THEN value END AS v FROM events)
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))""".stripMargin
+
+  // §2.1 extras — z-score outliers (|z| > 2), anomaly detection
+  def tsOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.outliers(ev(spark, sfDir), "user_id", "value", threshold = 2.0)
+      .select("user_id", "event_id", "value", "z")
+
+  val tsOutliersSql: String =
+    """SELECT user_id, event_id, value, z FROM (
+      |  SELECT user_id, event_id, value,
+      |    round((value - avg(value) OVER w) /
+      |          (CASE WHEN stddev_samp(value) OVER w IS NULL
+      |                 OR stddev_samp(value) OVER w <= 1e-12
+      |                THEN 1.0 ELSE stddev_samp(value) OVER w END), 6) AS z
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id))
+      |WHERE abs(z) > 2.0""".stripMargin
+
+  // §2.1 extras — first difference / percent change
+  def tsDiff(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.diff(ev(spark, sfDir), "user_id", OrderCols, "value")
+      .select("user_id", "event_id", "value", "diff", "pct_change")
+
+  val tsDiffSql: String =
+    """SELECT user_id, event_id, value,
+      |  value - lag(value, 1) OVER w AS diff,
+      |  (value - lag(value, 1) OVER w) / lag(value, 1) OVER w AS pct_change
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+
   // §2.1 #19 — 30-minute-gap sessionization
   def tsSessionize(spark: SparkSession, sfDir: String): DataFrame =
     TimeSeriesOps.sessionize(Tables.events(spark, sfDir), "user_id", "ts", 1800000000L)

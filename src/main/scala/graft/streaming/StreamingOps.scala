@@ -33,7 +33,8 @@ object StreamingOps {
     spark.readStream
       .schema(eventsRawSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division: double division of epoch-ns loses µs precision
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Watermarked 1-hour tumbling window aggregation (streaming twin of

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class TimeSeriesExtrasSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  test("ewma follows the recurrence with per-key reset, any partitioning") {
+    val df = Seq((1, 1L, 10.0), (1, 2L, 20.0), (1, 3L, 30.0),
+                 (2, 1L, 100.0), (2, 2L, 0.0)).toDF("k", "t", "v")
+      .repartition(5) // scrambled input partitioning
+    val got = TimeSeriesOps.ewma(df, "k", Seq("t"), "v", alpha = 0.5)
+      .select("k", "t", "ewma").as[(Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1, 1L)) == 10.0)
+    assert(got((1, 2L)) == 15.0)
+    assert(got((1, 3L)) == 22.5)
+    assert(got((2, 1L)) == 100.0)
+    assert(got((2, 2L)) == 50.0)
+  }
+
+  test("interpolate fills gaps time-weighted, leaves edges null") {
+    val df = Seq(
+      (1, 0L, Some(0.0)), (1, 10L, None), (1, 40L, Some(4.0)), (1, 50L, None)
+    ).toDF("k", "ts_us", "v")
+    val got = TimeSeriesOps.interpolate(df, "k", "ts_us", Seq("ts_us"), "v")
+      .select("ts_us", "v_interp").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(0L) == Some(0.0))
+    assert(got(10L) == Some(1.0)) // 0 + (4-0) * 10/40
+    assert(got(40L) == Some(4.0))
+    assert(got(50L) == None) // no following observation
+  }
+
+  test("outliers flags only |z| above threshold") {
+    val vals = Seq.fill(20)(10.0) :+ 100.0
+    val df = vals.zipWithIndex.map { case (v, i) => (1, i.toLong, v) }.toDF("k", "t", "v")
+    val got = TimeSeriesOps.outliers(df, "k", "v", threshold = 2.0)
+    assert(got.count() == 1)
+    assert(got.head.getDouble(got.head.fieldIndex("v")) == 100.0)
+  }
+
+  test("diff and pct_change") {
+    val df = Seq((1, 1L, 10.0), (1, 2L, 15.0)).toDF("k", "t", "v")
+    val r = TimeSeriesOps.diff(df, "k", Seq("t"), "v")
+      .filter(col("t") === 2).head
+    assert(r.getDouble(r.fieldIndex("diff")) == 5.0)
+    assert(r.getDouble(r.fieldIndex("pct_change")) == 0.5)
+  }
+
+  test("semi/anti relational query returns consistent counts") {
+    val df = operators.Relational.qSemiAnti(spark, sf)
+    df.collect().foreach { r =>
+      val withOrders = r.getLong(r.fieldIndex("n_with_orders"))
+      val noBig = if (r.isNullAt(r.fieldIndex("n_no_big"))) 0L
+        else r.getLong(r.fieldIndex("n_no_big"))
+      assert(noBig <= withOrders)
+    }
+  }
+}
