@@ -62,6 +62,7 @@ object SparkEntry {
     "text_quality"     -> (TextOps.textQuality _),
     "text_langid"      -> (TextOps.textLangid _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    "text_clean"       -> (TextOps.textCleanQuery _),
     // §2.5 multimodal plumbing + clustering (streaming lives in specs)
     "mm_binary_features" -> (Multimodal.mmBinaryFeatures _),
     "ts_kmeans_embed"    -> (graft.ml.KMeans.tsKmeansEmbed _),
@@ -108,5 +109,6 @@ object SparkEntry {
     "ann_topk"               -> Similarity.annTopkSql,
     "text_tokens"            -> TextOps.textTokensSql,
     "text_quality"           -> TextOps.textQualitySql,
+    "text_clean"             -> TextOps.textCleanSql,
   )
 }

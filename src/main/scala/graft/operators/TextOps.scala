@@ -56,6 +56,25 @@ object TextOps {
           least(col("stop_ratio") * lit(4.0), lit(1.0)) * lit(0.2)), 6))
   }
 
+  // ---------- cleaning ----------
+
+  /** C4-style text scrubbing: remove URLs, email addresses, and long digit
+    * runs, then collapse whitespace. Pure regexp_replace chain (codegen'd,
+    * map-side); patterns restricted to syntax with identical semantics in
+    * Java regex and RE2 so the oracle holds. */
+  def cleanText(t: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, lit("https?://[^\\s]+"), lit("")),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), lit("")),
+        lit("[0-9]{6,}"), lit("<NUM>")),
+      lit("\\s+"), lit(" ")))
+
+  def textClean(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), cleanText(col(textCol)).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")))
+
   // ---------- language ID ----------
 
   /** Score each document against per-language lexicons (word → weight);
@@ -130,6 +149,38 @@ object TextOps {
       |          / greatest(len(toks), 1), 6) AS stop_ratio,
       |    round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_word_len
       |  FROM (SELECT *, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents))""".stripMargin
+
+  /** Scrub a derived column that deterministically injects URLs/emails/
+    * digit runs into every 5th doc, so the cleaning path is exercised on
+    * data that contains nothing to clean. */
+  def textCleanQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = Tables.documents(spark, sfDir).withColumn("dirty",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" see https://example.com/x?id=9 or mail a.b@example.org ref 123456789"))
+          .otherwise(lit(""))))
+    textClean(dirty, "dirty")
+  }
+
+  val textCleanSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    text || CASE WHEN doc_id % 5 = 0
+      |      THEN ' see https://example.com/x?id=9 or mail a.b@example.org ref 123456789'
+      |      ELSE '' END,
+      |    'https?://[^\s]+', '', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g'),
+      |    '\s+', ' ', 'g')) AS clean_text,
+      |  length(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    text || CASE WHEN doc_id % 5 = 0
+      |      THEN ' see https://example.com/x?id=9 or mail a.b@example.org ref 123456789'
+      |      ELSE '' END,
+      |    'https?://[^\s]+', '', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g'),
+      |    '\s+', ' ', 'g'))) AS n_chars_clean
+      |FROM documents""".stripMargin
 
   /** Lexicons here are tiny demo profiles; real deployments plug in
     * trained per-language frequency tables. */

