@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
@@ -9,42 +9,50 @@ import graft.functions.VectorOps
   * (SURVEY.md §2.5 #43) — the clustering building block the reference's
   * embedding-space analyses imply, without MLlib's RNG-dependent init.
   *
+  * Scale design (the classic distributed-k-means shape): the model is
+  * k·dim doubles — driver-resident between iterations, embedded as
+  * literals into each assignment pass. Per iteration: one map-side scan of
+  * the (cached) corpus computing argmin distance against the literal
+  * centroids, then a partial-aggregated groupBy(cluster) producing k·dim
+  * numbers back to the driver. No iterative lineage growth, no corpus
+  * shuffle; cost per iteration is one scan + one k-row aggregate at any
+  * corpus size.
+  *
   * Init = the k lowest vec_ids (deterministic across partitionings).
-  * Each iteration: broadcast the k centroids, assign map-side
-  * (argmin distance — no shuffle of the corpus), recompute centroids with
-  * one explode + groupBy over (cluster, dim) — shuffle volume k·dim rows,
-  * independent of corpus size. Iterations are fixed (no driver-side
-  * convergence loop on data values), so the job graph is static.
   */
 object KMeans {
 
+  private def assignCol(centroids: Array[Array[Double]]): Column = {
+    // struct(dist, id) lexicographic least = argmin with min-id tie-break
+    val candidates = centroids.zipWithIndex.map { case (c, id) =>
+      struct(VectorOps.distSq(col("v"), typedLit(c)).as("d"),
+             lit(id.toLong).as("id"))
+    }
+    least(candidates: _*).getField("id").as("cluster")
+  }
+
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
     val vecs = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-    vecs.cache()
-    val wInit = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    var centroids = vecs.orderBy("vec_id").limit(k)
-      .select((row_number().over(wInit) - 1).cast("long").as("cluster"), col("v").as("c"))
-      // tiny (k rows): keep as a plain DataFrame, re-derived each iteration
-    var assigned: DataFrame = null
+      .cache()
+    var centroids: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
-      val withBest = vecs.crossJoin(broadcast(centroids))
-        .withColumn("d", VectorOps.distSq(col("v"), col("c")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d"), col("cluster"))
-      assigned = withBest
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cluster"), col("v"))
-      centroids = assigned
+      val sums = vecs.select(assignCol(centroids), col("v"))
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(avg(col("x")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s("m")).as("c"))
+        .collect()
+      // empty clusters keep their previous centroid
+      val updated = centroids.clone()
+      sums.groupBy(_.getLong(0)).foreach { case (cl, rows) =>
+        val arr = new Array[Double](centroids(cl.toInt).length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        updated(cl.toInt) = arr
+      }
+      centroids = updated
     }
-    assigned.select(col("vec_id"), col("cluster"))
+    vecs.select(col("vec_id"), assignCol(centroids))
   }
 
   /** Within-cluster sum of squared distances (for convergence checks). */

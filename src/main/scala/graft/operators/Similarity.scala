@@ -55,11 +55,11 @@ object Similarity {
     * cluster/partitioning. */
   def lshSignature(embCol: org.apache.spark.sql.Column, dim: Int, nBits: Int): org.apache.spark.sql.Column = {
     val planes = hyperplanes(dim, nBits)
+    // sign(dot(e, p)) == sign(cosine(e, p)) and the cosine expression is a
+    // native codegen'd loop — much cheaper than interpreted HOF folds.
     planes.map { p =>
-      val dotv = aggregate(
-        zip_with(VectorOps.toDouble(embCol), typedLit(p), (x, h) => x * h),
-        lit(0.0), (a, x) => a + x)
-      when(dotv >= 0, 1L).otherwise(0L)
+      val cosv = VectorOps.cosineNative(embCol, typedLit(p.toArray))
+      when(cosv >= 0, 1L).otherwise(0L)
     }.reduce((acc, bit) => acc * 2 + bit)
   }
 
