@@ -23,6 +23,7 @@ object SparkEntry {
     "q_tumbling_agg"  -> (Relational.qTumblingAgg _),
     "q_semi_anti"     -> (Relational.qSemiAnti _),
     "q_distinct"      -> (Relational.qDistinct _),
+    "q_percentiles"   -> (Relational.qPercentiles _),
     // §2.1 time-series core (reference semantics)
     "ts_traj_scale"        -> (TimeSeriesQueries.tsTrajScale _),
     "ts_rul_label"         -> (TimeSeriesQueries.tsRulLabel _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "ts_diff"              -> TimeSeriesQueries.tsDiffSql,
     "q_semi_anti"          -> Relational.qSemiAntiSql,
     "q_distinct"           -> Relational.qDistinctSql,
+    "q_percentiles"        -> Relational.qPercentilesSql,
     "dedup_exact"            -> Dedup.dedupExactSql,
     "dedup_exact_keep_first" -> Dedup.dedupExactKeepFirstSql,
     "dedup_ngram"            -> Dedup.dedupNgramSql,

@@ -190,6 +190,26 @@ object Relational {
       |LEFT JOIN (SELECT c_mktsegment, count(*) AS n_no_big FROM nb GROUP BY 1) b
       |  USING (c_mktsegment)""".stripMargin
 
+  /** Exact interpolated percentiles per group (distribution profiling). */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        round(min(col("value")), 2).as("v_min"),
+        round(max(col("value")), 2).as("v_max"))
+
+  val qPercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  round(min(value), 2) AS v_min,
+      |  round(max(value), 2) AS v_max
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Distinct aggregations: exact user/day cardinalities per event type. */
   def qDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

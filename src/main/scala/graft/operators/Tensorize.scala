@@ -50,6 +50,46 @@ object Tensorize {
     winNormed.select(col(key), col("widx"), col("features"), col("rul"))
   }
 
+  /** Multi-feature variant of [[windowTensorize]] — the reference's
+    * (N, T, F) tensors with F = several sensor/setting columns
+    * (turbofan.py: 3 settings + 21 sensors). Emits row-major flattened
+    * `array<double>` of length T·F plus the capped RUL label. Each feature
+    * is max-scaled per trajectory then z-normed per window, mirroring
+    * scale_data + normalize_data. */
+  def windowTensorizeMulti(df: DataFrame, key: String, order: Seq[String],
+                           valueCols: Seq[String], t: Int, skip: Int,
+                           rulCap: Int): DataFrame = {
+    val wKey = Window.partitionBy(col(key))
+    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+    val frame = w.rowsBetween(-(t - 1), 0)
+    val scaled = valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(s"_s_$c", col(c) / max(col(c)).over(wKey))
+    }
+    val windowed = valueCols.foldLeft(
+      scaled.withColumn("rn", row_number().over(w))
+            .withColumn("n_all", count(lit(1)).over(wKey))) { (d, c) =>
+      d.withColumn(s"_w_$c", collect_list(col(s"_s_$c")).over(frame))
+    }
+      .filter(col("rn") >= t && (col("rn") - t) % skip === 0)
+      .withColumn("widx", ((col("rn") - t) / skip).cast("long"))
+      .withColumn("rul", least(lit(rulCap), col("n_all") - col("rn")))
+    // z-norm each feature's window, then interleave row-major (time, feature)
+    val normed = valueCols.foldLeft(windowed) { (d, c) =>
+      val arr = col(s"_w_$c")
+      val mean = aggregate(arr, lit(0.0), (acc, x) => acc + x) / lit(t)
+      d.withColumn(s"_m_$c", mean)
+        .withColumn(s"_sd_$c", {
+          val sd = sqrt(aggregate(arr, lit(0.0),
+            (acc, x) => acc + (x - col(s"_m_$c")) * (x - col(s"_m_$c"))) / lit(t))
+          when(sd <= lit(1e-12), lit(1.0)).otherwise(sd)
+        })
+        .withColumn(s"_z_$c", transform(arr, x => (x - col(s"_m_$c")) / col(s"_sd_$c")))
+    }
+    val features = flatten(transform(sequence(lit(0), lit(t - 1)),
+      i => array(valueCols.map(c => element_at(col(s"_z_$c"), i + 1)): _*)))
+    normed.select(col(key), col("widx"), features.as("features"), col("rul"))
+  }
+
   /** music._change_to_seq_len: bring every trajectory to exactly `t` steps —
     * keep the last `t` points if longer, front-pad with 0.0 if shorter.
     * One shuffle (groupBy key); per-key state is one bounded array.

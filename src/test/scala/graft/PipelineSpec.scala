@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** End-to-end migration-story tests: the reference's TurboFan workflow
+  * run entirely through graft operators, plus skew/percentile extras. */
+class PipelineSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  test("full TurboFan-style pipeline: CSV -> multi-feature tensorize -> split") {
+    // synthesize a small turbofan-format file: 3 trajectories, 30 steps
+    val dir = java.nio.file.Files.createTempDirectory("tf").toFile
+    val f = new java.io.File(dir, "train.txt")
+    val pw = new java.io.PrintWriter(f)
+    for (traj <- 1 to 3; t <- 1 to 30) {
+      val settings = Seq(0.5, 0.6, 0.7).map(s => s + t * 0.01)
+      val sensors = (1 to 21).map(j => j * 1.0 + t * 0.1 * traj)
+      pw.println((Seq(traj, t) ++ settings ++ sensors).mkString(" ") + " ")
+    }
+    pw.close()
+
+    val raw = sources.TrajectoryCsv.read(spark, f.getAbsolutePath)
+    val featureCols = (1 to 3).map(i => s"setting_$i") ++ (1 to 4).map(i => s"sensor_$i")
+    val tensors = Tensorize.windowTensorizeMulti(raw, "trajectory_id", Seq("t"),
+      featureCols, t = 10, skip = 5, rulCap = 15)
+    val rows = tensors.collect()
+    // each trajectory: windows end at rows 10, 15, 20, 25, 30 → 5 windows
+    assert(rows.length == 15)
+    val feats = rows.head.getAs[scala.collection.Seq[Double]]("features")
+    assert(feats.length == 10 * featureCols.length)
+    // capped RUL at the first window of a 30-step trajectory = min(15, 20)
+    val byIdx = rows.map(r => (r.getInt(0), r.getLong(r.fieldIndex("widx"))) -> r.getLong(r.fieldIndex("rul"))).toMap
+    assert(byIdx((1, 0L)) == 15L) // capped
+    assert(byIdx((1, 4L)) == 0L)  // failure point
+    // z-normed per window: each feature's slice sums to ~0
+    val f0 = (0 until 10).map(t => feats(t * featureCols.length))
+    assert(math.abs(f0.sum) < 1e-9)
+
+    val split = TimeSeriesOps.ratioSplit(tensors, "trajectory_id", Seq("widx"), 0.8)
+    val counts = split.groupBy("fold").count().as[(String, Long)].collect().toMap
+    assert(counts("train") == 12 && counts("test") == 3)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy("user_id")
+      .agg(sum("value").as("v_sum"), count(lit(1)).as("v_n"))
+      .select(col("user_id"), round(col("v_sum"), 6).as("v_sum"), col("v_n"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val salted = Skew.saltedSumCount(ev, "user_id", "value", salts = 8)
+      .select(col("user_id"), round(col("v_sum"), 6).as("v_sum"), col("v_n"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(direct.keySet == salted.keySet)
+    direct.foreach { case (k, (s, n)) =>
+      assert(math.abs(s - salted(k)._1) < 1e-6)
+      assert(n == salted(k)._2)
+    }
+  }
+
+  test("percentiles are ordered and within range") {
+    val df = operators.Relational.qPercentiles(spark, sf)
+    df.collect().foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p90 && p90 <= p99)
+      assert(r.getDouble(4) <= p50 && p99 <= r.getDouble(5))
+    }
+  }
+}
