@@ -199,22 +199,31 @@ object TimeSeriesOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsUsCol: String, rightValCol: String,
-               tieCols: Seq[String] = Nil): DataFrame = {
+               tieCols: Seq[String] = Nil,
+               toleranceUs: Option[Long] = None): DataFrame = {
     val l = left.withColumn("_side", lit(1)).withColumn("_rv", lit(null).cast("double"))
+      .withColumn("_rts", lit(null).cast("long"))
     val r = right.select((Seq(key, tsUsCol) ++ tieCols).map(col) ++
-      Seq(lit(0).as("_side"), col(rightValCol).cast("double").as("_rv")): _*)
-    val cols = l.columns.filterNot(c => c == "_side" || c == "_rv")
-    val unioned = l.select(cols.map(col) :+ col("_side") :+ col("_rv"): _*)
+      Seq(lit(0).as("_side"), col(rightValCol).cast("double").as("_rv"),
+          col(tsUsCol).cast("long").as("_rts")): _*)
+    val cols = l.columns.filterNot(c => c == "_side" || c == "_rv" || c == "_rts")
+    val unioned = l.select(cols.map(col) :+ col("_side") :+ col("_rv") :+ col("_rts"): _*)
       .unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at the same timestamp → "at or before";
     // tieCols make the order total when timestamps collide.
     val w = Window.partitionBy(col(key))
       .orderBy(Seq(col(tsUsCol), col("_side")) ++ tieCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    unioned
-      .withColumn("asof_val", last(col("_rv"), ignoreNulls = true).over(w))
+    val withVal = unioned
+      .withColumn("_asof_raw", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("_asof_ts", last(col("_rts"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_side", "_rv")
+    val out = toleranceUs match {
+      case Some(tol) => withVal.withColumn("asof_val",
+        when(col(tsUsCol) - col("_asof_ts") <= tol, col("_asof_raw")))
+      case None => withVal.withColumn("asof_val", col("_asof_raw"))
+    }
+    out.drop("_side", "_rv", "_rts", "_asof_raw", "_asof_ts")
   }
 
   /** Exponentially-weighted moving average — a true sequential recurrence

@@ -26,4 +26,13 @@ object Bucketing {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write a table partitioned by a (low-cardinality) derived column —
+    * e.g. event date. Queries filtering on the partition column then scan
+    * only matching directories (partition pruning; verified in
+    * BucketingSpec via the scan's PartitionFilters). At 100 TB,
+    * date-partitioned event data turns time-range queries from full scans
+    * into touched-day scans. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 }

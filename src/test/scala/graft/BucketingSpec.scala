@@ -31,6 +31,21 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned writes get partition pruning on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("part").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    sources.Bucketing.writePartitioned(ev, s"$tmp/events_by_day", "day")
+    val q = spark.read.parquet(s"$tmp/events_by_day")
+      .filter(col("day") === "2024-01-03")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+           scan.contains("day"), s"expected partition pruning; plan:\n$scan")
+    val n = q.count()
+    val expected = ev.filter(col("day") === "2024-01-03").count()
+    assert(n == expected && n > 0)
+  }
+
   test("GraftExtensions registers graft_cosine for SQL-only users") {
     val ext = new GraftExtensions
     // apply against a fresh session if the builder supports create(); the

@@ -61,6 +61,21 @@ class StreamingSpec extends SparkSpec {
     assert(gotKeyed.size >= batchKeyed.size - nUsers)
   }
 
+  test("streaming dedup: watermarked dropDuplicates removes replayed events") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    // duplicate the stream against itself (union) → every event twice
+    val doubled = stream.unionByName(stream)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+    val q = doubled.writeStream
+      .outputMode("append").format("memory").queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_dedup").count()
+    val want = Tables.events(spark, sf).count()
+    assert(got == want, s"expected $want unique events, got $got")
+  }
+
   test("multimodal feature extraction: deterministic stub features, schema contract") {
     val feats = operators.Multimodal.mmBinaryFeatures(spark, sf)
     assert(feats.columns.toSeq ==

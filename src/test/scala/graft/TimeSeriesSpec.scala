@@ -60,6 +60,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Set(("c", None), ("a", Some(100.0)), ("b", Some(200.0))))
   }
 
+  test("asofJoin with tolerance nulls out stale matches") {
+    val left = Seq((1, 10L, "a"), (1, 100L, "b")).toDF("k", "ts_us", "tag")
+    val right = Seq((1, 8L, 100.0)).toDF("k", "ts_us", "rv")
+    val got = TimeSeriesOps.asofJoin(left, right, "k", "ts_us", "rv",
+        toleranceUs = Some(10L))
+      .select("tag", "asof_val").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(got("a") == Some(100.0)) // 2us old, within tolerance
+    assert(got("b") == None)        // 92us old, stale
+  }
+
   test("sessionize splits on gaps > threshold") {
     val df = Seq((1L, 0L, 0L, 1.0), (2L, 1000L, 0L, 1.0), (3L, 5000L, 0L, 1.0))
       .toDF("event_id", "ts_us_raw", "user_id", "value")
