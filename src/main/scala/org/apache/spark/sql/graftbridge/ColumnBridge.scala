@@ -13,3 +13,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same deal for Dataset <-> LogicalPlan (custom logical operators). */
+object PlanBridge {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
