@@ -24,6 +24,8 @@ object SparkEntry {
     "q_semi_anti"     -> (Relational.qSemiAnti _),
     "q_distinct"      -> (Relational.qDistinct _),
     "q_percentiles"   -> (Relational.qPercentiles _),
+    "q_approx_sketch" -> (Relational.qApproxSketch _),
+    "q_top_words"     -> (Relational.qTopWords _),
     // §2.1 time-series core (reference semantics)
     "ts_traj_scale"        -> (TimeSeriesQueries.tsTrajScale _),
     "ts_rul_label"         -> (TimeSeriesQueries.tsRulLabel _),
@@ -104,6 +106,7 @@ object SparkEntry {
     "q_semi_anti"          -> Relational.qSemiAntiSql,
     "q_distinct"           -> Relational.qDistinctSql,
     "q_percentiles"        -> Relational.qPercentilesSql,
+    "q_top_words"          -> Relational.qTopWordsSql,
     "dedup_exact"            -> Dedup.dedupExactSql,
     "dedup_exact_keep_first" -> Dedup.dedupExactKeepFirstSql,
     "dedup_ngram"            -> Dedup.dedupNgramSql,

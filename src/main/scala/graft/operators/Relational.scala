@@ -190,6 +190,42 @@ object Relational {
       |LEFT JOIN (SELECT c_mktsegment, count(*) AS n_no_big FROM nb GROUP BY 1) b
       |  USING (c_mktsegment)""".stripMargin
 
+  /** Sketch-based approximations: HyperLogLog++ distinct counts and
+    * approximate quantiles — the constant-memory path when exact
+    * distincts/percentiles would shuffle too much state at 100 TB. No SQL
+    * oracle (sketch implementations differ across engines); the spec bounds
+    * the error against the exact answers instead. */
+  def qApproxSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        count(lit(1)).as("n"))
+
+  /** Top-5 most frequent tokens per language (explode → count → rank). */
+  def qTopWords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    val counts = toks.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "word", "n")
+  }
+
+  val qTopWordsSql: String =
+    """SELECT lang, rk, word, n FROM (
+      |  SELECT lang, word, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+      |  FROM (
+      |    SELECT lang, word, count(*) AS n FROM (
+      |      SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |      FROM documents) t
+      |    GROUP BY lang, word))
+      |WHERE rk <= 5""".stripMargin
+
   /** Exact interpolated percentiles per group (distribution profiling). */
   def qPercentiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -18,7 +18,8 @@ class RelationalSpec extends SparkSpec {
     val specOnly = Set(
       "ts_window_tensorize", "ts_pad_truncate", "ts_adding_problem",
       "ts_autoregressive_gen", "dedup_minhash", "dedup_simhash", "ann_lsh",
-      "text_langid", "text_fingerprint", "mm_binary_features", "ts_kmeans_embed")
+      "text_langid", "text_fingerprint", "mm_binary_features", "ts_kmeans_embed",
+      "q_approx_sketch")
     assert(missing.subsetOf(specOnly), s"queries without oracle: $missing")
   }
 
@@ -39,5 +40,48 @@ class RelationalSpec extends SparkSpec {
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q5 plan broadcasts every dimension side") {
+    val plan = operators.Relational.q5Multijoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("approx sketches stay within tolerance of exact answers") {
+    val approx = operators.Relational.qApproxSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = operators.Relational.qDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p50 = operators.Relational.qPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    approx.foreach { case (et, (users, p)) =>
+      assert(math.abs(users - exact(et)).toDouble / exact(et) < 0.1,
+        s"$et HLL off: $users vs ${exact(et)}")
+      assert(math.abs(p - p50(et)) / math.max(p50(et), 1.0) < 0.1,
+        s"$et p50 approx off: $p vs ${p50(et)}")
+    }
+  }
+
+  test("stream-static join: streaming events enriched with a static dim") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("ss_join")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val stream = streaming.StreamingOps.readEvents(spark, tmp.toString)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val joined = stream.join(dim, Seq("user_id"))
+      .groupBy("c_mktsegment").count()
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName("ss_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ss_join")
+    assert(got.count() > 0)
+    val total = got.agg(sum("count")).head.getLong(0)
+    val expected = Tables.events(spark, sf).join(dim, Seq("user_id")).count()
+    assert(total == expected)
   }
 }
