@@ -46,6 +46,9 @@ object SparkEntry {
     "ts_interpolate"       -> (TimeSeriesQueries.tsInterpolate _),
     "ts_outliers"          -> (TimeSeriesQueries.tsOutliers _),
     "ts_diff"              -> (TimeSeriesQueries.tsDiff _),
+    "ts_sample"            -> (TimeSeriesQueries.tsSample _),
+    "ts_seasonal"          -> (TimeSeriesQueries.tsSeasonal _),
+    "ts_autocorr"          -> (TimeSeriesQueries.tsAutocorr _),
     // §2.1 spec-only (array-valued / generative; driver does rows-only check)
     "ts_window_tensorize"   -> (Tensorize.tsWindowTensorize _),
     "ts_pad_truncate"       -> (Tensorize.tsPadTruncate _),
@@ -103,6 +106,9 @@ object SparkEntry {
     "ts_interpolate"       -> TimeSeriesQueries.tsInterpolateSql,
     "ts_outliers"          -> TimeSeriesQueries.tsOutliersSql,
     "ts_diff"              -> TimeSeriesQueries.tsDiffSql,
+    "ts_sample"            -> TimeSeriesQueries.tsSampleSql,
+    "ts_seasonal"          -> TimeSeriesQueries.tsSeasonalSql,
+    "ts_autocorr"          -> TimeSeriesQueries.tsAutocorrSql,
     "q_semi_anti"          -> Relational.qSemiAntiSql,
     "q_distinct"           -> Relational.qDistinctSql,
     "q_percentiles"        -> Relational.qPercentilesSql,

@@ -313,6 +313,57 @@ object TimeSeriesQueries {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
 
+  // §2.1 extras — deterministic per-key downsampling: keep the k events
+  // with the smallest md5 priority (a seeded uniform sample that is stable
+  // across engines, partitionings, and reruns — unlike rand()).
+  def tsSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = md5(col("event_id").cast("string").cast("binary"))
+    val w = Window.partitionBy(col("user_id")).orderBy(pri, col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("user_id", "rk", "event_id", "value")
+  }
+
+  val tsSampleSql: String =
+    """SELECT user_id, rk, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      |  FROM events) WHERE rk <= 5""".stripMargin
+
+  // §2.1 extras — seasonality profile: hour-of-day averages per event type
+  def tsSeasonal(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(round(avg(col("value")), 6).as("v_avg"), count(lit(1)).as("n"))
+
+  val tsSeasonalSql: String =
+    """SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hod,
+      |  round(avg(value), 6) AS v_avg, count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // §2.1 extras — lag-1 autocorrelation per trajectory
+  def tsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(spark, sfDir)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(round(corr(col("value"), col("prev")), 6).as("acf1"),
+           count(col("prev")).as("n_pairs"))
+  }
+
+  val tsAutocorrSql: String =
+    """SELECT user_id, round(corr(value, prev), 6) AS acf1,
+      |  count(prev) AS n_pairs
+      |FROM (
+      |  SELECT user_id, value,
+      |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
+
   // §2.1 #19 — 30-minute-gap sessionization
   def tsSessionize(spark: SparkSession, sfDir: String): DataFrame =
     TimeSeriesOps.sessionize(Tables.events(spark, sfDir), "user_id", "ts", 1800000000L)
