@@ -72,6 +72,7 @@ object SparkEntry {
     // §2.5 multimodal plumbing + clustering (streaming lives in specs)
     "mm_binary_features" -> (Multimodal.mmBinaryFeatures _),
     "ts_kmeans_embed"    -> (graft.ml.KMeans.tsKmeansEmbed _),
+    "ts_rul_pipeline"    -> (graft.ml.LinearModel.rulPipeline _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same parquet tables).

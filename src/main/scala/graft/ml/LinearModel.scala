@@ -1,0 +1,97 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Tensorize, TimeSeriesOps}
+import graft.Tables
+
+/** Distributed linear (ridge) regression on array-valued feature columns —
+  * the reference's RUL-regression training loop (training/
+  * timeseries_trainer.py + turbofan_baselines.py) re-expressed as a
+  * deterministic one-pass fit.
+  *
+  * Instead of iterative SGD over mini-batches, the normal equations
+  * (XᵀX + λI)w = Xᵀy are accumulated in ONE distributed aggregation:
+  * each row contributes its d² outer-product entries and d cross terms,
+  * summed map-side (partial aggregation). The d×d system (d = T·F + 1
+  * bias, tiny) is solved on the driver. One scan of any corpus size, no
+  * iteration, no RNG — same shape as MLlib's "normal" solver.
+  */
+object LinearModel {
+
+  /** Fit w (last element = bias) on (features: array<double>, label). */
+  def fitRidge(df: DataFrame, featCol: String, labelCol: String,
+               lambda: Double): Array[Double] = {
+    val d0 = df.select(size(col(featCol))).head.getInt(0)
+    val d = d0 + 1 // + bias
+    // one row per (i, j >= i) of XtX and per i of Xty, via a single explode
+    val withBias = df.select(
+      concat(col(featCol), array(lit(1.0))).as("x"),
+      col(labelCol).cast("double").as("y"))
+    val pairs = withBias.select(
+      posexplode(col("x")).as(Seq("i", "xi")), col("x"), col("y"))
+      .select(col("i"), col("xi"), col("y"),
+        posexplode(col("x")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("xtx"),
+           sum(when(col("j") === col("i"), col("xi") * col("y"))).as("xty_part"))
+    val rows = pairs.collect()
+    val xtx = Array.ofDim[Double](d, d)
+    val xty = new Array[Double](d)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(2)
+      xtx(i)(j) = v; xtx(j)(i) = v
+      if (!r.isNullAt(3)) xty(i) = r.getDouble(3)
+    }
+    (0 until d0).foreach(i => xtx(i)(i) += lambda) // no penalty on bias
+    solve(xtx, xty)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting (d is tiny). */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val m = a.map(_.clone()); val y = b.clone()
+    for (col <- 0 until n) {
+      var p = col
+      for (r <- col + 1 until n) if (math.abs(m(r)(col)) > math.abs(m(p)(col))) p = r
+      val t = m(p); m(p) = m(col); m(col) = t
+      val ty = y(p); y(p) = y(col); y(col) = ty
+      require(math.abs(m(col)(col)) > 1e-12, "singular system; raise lambda")
+      for (r <- col + 1 until n) {
+        val f = m(r)(col) / m(col)(col)
+        for (c <- col until n) m(r)(c) -= f * m(col)(c)
+        y(r) -= f * y(col)
+      }
+    }
+    val w = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = y(r)
+      for (c <- r + 1 until n) s -= m(r)(c) * w(c)
+      w(r) = s / m(r)(r)
+    }
+    w
+  }
+
+  /** Prediction column: dot(features ++ [1], w) with w embedded as literal. */
+  def predict(featCol: org.apache.spark.sql.Column, w: Array[Double]): org.apache.spark.sql.Column =
+    graft.functions.VectorOps.dot(
+      concat(featCol, array(lit(1.0))), typedLit(w.toSeq))
+
+  /** The reference's full TurboFan workflow: tensorize → time split →
+    * ridge-fit RUL on the train fold → MSE on both folds. */
+  def rulPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val tensors = Tensorize.windowTensorize(events, "user_id",
+      Seq("ts_us", "event_id"), "value", t = 20, skip = 5, rulCap = 130)
+    val split = TimeSeriesOps.ratioSplit(tensors, "user_id", Seq("widx"), 0.8)
+      .withColumn("label", col("rul").cast("double")).cache()
+    val w = fitRidge(split.filter(col("fold") === "train"), "features", "label",
+      lambda = 1e-3)
+    split.withColumn("pred", predict(col("features"), w))
+      .groupBy(col("fold"))
+      .agg(round(avg(pow(col("pred") - col("label"), 2)), 4).as("mse"),
+           count(lit(1)).as("n"))
+  }
+}
