@@ -43,6 +43,7 @@ object SparkEntry {
     "ts_asof_join"         -> (TimeSeriesQueries.tsAsofJoin _),
     "ts_sessionize"        -> (TimeSeriesQueries.tsSessionize _),
     "ts_ewma"              -> (TimeSeriesQueries.tsEwma _),
+    "ts_cusum"             -> (TimeSeriesQueries.tsCusum _),
     "ts_interpolate"       -> (TimeSeriesQueries.tsInterpolate _),
     "ts_outliers"          -> (TimeSeriesQueries.tsOutliers _),
     "ts_diff"              -> (TimeSeriesQueries.tsDiff _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "ts_asof_join"         -> TimeSeriesQueries.tsAsofJoinSql,
     "ts_sessionize"        -> TimeSeriesQueries.tsSessionizeSql,
     "ts_ewma"              -> TimeSeriesQueries.tsEwmaSql,
+    "ts_cusum"             -> TimeSeriesQueries.tsCusumSql,
     "ts_interpolate"       -> TimeSeriesQueries.tsInterpolateSql,
     "ts_outliers"          -> TimeSeriesQueries.tsOutliersSql,
     "ts_diff"              -> TimeSeriesQueries.tsDiffSql,

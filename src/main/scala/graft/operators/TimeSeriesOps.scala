@@ -237,10 +237,21 @@ object TimeSeriesOps {
     * length.
     */
   def ewma(df: DataFrame, key: String, order: Seq[String], valueCol: String,
-           alpha: Double): DataFrame = {
+           alpha: Double): DataFrame =
+    recurrence(df, key, order, valueCol, "ewma",
+      init = x => x,
+      step = (acc, x) => acc * (1.0 - alpha) + x * alpha)
+
+  /** Generic per-key sequential recurrence: out_t = step(out_{t-1}, x_t),
+    * out_1 = init(x_1). Same scale shape as [[ewma]] (one shuffle, sorted
+    * partitions, O(1) state); `step` must be a pure serializable function.
+    */
+  def recurrence(df: DataFrame, key: String, order: Seq[String], valueCol: String,
+                 outCol: String, init: Double => Double,
+                 step: (Double, Double) => Double): DataFrame = {
     val sortCols = (key +: order).map(col)
     val sorted = df.repartition(col(key)).sortWithinPartitions(sortCols: _*)
-    val schema = sorted.schema.add("ewma", org.apache.spark.sql.types.DoubleType)
+    val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.DoubleType)
     val keyIdx = sorted.schema.fieldIndex(key)
     val valIdx = sorted.schema.fieldIndex(valueCol)
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
@@ -252,12 +263,23 @@ object TimeSeriesOps {
       it.map { r =>
         val k = r.get(keyIdx)
         val x = r.getDouble(valIdx)
-        if (first || k != curKey) { curKey = k; acc = x; first = false }
-        else acc = acc * (1.0 - alpha) + x * alpha
+        if (first || k != curKey) { curKey = k; acc = init(x); first = false }
+        else acc = step(acc, x)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
       }
     }
   }
+
+  /** One-sided CUSUM change-point statistic (predictive-maintenance drift
+    * detection): s_t = max(0, s_{t-1} + (x_t - target - slack)), s_1 from
+    * x_1. Alarms where s exceeds a threshold chosen downstream. `target`
+    * is typically the per-key historical mean — pass it pre-joined as its
+    * own column via [[zscoreNorm]]-style windows, or a constant. */
+  def cusum(df: DataFrame, key: String, order: Seq[String], valueCol: String,
+            target: Double, slack: Double): DataFrame =
+    recurrence(df, key, order, valueCol, "cusum",
+      init = x => math.max(0.0, x - target - slack),
+      step = (acc, x) => math.max(0.0, acc + (x - target - slack)))
 
   /** Linear interpolation of missing values between the surrounding
     * non-null observations (time-weighted, on epoch-µs integers). Rows

@@ -260,6 +260,20 @@ object TimeSeriesQueries {
       |    (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ewma
       |FROM events""".stripMargin
 
+  // §2.1 extras — CUSUM drift detection (target=50, slack=5; s_0 = 0)
+  def tsCusum(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.cusum(ev(spark, sfDir), "user_id", OrderCols, "value",
+        target = 50.0, slack = 5.0)
+      .select(col("user_id"), col("event_id"), round(col("cusum"), 4).as("cusum"))
+
+  val tsCusumSql: String =
+    """SELECT user_id, event_id,
+      |  round(list_reduce([0.0] ||
+      |    list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    (acc, x) -> greatest(0.0, acc + (x - 50.0 - 5.0))), 4) AS cusum
+      |FROM events""".stripMargin
+
   // §2.1 extras — linear interpolation over a sparse derived signal
   def tsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
     val d = ev(spark, sfDir)

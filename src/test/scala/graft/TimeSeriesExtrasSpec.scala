@@ -21,6 +21,17 @@ class TimeSeriesExtrasSpec extends SparkSpec {
     assert(got((2, 2L)) == 50.0)
   }
 
+  test("cusum accumulates drift above target+slack, floors at zero") {
+    val df = Seq((1, 1L, 10.0), (1, 2L, 10.0), (1, 3L, 25.0), (1, 4L, 25.0))
+      .toDF("k", "t", "v")
+    val got = TimeSeriesOps.cusum(df, "k", Seq("t"), "v", target = 10.0, slack = 2.0)
+      .select("t", "cusum").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)   // max(0, 10-12)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 13.0)  // 0 + 25-12
+    assert(got(4L) == 26.0)  // 13 + 25-12
+  }
+
   test("interpolate fills gaps time-weighted, leaves edges null") {
     val df = Seq(
       (1, 0L, Some(0.0)), (1, 10L, None), (1, 40L, Some(4.0)), (1, 50L, None)
