@@ -26,6 +26,7 @@ object SparkEntry {
     "q_percentiles"   -> (Relational.qPercentiles _),
     "q_approx_sketch" -> (Relational.qApproxSketch _),
     "q_top_words"     -> (Relational.qTopWords _),
+    "q_upsert"        -> (Upsert.qUpsert _),
     // §2.1 time-series core (reference semantics)
     "ts_traj_scale"        -> (TimeSeriesQueries.tsTrajScale _),
     "ts_rul_label"         -> (TimeSeriesQueries.tsRulLabel _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_distinct"           -> Relational.qDistinctSql,
     "q_percentiles"        -> Relational.qPercentilesSql,
     "q_top_words"          -> Relational.qTopWordsSql,
+    "q_upsert"             -> Upsert.qUpsertSql,
     "dedup_exact"            -> Dedup.dedupExactSql,
     "dedup_exact_keep_first" -> Dedup.dedupExactKeepFirstSql,
     "dedup_ngram"            -> Dedup.dedupNgramSql,

@@ -59,6 +59,14 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("scd1 upsert: updates replace, inserts append, untouched rows survive") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    val source = Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    val got = operators.Upsert.scd1(target, source, "k")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
+  }
+
   test("percentiles are ordered and within range") {
     val df = operators.Relational.qPercentiles(spark, sf)
     df.collect().foreach { r =>
