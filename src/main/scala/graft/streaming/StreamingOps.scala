@@ -47,6 +47,27 @@ object StreamingOps {
       .select(unix_millis(col("w.start")).as("w_start_ms"), col("event_type"),
         col("n"), col("v"))
 
+  /** Stream-stream inner join: each purchase joined to the same user's
+    * clicks within the preceding `windowSec` seconds. Both sides carry
+    * watermarks so the join state is bounded — the canonical
+    * interval-bounded stream-stream join. */
+  def purchaseClickJoin(events: DataFrame, watermark: String = "2 hours",
+                        windowSec: Long = 3600): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), unix_millis(col("p_ts")).as("p_ts_ms"),
+        unix_millis(col("c_ts")).as("c_ts_ms"), col("p_value"), col("c_value"))
+  }
+
   case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
   case class SessState(startUs: Long, lastUs: Long, n: Long, vSum: Double)
   case class Session(user_id: Long, sess_start_us: Long, sess_end_us: Long,

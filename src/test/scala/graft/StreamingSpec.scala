@@ -61,6 +61,29 @@ class StreamingSpec extends SparkSpec {
     assert(gotKeyed.size >= batchKeyed.size - nUsers)
   }
 
+  test("stream-stream join matches the batch interval join") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val joined = StreamingOps.purchaseClickJoin(stream)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_interval_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ss_interval_join")
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    val want = p.join(c, col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 3600 SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), unix_millis(col("p_ts")).as("p_ts_ms"),
+        unix_millis(col("c_ts")).as("c_ts_ms"), col("p_value"), col("c_value"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+  }
+
   test("streaming dedup: watermarked dropDuplicates removes replayed events") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     // duplicate the stream against itself (union) → every event twice
