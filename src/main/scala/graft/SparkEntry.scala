@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_embed"            -> (Dedup.dedupEmbed _),
     "ann_topk"               -> (Similarity.annTopkQuery _),
     "ann_lsh"                -> (Similarity.annLshQuery _),
+    "ann_ivf"                -> (Similarity.annIvfQuery _),
     // §2.4 text analysis
     "text_tokens"      -> (TextOps.textTokens _),
     "text_quality"     -> (TextOps.textQuality _),

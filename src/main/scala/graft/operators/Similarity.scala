@@ -82,6 +82,43 @@ object Similarity {
       .select("q_id", "rk", "c_id", "cos")
   }
 
+  /** IVF (inverted-file) ANN: the corpus is coarsely clustered once
+    * (deterministic k-means); each query probes only its `nprobe` nearest
+    * cells and re-ranks exactly inside them. The classic FAISS-style scale
+    * path: cell assignment is one map-side argmin against k broadcast
+    * centroids, and query fan-out touches |corpus|·nprobe/nlist candidates
+    * instead of the full corpus. */
+  def annIvf(corpus: DataFrame, queries: DataFrame, nlist: Int, nprobe: Int,
+             k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val assignment = graft.ml.KMeans.fit(corpus, nlist, iters = 2)
+    val assigned = corpus.join(assignment, "vec_id")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("cluster").as("cell"))
+    // cell centroids (tiny) for query routing
+    val cents = assigned
+      .select(col("cell"), posexplode(VectorOps.toDouble(col("c_emb"))).as(Seq("dim", "x")))
+      .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s("m")).as("centroid"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // route each query to its nprobe nearest cells
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("d", VectorOps.distSq(col("q_emb"), col("centroid")))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cell"))
+    val probes = routed.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(VectorOps.cosineNative(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "c_id", "cos")
+  }
+
   // ---------- SparkEntry glue ----------
 
   /** Queries = vec_id < 10; top-5 exact cosine neighbors each. */
@@ -105,5 +142,11 @@ object Similarity {
   def annLshQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     annLsh(emb, emb.filter(col("vec_id") < 10), dim = 64, nBits = 8, k = 5)
+  }
+
+  /** IVF variant (spec checks recall vs exact). */
+  def annIvfQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    annIvf(emb, emb.filter(col("vec_id") < 10), nlist = 8, nprobe = 3, k = 5)
   }
 }

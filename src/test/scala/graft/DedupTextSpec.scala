@@ -76,6 +76,32 @@ class DedupTextSpec extends SparkSpec {
     assert(recall > 0.3, s"LSH recall too low: $recall")
   }
 
+  test("annIvf achieves reasonable recall vs exact search") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(emb, emb.filter(col("vec_id") < 5),
+        nlist = 4, nprobe = 2, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall too low: $recall")
+  }
+
+  test("json and orc sources round-trip events exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("fmt").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").json(s"$tmp/ev_json")
+    ev.write.mode("overwrite").orc(s"$tmp/ev_orc")
+    val viaJson = spark.read.schema(ev.schema).json(s"$tmp/ev_json")
+    val viaOrc = spark.read.orc(s"$tmp/ev_orc")
+    assert(viaJson.count() == ev.count())
+    assert(viaOrc.count() == ev.count())
+    assert(viaOrc.exceptAll(ev).count() == 0)
+    assert(viaJson.exceptAll(ev).count() == 0)
+  }
+
   test("token counts and quality features behave sanely") {
     val t = TextOps.tokenCounts(docs, "text").filter(col("doc_id") === 1).head
     assert(t.getAs[Int]("n_ws_tokens") == 13)
