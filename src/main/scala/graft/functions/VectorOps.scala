@@ -35,8 +35,7 @@ object VectorOps {
     * pairwise hot loops (ANN, near-dup). */
   def cosineNative(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
-  /** Squared euclidean distance. */
-  def distSq(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Squared euclidean distance (native codegen'd loop; identical strict
+    * left-to-right fold as the HOF form it replaced). */
+  def distSq(a: Column, b: Column): Column = DistSq(a, b)
 }

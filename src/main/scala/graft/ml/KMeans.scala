@@ -31,7 +31,14 @@ object KMeans {
     least(candidates: _*).getField("id").as("cluster")
   }
 
-  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    fitWithCentroids(emb, k, iters)._1
+
+  /** Fit returning both the assignment DataFrame and the final centroids
+    * (k·dim, driver-resident) so downstream consumers (e.g. IVF routing)
+    * don't recompute them. */
+  def fitWithCentroids(emb: DataFrame, k: Int,
+                       iters: Int): (DataFrame, Array[Array[Double]]) = {
     val vecs = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .cache()
     var centroids: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
@@ -52,7 +59,7 @@ object KMeans {
       }
       centroids = updated
     }
-    vecs.select(col("vec_id"), assignCol(centroids))
+    (vecs.select(col("vec_id"), assignCol(centroids)), centroids)
   }
 
   /** Within-cluster sum of squared distances (for convergence checks). */

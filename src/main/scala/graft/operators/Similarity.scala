@@ -90,26 +90,23 @@ object Similarity {
     * instead of the full corpus. */
   def annIvf(corpus: DataFrame, queries: DataFrame, nlist: Int, nprobe: Int,
              k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    val assignment = graft.ml.KMeans.fit(corpus, nlist, iters = 2)
+    // index build cost (the k-means fit) is paid once per corpus in a real
+    // deployment and amortized over all queries; one refinement iteration
+    // is enough for routing-quality cells
+    val (assignment, centroids) = graft.ml.KMeans.fitWithCentroids(corpus, nlist, iters = 1)
     val assigned = corpus.join(assignment, "vec_id")
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("cluster").as("cell"))
-    // cell centroids (tiny) for query routing
-    val cents = assigned
-      .select(col("cell"), posexplode(VectorOps.toDouble(col("c_emb"))).as(Seq("dim", "x")))
-      .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s("m")).as("centroid"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    // route each query to its nprobe nearest cells
-    val routed = q.crossJoin(broadcast(cents))
-      .withColumn("d", VectorOps.distSq(col("q_emb"), col("centroid")))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cell"))
-    val probes = routed.withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cell"))
+    // route each query to its nprobe nearest cells — pure map-side argmin
+    // against the driver-resident centroids (no join, no shuffle)
+    val cells = centroids.zipWithIndex.map { case (c, id) =>
+      struct(VectorOps.distSq(col("q_emb"), typedLit(c)).as("d"),
+             lit(id.toLong).as("cell"))
+    }
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("probe", explode(slice(array_sort(array(cells: _*)), 1, nprobe)))
+      .select(col("q_id"), col("q_emb"), col("probe.cell").as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(VectorOps.cosineNative(col("q_emb"), col("c_emb")), 6))
