@@ -319,8 +319,10 @@ object TimeSeriesOps {
            valueCol: String): DataFrame = {
     val w = perKey(key, order)
     val prev = lag(col(valueCol), 1).over(w)
+    // nullif: a zero previous value yields null pct_change (instead of an
+    // ANSI division error / engine-dependent inf)
     df.withColumn("diff", col(valueCol) - prev)
-      .withColumn("pct_change", (col(valueCol) - prev) / prev)
+      .withColumn("pct_change", (col(valueCol) - prev) / nullif(prev, lit(0.0)))
   }
 
   /** Gap-based sessionization (batch twin of the streaming state op):

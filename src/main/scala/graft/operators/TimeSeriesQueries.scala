@@ -323,7 +323,7 @@ object TimeSeriesQueries {
   val tsDiffSql: String =
     """SELECT user_id, event_id, value,
       |  value - lag(value, 1) OVER w AS diff,
-      |  (value - lag(value, 1) OVER w) / lag(value, 1) OVER w AS pct_change
+      |  (value - lag(value, 1) OVER w) / nullif(lag(value, 1) OVER w, 0.0) AS pct_change
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
 
