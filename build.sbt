@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print machine-parsed JSON on stdout: pass forked output
+// through verbatim (no [info]/[error] logger prefixes) and drop the
+// trailing "[success] Total time" line so the JSON is the last line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

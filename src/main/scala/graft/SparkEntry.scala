@@ -51,7 +51,9 @@ object SparkEntry {
     "ts_sample"            -> (TimeSeriesQueries.tsSample _),
     "ts_seasonal"          -> (TimeSeriesQueries.tsSeasonal _),
     "ts_autocorr"          -> (TimeSeriesQueries.tsAutocorr _),
-    // §2.1 spec-only (array-valued / generative; driver does rows-only check)
+    // §2.1 tensor/generative forms — driver sees scalar digests of the
+    // array columns (tensorize/pad_truncate are oracle-checked; the
+    // hash-based generators are rows-only + spec)
     "ts_window_tensorize"   -> (Tensorize.tsWindowTensorize _),
     "ts_pad_truncate"       -> (Tensorize.tsPadTruncate _),
     "ts_adding_problem"     -> ((s, d) => Synthetic.tsAddingProblem(s, d)),
@@ -114,6 +116,8 @@ object SparkEntry {
     "ts_sample"            -> TimeSeriesQueries.tsSampleSql,
     "ts_seasonal"          -> TimeSeriesQueries.tsSeasonalSql,
     "ts_autocorr"          -> TimeSeriesQueries.tsAutocorrSql,
+    "ts_window_tensorize"  -> Tensorize.tsWindowTensorizeSql,
+    "ts_pad_truncate"      -> Tensorize.tsPadTruncateSql,
     "q_semi_anti"          -> Relational.qSemiAntiSql,
     "q_distinct"           -> Relational.qDistinctSql,
     "q_percentiles"        -> Relational.qPercentilesSql,

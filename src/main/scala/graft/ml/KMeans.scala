@@ -59,6 +59,11 @@ object KMeans {
       }
       centroids = updated
     }
+    // The iteration loop (the only repeated consumer) is done: release the
+    // cache so repeated fits don't accumulate executor storage. The final
+    // assignment below is a single map-side pass; recomputing it from the
+    // source scan costs one read and keeps the operator leak-free.
+    vecs.unpersist(blocking = false)
     (vecs.select(col("vec_id"), assignCol(centroids)), centroids)
   }
 

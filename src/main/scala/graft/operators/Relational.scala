@@ -147,7 +147,7 @@ object Relational {
       |  round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 2) AS click_v,
       |  round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 2) AS view_v,
       |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_v,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
       |FROM events GROUP BY user_id""".stripMargin
 
   /** JSON property extraction from the string-typed props column. */
@@ -159,7 +159,7 @@ object Relational {
 
   val qJsonExtractSql: String =
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  count(json_extract_string(props, '$.k')) AS n_k
       |FROM events GROUP BY event_type""".stripMargin
 

@@ -38,9 +38,14 @@ object Synthetic {
   }
 
   /** SparkEntry glue (size scales with the sf dir's events table so the
-    * bench exercises generation throughput). */
+    * bench exercises generation throughput). Driver-facing projection
+    * digests the x/mask arrays to scalars so the oracle gate can sort and
+    * hash the result; [[addingProblem]] keeps the array form (spec-tested). */
   def tsAddingProblem(spark: SparkSession, sfDir: String): DataFrame = {
     val n = graft.Tables.events(spark, sfDir).count()
     addingProblem(spark, n, t = 64)
+      .select(col("id"), col("y"),
+        round(aggregate(col("x"), lit(0.0), (acc, v) => acc + v), 6).as("x_sum"),
+        aggregate(col("mask"), lit(0.0), (acc, v) => acc + v).as("mask_sum"))
   }
 }

@@ -106,15 +106,79 @@ object Tensorize {
             array_repeat(lit(0.0), (lit(t) - col("orig_len")).cast("int")), col("vals"))))
       .select(col(key), col("orig_len"), col("seq"))
 
-  /** SparkEntry glue: tensorize events (T=20, skip=5, cap=130). */
+  /** SparkEntry glue: tensorize events (T=20, skip=5, cap=130).
+    *
+    * The driver-facing projection digests the `array<double>` feature
+    * column to scalars (z_min/z_max/z_last) so the result is hashable by
+    * the oracle gate; the raw tensor form stays the library API
+    * ([[windowTensorize]]) and is spec-verified.
+    */
   def tsWindowTensorize(spark: SparkSession, sfDir: String): DataFrame =
     windowTensorize(
       Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts"))),
       "user_id", Seq("ts_us", "event_id"), "value", t = 20, skip = 5, rulCap = 130)
+      .select(col("user_id"), col("widx"),
+        col("rul").cast("long").as("rul"),
+        round(array_min(col("features")), 6).as("z_min"),
+        round(array_max(col("features")), 6).as("z_max"),
+        round(element_at(col("features"), -1), 6).as("z_last"))
 
-  /** SparkEntry glue: pad/left-truncate each user's series to 512 steps. */
+  /** DuckDB oracle for [[tsWindowTensorize]]: the same scale → window →
+    * z-norm pipeline via window frames (z_min/z_max are monotone under the
+    * affine z-transform, so they commute with min/max over the frame). */
+  val tsWindowTensorizeSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    value / max(value) OVER (PARTITION BY user_id) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, rn, n, v,
+      |    avg(v) OVER fr AS m,
+      |    stddev_pop(v) OVER fr AS sd,
+      |    min(v) OVER fr AS vmin,
+      |    max(v) OVER fr AS vmax
+      |  FROM s
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY rn
+      |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT user_id,
+      |  CAST((rn - 20) / 5 AS BIGINT) AS widx,
+      |  CAST(least(130, n - rn) AS BIGINT) AS rul,
+      |  round((vmin - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) AS z_min,
+      |  round((vmax - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) AS z_max,
+      |  round((v - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) AS z_last
+      |FROM f WHERE rn >= 20 AND (rn - 20) % 5 = 0""".stripMargin
+
+  /** SparkEntry glue: pad/left-truncate each user's series to 512 steps.
+    * Digested to scalars (sum/first/last of the fixed-length sequence) for
+    * the oracle gate; [[padTruncate]] keeps the array form. */
   def tsPadTruncate(spark: SparkSession, sfDir: String): DataFrame =
     padTruncate(
       Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts"))),
       "user_id", "ts_us", "value", t = 512)
+      .select(col("user_id"),
+        col("orig_len").cast("long").as("orig_len"),
+        greatest(lit(0L), lit(512L) - col("orig_len")).as("n_pad"),
+        round(aggregate(col("seq"), lit(0.0), (acc, x) => acc + x), 6).as("seq_sum"),
+        round(element_at(col("seq"), 1), 6).as("seq_first"),
+        round(element_at(col("seq"), -1), 6).as("seq_last"))
+
+  /** DuckDB oracle for [[tsPadTruncate]]: last-512-by-time sum, plus first
+    * element (0.0 when front-padded) and last element. */
+  val tsPadTruncateSql: String =
+    """WITH o AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(max(n) AS BIGINT) AS orig_len,
+      |  CAST(greatest(0, 512 - max(n)) AS BIGINT) AS n_pad,
+      |  round(sum(CASE WHEN rn > n - 512 THEN value ELSE 0.0 END), 6) AS seq_sum,
+      |  round(CASE WHEN max(n) >= 512
+      |        THEN max(CASE WHEN rn = n - 511 THEN value END)
+      |        ELSE 0.0 END, 6) AS seq_first,
+      |  round(max(CASE WHEN rn = n THEN value END), 6) AS seq_last
+      |FROM o GROUP BY user_id""".stripMargin
 }

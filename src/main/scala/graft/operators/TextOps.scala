@@ -191,6 +191,13 @@ object TextOps {
       "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
       "es" -> Seq("el", "la", "los", "y", "es", "un", "una")))
 
+  /** Driver-facing projection: digest the fingerprint set to scalars
+    * (count/min/max/xor) so the oracle gate can sort and hash the result;
+    * [[fingerprint]] keeps the full `array<long>` form (spec-tested). */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     fingerprint(Tables.documents(spark, sfDir), "text")
+      .select(col("doc_id"), col("n_fp").cast("long").as("n_fp"),
+        col("fp_min"), col("fp_max"),
+        aggregate(col("fingerprints"), lit(0L),
+          (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"))
 }

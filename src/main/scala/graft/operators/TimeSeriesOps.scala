@@ -196,6 +196,11 @@ object TimeSeriesOps {
     * before it (per key). Implemented the scale-friendly way — union the
     * two sides, one shuffle on (key, time), forward-fill the right value —
     * instead of a per-row lookup join. Right columns arrive as `rightVal`.
+    *
+    * Tie contract (merge_asof allow_exact_matches semantics): at an equal
+    * timestamp ALL right rows are visible to a left row — right rows sort
+    * before left rows at the same ts, and among several equal-ts right rows
+    * the one greatest under `tieCols` wins.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsUsCol: String, rightValCol: String,

@@ -240,12 +240,25 @@ object TimeSeriesQueries {
       .select("user_id", "event_id", "event_type", "value", "asof_val")
   }
 
+  // Mirrors the implementation's contract exactly: right (purchase) rows at
+  // an equal timestamp are ALL visible to a left row (standard as-of /
+  // merge_asof allow_exact_matches semantics) — encoded by the same
+  // union + (ts, side, event_id) ordering the Spark operator uses.
   val tsAsofJoinSql: String =
-    """SELECT user_id, event_id, event_type, value,
-      |  last_value(pv IGNORE NULLS) OVER (
-      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_val
-      |FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events)""".stripMargin
+    """SELECT user_id, event_id, event_type, value, asof_val FROM (
+      |  SELECT user_id, event_id, event_type, value, side,
+      |    last_value(pv IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, side, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_val
+      |  FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      epoch_us(ts) AS ts_us, 1 AS side, CAST(NULL AS DOUBLE) AS pv
+      |    FROM events
+      |    UNION ALL
+      |    SELECT user_id, event_id, event_type, value,
+      |      epoch_us(ts) AS ts_us, 0 AS side, value AS pv
+      |    FROM events WHERE event_type = 'purchase'))
+      |WHERE side = 1""".stripMargin
 
   // §2.1 extras — EWMA (α=0.1), sequential recurrence via mapPartitions
   def tsEwma(spark: SparkSession, sfDir: String): DataFrame =
@@ -393,8 +406,8 @@ object TimeSeriesQueries {
       |  round(sum(value), 2) AS v_sum
       |FROM (
       |  SELECT user_id, value, ts_us,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM (
       |    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
       |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000

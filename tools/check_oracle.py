@@ -6,8 +6,10 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with the sfDir
 parquet files registered as views, then compares: schema (sorted column
-names), row count, and values (columns sorted by name, rows sorted, floats
-rounded to 9 significant places before hashing).
+names), dtype FAMILIES (int vs float vs other — the driver's hash is
+type-sensitive, so a DuckDB HUGEINT surfacing as float64 must fail here
+too), row count, and values (columns sorted by name, rows sorted, floats
+rounded to 9 decimal places before comparing).
 """
 import sys, os, json, glob
 import duckdb
@@ -45,6 +47,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+        # dtype-family parity (mirrors the driver's type-sensitive hash):
+        # int64 vs float64 is a mismatch even when every value is equal.
+        fam = lambda dt: ("int" if dt.kind in "iu" else
+                          "float" if dt.kind == "f" else
+                          "time" if dt.kind == "M" else "obj")
+        badty = [(c, got[c].dtype, want[c].dtype) for c in got.columns
+                 if fam(got[c].dtype) != fam(want[c].dtype)]
+        if badty:
+            print(f"FAIL {name}: dtype family mismatch {badty}"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
         try:
