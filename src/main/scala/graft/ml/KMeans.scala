@@ -22,14 +22,21 @@ import graft.functions.VectorOps
   */
 object KMeans {
 
-  private def assignCol(centroids: Array[Array[Double]]): Column = {
+  /** Nearest-centroid id for a vector column — pure map-side argmin against
+    * driver-resident centroids (no join, no shuffle). Consumers holding the
+    * centroids (e.g. IVF cell routing) should use this instead of joining
+    * back to the fit's assignment DataFrame. */
+  def assign(vecCol: Column, centroids: Array[Array[Double]]): Column = {
     // struct(dist, id) lexicographic least = argmin with min-id tie-break
     val candidates = centroids.zipWithIndex.map { case (c, id) =>
-      struct(VectorOps.distSq(col("v"), typedLit(c)).as("d"),
+      struct(VectorOps.distSq(vecCol, typedLit(c)).as("d"),
              lit(id.toLong).as("id"))
     }
-    least(candidates: _*).getField("id").as("cluster")
+    least(candidates: _*).getField("id")
   }
+
+  private def assignCol(centroids: Array[Array[Double]]): Column =
+    assign(col("v"), centroids).as("cluster")
 
   def fit(emb: DataFrame, k: Int, iters: Int): DataFrame =
     fitWithCentroids(emb, k, iters)._1

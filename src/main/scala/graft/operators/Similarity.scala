@@ -93,10 +93,14 @@ object Similarity {
     // index build cost (the k-means fit) is paid once per corpus in a real
     // deployment and amortized over all queries; one refinement iteration
     // is enough for routing-quality cells
-    val (assignment, centroids) = graft.ml.KMeans.fitWithCentroids(corpus, nlist, iters = 1)
-    val assigned = corpus.join(assignment, "vec_id")
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("cluster").as("cell"))
+    val (_, centroids) = graft.ml.KMeans.fitWithCentroids(corpus, nlist, iters = 1)
+    // cell assignment map-side against the driver-resident centroids — no
+    // join of the corpus back to the fit's assignment (that join would
+    // shuffle the whole corpus twice at scale)
+    val assigned = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"),
+      graft.ml.KMeans.assign(VectorOps.toDouble(col("embedding")),
+        centroids).as("cell"))
     // route each query to its nprobe nearest cells — pure map-side argmin
     // against the driver-resident centroids (no join, no shuffle)
     val cells = centroids.zipWithIndex.map { case (c, id) =>
