@@ -25,15 +25,12 @@ object KMeans {
   /** Nearest-centroid id for a vector column — pure map-side argmin against
     * driver-resident centroids (no join, no shuffle). Consumers holding the
     * centroids (e.g. IVF cell routing) should use this instead of joining
-    * back to the fit's assignment DataFrame. */
-  def assign(vecCol: Column, centroids: Array[Array[Double]]): Column = {
-    // struct(dist, id) lexicographic least = argmin with min-id tie-break
-    val candidates = centroids.zipWithIndex.map { case (c, id) =>
-      struct(VectorOps.distSq(vecCol, typedLit(c)).as("d"),
-             lit(id.toLong).as("id"))
-    }
-    least(candidates: _*).getField("id")
-  }
+    * back to the fit's assignment DataFrame. Native expression: the centroid
+    * matrix rides in the codegen references array, so the generated code is
+    * identical across iterations/fits (one Janino compile) and its size is
+    * independent of k. */
+  def assign(vecCol: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid(vecCol, centroids)
 
   private def assignCol(centroids: Array[Array[Double]]): Column =
     assign(col("v"), centroids).as("cluster")
@@ -51,18 +48,19 @@ object KMeans {
     var centroids: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
       .select("v").collect()
       .map(_.getSeq[Double](0).toArray)
+    // Centroid refresh = one groupBy with the native vector_avg aggregate —
+    // the posexplode formulation inflated the corpus ×dim through the
+    // shuffle; this one shuffles only k·(dim+1) partial-agg doubles per map
+    // partition, at any corpus size.
     for (_ <- 1 to iters) {
-      val sums = vecs.select(assignCol(centroids), col("v"))
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+      val rows = vecs.select(assignCol(centroids), col("v"))
+        .groupBy(col("cluster"))
+        .agg(graft.functions.VectorAgg.vectorAvg(col("v")).as("m"))
         .collect()
       // empty clusters keep their previous centroid
       val updated = centroids.clone()
-      sums.groupBy(_.getLong(0)).foreach { case (cl, rows) =>
-        val arr = new Array[Double](centroids(cl.toInt).length)
-        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-        updated(cl.toInt) = arr
+      rows.foreach { r =>
+        updated(r.getLong(0).toInt) = r.getSeq[Double](1).toArray
       }
       centroids = updated
     }
@@ -79,11 +77,8 @@ object KMeans {
     val vecs = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
     val joined = vecs.join(assignment, "vec_id")
     val cents = joined
-      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
       .groupBy(col("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s("m")).as("c"))
+      .agg(graft.functions.VectorAgg.vectorAvg(col("v")).as("c"))
     joined.join(broadcast(cents), "cluster")
       .withColumn("d", VectorOps.distSq(col("v"), col("c")))
       .agg(sum(col("d")).as("sse"))

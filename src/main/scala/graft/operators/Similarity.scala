@@ -101,16 +101,14 @@ object Similarity {
       col("embedding").as("c_emb"),
       graft.ml.KMeans.assign(VectorOps.toDouble(col("embedding")),
         centroids).as("cell"))
-    // route each query to its nprobe nearest cells — pure map-side argmin
-    // against the driver-resident centroids (no join, no shuffle)
-    val cells = centroids.zipWithIndex.map { case (c, id) =>
-      struct(VectorOps.distSq(col("q_emb"), typedLit(c)).as("d"),
-             lit(id.toLong).as("cell"))
-    }
+    // route each query to its nprobe nearest cells — native NearestCells
+    // selection against the driver-resident centroids (no join, no
+    // shuffle, codegen size independent of nlist)
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("probe", explode(slice(array_sort(array(cells: _*)), 1, nprobe)))
-      .select(col("q_id"), col("q_emb"), col("probe.cell").as("cell"))
+      .withColumn("cell", explode(graft.functions.NearestCells(
+        VectorOps.toDouble(col("q_emb")), centroids, nprobe)))
+      .select(col("q_id"), col("q_emb"), col("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(VectorOps.cosineNative(col("q_emb"), col("c_emb")), 6))
