@@ -27,6 +27,10 @@ object SparkEntry {
     "q_approx_sketch" -> (Relational.qApproxSketch _),
     "q_top_words"     -> (Relational.qTopWords _),
     "q_upsert"        -> (Upsert.qUpsert _),
+    "q_range_join"    -> (RangeJoin.qRangeJoin _),
+    "q_funnel"        -> (Relational.qFunnel _),
+    "q_corr"          -> (Relational.qCorr _),
+    "q_salted_agg"    -> (Relational.qSaltedAgg _),
     // §2.1 time-series core (reference semantics)
     "ts_traj_scale"        -> (TimeSeriesQueries.tsTrajScale _),
     "ts_rul_label"         -> (TimeSeriesQueries.tsRulLabel _),
@@ -65,6 +69,7 @@ object SparkEntry {
     "dedup_simhash"          -> (Dedup.dedupSimhash _),
     "dedup_ngram"            -> (Dedup.dedupNgram _),
     "dedup_embed"            -> (Dedup.dedupEmbed _),
+    "dedup_clusters"         -> (Dedup.dedupClustersQuery _),
     "ann_topk"               -> (Similarity.annTopkQuery _),
     "ann_lsh"                -> (Similarity.annLshQuery _),
     "ann_ivf"                -> (Similarity.annIvfQuery _),
@@ -123,10 +128,15 @@ object SparkEntry {
     "q_percentiles"        -> Relational.qPercentilesSql,
     "q_top_words"          -> Relational.qTopWordsSql,
     "q_upsert"             -> Upsert.qUpsertSql,
+    "q_range_join"         -> RangeJoin.qRangeJoinSql,
+    "q_funnel"             -> Relational.qFunnelSql,
+    "q_corr"               -> Relational.qCorrSql,
+    "q_salted_agg"         -> Relational.qSaltedAggSql,
     "dedup_exact"            -> Dedup.dedupExactSql,
     "dedup_exact_keep_first" -> Dedup.dedupExactKeepFirstSql,
     "dedup_ngram"            -> Dedup.dedupNgramSql,
     "dedup_embed"            -> Dedup.dedupEmbedSql,
+    "dedup_clusters"         -> Dedup.dedupClustersSql,
     "ann_topk"               -> Similarity.annTopkSql,
     "text_tokens"            -> TextOps.textTokensSql,
     "text_quality"           -> TextOps.textQualitySql,

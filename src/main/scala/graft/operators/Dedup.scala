@@ -144,19 +144,28 @@ object Dedup {
   /** Exact n-gram Jaccard over a bounded candidate generator: same-lang
     * pairs whose lengths differ by <= `lenTol` chars (a cheap prefilter a
     * production pipeline would replace with LSH buckets; keeps the pair
-    * space linear and the oracle SQL-expressible). */
+    * space linear and the oracle SQL-expressible).
+    *
+    * The per-pair set math runs on sorted xxhash64'd shingles through the
+    * native merge-walk expression ([[graft.functions.SortedIntersectCount]])
+    * — `array_intersect` on string arrays builds a boxed hash set per PAIR,
+    * which dominated this operator's runtime ~10× at sf0.1. Values are
+    * unchanged (64-bit shingle hashing is collision-free at corpus scale,
+    * and the DuckDB oracle's string-set jaccard hash-matches). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, lenTol: Int = 2): DataFrame = {
     val withG = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-      ngramSet(col("text"), n).as("g"))
+      graft.functions.ShingleHashSet(lower(trim(col("text"))), n).as("g"))
     val a = withG.select(col("lang"), col("doc_id").as("doc_id_a"),
       col("n_chars").as("nc_a"), col("g").as("g_a"))
     a.join(withG.select(col("lang"), col("doc_id").as("doc_id_b"),
         col("n_chars").as("nc_b"), col("g").as("g_b")), Seq("lang"))
       .filter(col("doc_id_a") < col("doc_id_b") &&
               abs(col("nc_a") - col("nc_b")) <= lenTol)
+      .withColumn("common",
+        graft.functions.SortedIntersectCount(col("g_a"), col("g_b")))
       .withColumn("jaccard",
-        round(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))), 6))
+        round(col("common").cast("double") /
+          (size(col("g_a")) + size(col("g_b")) - col("common")), 6))
       .select("lang", "doc_id_a", "doc_id_b", "jaccard")
   }
 
@@ -175,6 +184,60 @@ object Dedup {
               col("vec_id_b") - col("vec_id_a") <= idWindow)
       .withColumn("cos", round(graft.functions.VectorOps.cosineNative(col("e_a"), col("e_b")), 6))
       .select("label", "vec_id_a", "vec_id_b", "cos")
+  }
+
+  // ---------- duplicate-cluster formation (connected components) ----------
+
+  /** Connected components over a near-dup candidate-pair graph: every doc
+    * is labeled with the smallest doc_id reachable through candidate edges
+    * (its cluster id); `is_canonical` marks the one doc per cluster a
+    * dedup pass keeps.
+    *
+    * Algorithm: min-label propagation to fixpoint — the standard
+    * large-scale formulation (each iteration is one join + one min-agg,
+    * both keyed on doc id; converges in O(component diameter) rounds,
+    * and near-dup clusters are shallow by construction). Lineage is cut
+    * with localCheckpoint each round so the plan doesn't grow with the
+    * iteration count; at cluster scale this would be a reliable
+    * checkpoint to durable storage instead.
+    */
+  def componentLabels(vertices: DataFrame, pairs: DataFrame,
+                      maxIters: Int = 20): DataFrame = {
+    // materialize the edge set ONCE — its lineage embeds the candidate
+    // generator (an expensive similarity self-join), which would otherwise
+    // be recomputed by every propagation round and convergence check
+    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices.select(col("doc_id").as("v"), col("doc_id").as("l"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = labels.join(edges, labels("v") === edges("src"))
+        .select(col("dst").as("v"), col("l"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("v")).agg(min(col("l")).as("l"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("l", "l_old"), "v")
+        .filter(col("l") =!= col("l_old")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for every document: near-dup edges = same-lang
+    * n-gram Jaccard >= threshold over the bounded candidate generator. */
+  def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    // materialize the candidate pairs once — componentLabels references
+    // them in both directions of the edge union
+    val pairs = ngramJaccardPairs(docs).filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    componentLabels(docs, pairs)
+      .select(col("v").as("doc_id"), col("l").as("cluster_id"),
+        (col("l") === col("v")).cast("int").as("is_canonical"))
   }
 
   // ---------- SparkEntry glue ----------
@@ -221,6 +284,29 @@ object Dedup {
       |      FROM documents) b
       |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 2
       |""".stripMargin
+
+  def dedupClustersQuery(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(Tables.documents(spark, sfDir), threshold = 0.5)
+
+  /** Recursive-CTE oracle: reach(v, l) closure over the symmetrized edge
+    * set, cluster id = min reachable label. The edge CTE is the
+    * dedup_ngram oracle filtered at the same threshold. */
+  val dedupClustersSql: String = {
+    val pairsSql = dedupNgramSql.trim.stripSuffix(";")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSql
+       |),
+       |cand AS (SELECT doc_id_a, doc_id_b FROM pairs WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM cand
+       |          UNION SELECT doc_id_b, doc_id_a FROM cand),
+       |reach(v, l) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+       |SELECT v AS doc_id, min(l) AS cluster_id,
+       |  CAST(min(l) = v AS INT) AS is_canonical
+       |FROM reach GROUP BY v""".stripMargin
+  }
 
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame =
     embedCosinePairs(Tables.embeddings(spark, sfDir))

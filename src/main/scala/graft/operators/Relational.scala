@@ -203,16 +203,23 @@ object Relational {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
         count(lit(1)).as("n"))
 
-  /** Top-5 most frequent tokens per language (explode → count → rank). */
+  /** Top-5 most frequent tokens per language (explode → count → bounded
+    * top-k). The per-group rank is the native smallest_k aggregate rather
+    * than a row_number window: with a low-cardinality group key (5
+    * languages) the window would sort the ENTIRE distinct-vocabulary table
+    * on 5 partitions, while smallest_k keeps 5 rows of state per group
+    * with map-side partial aggregation — "n DESC, word ASC" encoded as the
+    * natural ascending order of struct(-n, word). */
   def qTopWords(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, sfDir)
       .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
     val counts = toks.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
-    counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select("lang", "rk", "word", "n")
+    counts.groupBy(col("lang"))
+      .agg(graft.functions.SmallestK.smallestK(
+        struct((-col("n")).as("negn"), col("word"), col("n")), 5).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.word").as("word"), col("t.n").as("n"))
   }
 
   val qTopWordsSql: String =
@@ -277,4 +284,72 @@ object Relational {
     """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS w_start_ms,
       |  event_type, count(*) AS n, round(sum(value), 2) AS v
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Ordered conversion funnel (view → click → purchase): per user, the
+    * first view, the first click AFTER that view, the first purchase AFTER
+    * that click — then stage reach counts. The three stage timestamps are
+    * chained window mins over the same user partition, so Catalyst plans
+    * ONE shuffle+sort feeding all three window frames (sequential-pattern
+    * matching without a self-join per stage). */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("us") > col("t1"), col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("us") > col("t2"), col("us"))).over(w))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_funnel"))
+  }
+
+  val qFunnelSql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM base),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+      |         OVER (PARTITION BY user_id) AS t3 FROM s2)
+      |SELECT count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+      |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_view_click,
+      |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_funnel
+      |FROM s3""".stripMargin
+
+  /** Correlation / covariance profile between lineitem measures per
+    * return flag — one-pass algebraic aggregates (co-moment partials
+    * merge associatively; map-side combine applies). */
+  def qCorr(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_discount"), col("l_extendedprice")), 6).as("corr_disc_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        count(lit(1)).as("n"))
+
+  val qCorrSql: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Hot-key aggregation through the two-stage salted path (Skew.saltedAgg)
+    * — the oracle proves the salted partial/merge decomposition is exact:
+    * its result must hash-match a plain one-stage GROUP BY. */
+  def qSaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Skew.saltedSumCount(Tables.events(spark, sfDir), "event_type", "value")
+      .select(col("event_type"), round(col("v_sum"), 2).as("v_sum"), col("v_n"))
+
+  val qSaltedAggSql: String =
+    """SELECT event_type, round(sum(value), 2) AS v_sum,
+      |  CAST(count(value) AS BIGINT) AS v_n
+      |FROM events GROUP BY event_type""".stripMargin
 }
