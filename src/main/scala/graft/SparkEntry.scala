@@ -31,6 +31,8 @@ object SparkEntry {
     "q_funnel"        -> (Relational.qFunnel _),
     "q_corr"          -> (Relational.qCorr _),
     "q_salted_agg"    -> (Relational.qSaltedAgg _),
+    "q_cube"          -> (Relational.qCube _),
+    "q_window_dedup"  -> (Relational.qWindowDedup _),
     // §2.1 time-series core (reference semantics)
     "ts_traj_scale"        -> (TimeSeriesQueries.tsTrajScale _),
     "ts_rul_label"         -> (TimeSeriesQueries.tsRulLabel _),
@@ -55,6 +57,8 @@ object SparkEntry {
     "ts_sample"            -> (TimeSeriesQueries.tsSample _),
     "ts_seasonal"          -> (TimeSeriesQueries.tsSeasonal _),
     "ts_autocorr"          -> (TimeSeriesQueries.tsAutocorr _),
+    "ts_mad_outliers"      -> (TimeSeriesQueries.tsMadOutliers _),
+    "ts_calendar_features" -> (TimeSeriesQueries.tsCalendarFeatures _),
     // §2.1 tensor/generative forms — driver sees scalar digests of the
     // array columns (tensorize/pad_truncate are oracle-checked; the
     // hash-based generators are rows-only + spec)
@@ -79,6 +83,7 @@ object SparkEntry {
     "text_langid"      -> (TextOps.textLangid _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_clean"       -> (TextOps.textCleanQuery _),
+    "text_entropy"     -> (TextOps.textEntropy _),
     // §2.5 multimodal plumbing + clustering (streaming lives in specs)
     "mm_binary_features" -> (Multimodal.mmBinaryFeatures _),
     "ts_kmeans_embed"    -> (graft.ml.KMeans.tsKmeansEmbed _),
@@ -132,6 +137,11 @@ object SparkEntry {
     "q_funnel"             -> Relational.qFunnelSql,
     "q_corr"               -> Relational.qCorrSql,
     "q_salted_agg"         -> Relational.qSaltedAggSql,
+    "q_cube"               -> Relational.qCubeSql,
+    "q_window_dedup"       -> Relational.qWindowDedupSql,
+    "ts_mad_outliers"      -> TimeSeriesQueries.tsMadOutliersSql,
+    "ts_calendar_features" -> TimeSeriesQueries.tsCalendarFeaturesSql,
+    "text_entropy"         -> TextOps.textEntropySql,
     "dedup_exact"            -> Dedup.dedupExactSql,
     "dedup_exact_keep_first" -> Dedup.dedupExactKeepFirstSql,
     "dedup_ngram"            -> Dedup.dedupNgramSql,

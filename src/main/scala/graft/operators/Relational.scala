@@ -132,6 +132,43 @@ object Relational {
       |  round(sum(o_totalprice), 2) AS total, count(*) AS n
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** CUBE over status × priority — all 4 grouping sets in one pass
+    * (Expand + single shuffle, partial aggregation applies per set). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+
+  val qCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Debounce dedup: suppress events that arrive within 10 minutes of the
+    * previous event of the same (user, type) — the idempotency /
+    * double-fire filter of an event pipeline. One lag over the natural
+    * per-user shuffle; at scale this is the batch twin of
+    * dropDuplicatesWithinWatermark. */
+  def qWindowDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNull || col("us") - col("prev_us") > 600000000L)
+      .select("user_id", "event_type", "event_id", "us")
+  }
+
+  val qWindowDedupSql: String =
+    """SELECT user_id, event_type, event_id, us FROM (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events)
+      |WHERE prev_us IS NULL OR us - prev_us > 600000000""".stripMargin
+
   /** Pivot event_type → columns via conditional aggregation (shuffle-once). */
   def qPivot(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

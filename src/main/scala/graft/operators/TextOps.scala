@@ -200,4 +200,23 @@ object TextOps {
         col("fp_min"), col("fp_max"),
         aggregate(col("fingerprints"), lit(0L),
           (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"))
+
+  /** Per-document code-point entropy (bits/char) — native one-pass
+    * expression; the oracle cross-checks it against the relational
+    * explode-per-char formulation. */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        round(graft.functions.CharEntropy(col("text")), 6).as("entropy_bits"))
+
+  val textEntropySql: String =
+    """SELECT doc_id,
+      |  round((ln(n) - s / n) / ln(2.0), 6) AS entropy_bits
+      |FROM (
+      |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, sum(c * ln(c)) AS s
+      |  FROM (
+      |    SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+      |    FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+      |    GROUP BY doc_id, ch)
+      |  GROUP BY doc_id)""".stripMargin
 }

@@ -416,4 +416,54 @@ object TimeSeriesQueries {
       |    FROM events
       |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
       |GROUP BY user_id, session_idx""".stripMargin
+
+  // §2.1 extras — robust (median/MAD) per-trajectory outliers: immune to
+  // the outliers' own influence, unlike the z-score variant. Both the
+  // median and the MAD are window aggregates over the SAME user partition
+  // (chained selects), so all of it runs on one shuffle.
+  def tsMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    ev(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("med", expr("percentile(value, 0.5)").over(w))
+      .withColumn("mad", expr("percentile(abs(value - med), 0.5)").over(w))
+      .withColumn("robust_z",
+        round(abs(col("value") - col("med")) /
+          (lit(1.4826) * greatest(col("mad"), lit(1e-9))), 6))
+      .filter(col("robust_z") > 3.5)
+      .select("user_id", "event_id", "value", "robust_z")
+  }
+
+  val tsMadOutliersSql: String =
+    """SELECT user_id, event_id, value, robust_z FROM (
+      |  SELECT user_id, event_id, value,
+      |    round(abs(value - med) / (1.4826 * greatest(mad, 1e-9)), 6) AS robust_z
+      |  FROM (
+      |    SELECT user_id, event_id, value, med,
+      |      quantile_cont(abs(value - med), 0.5) OVER (PARTITION BY user_id) AS mad
+      |    FROM (
+      |      SELECT user_id, event_id, value,
+      |        quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+      |      FROM events)))
+      |WHERE robust_z > 3.5""".stripMargin
+
+  // §2.1 extras — calendar feature extraction for ML (pure integer
+  // arithmetic on epoch-µs: engine-portable, no timezone/calendar
+  // dependence; dow 0 = Monday).
+  def tsCalendarFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .select(col("event_id"), col("ts_us"))
+      .withColumn("day_idx", expr("ts_us div 86400000000"))
+      .withColumn("dow", pmod(col("day_idx") + 3, lit(7)))
+      .withColumn("hour", pmod(expr("ts_us div 3600000000"), lit(24)))
+      .withColumn("is_weekend", (col("dow") >= 5).cast("int"))
+
+  val tsCalendarFeaturesSql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us,
+      |  epoch_us(ts) // 86400000000 AS day_idx,
+      |  (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+      |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |  CAST((epoch_us(ts) // 86400000000 + 3) % 7 >= 5 AS INT) AS is_weekend
+      |FROM events""".stripMargin
 }

@@ -109,6 +109,41 @@ class NewOpsSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("char entropy: closed-form cases and empty/uniform behavior") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val df = Seq("", "aaaa", "ab", "abcd", "aab").toDF("t")
+      .select(graft.functions.CharEntropy(col("t")).as("e"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)                      // empty
+    assert(got(1) == 0.0)                      // single symbol
+    assert(math.abs(got(2) - 1.0) < 1e-12)     // two equally likely → 1 bit
+    assert(math.abs(got(3) - 2.0) < 1e-12)     // four equally likely → 2 bits
+    val h3 = -(2.0 / 3) * (math.log(2.0 / 3) / math.log(2)) -
+      (1.0 / 3) * (math.log(1.0 / 3) / math.log(2))
+    assert(math.abs(got(4) - h3) < 1e-12)
+  }
+
+  test("MAD outliers flag injected spikes but not the bulk") {
+    val out = graft.operators.TimeSeriesQueries.tsMadOutliers(spark, sf)
+    val n = out.count()
+    val total = Tables.events(spark, sf).count()
+    assert(n < total / 10, s"flagged $n of $total — MAD gate too loose")
+    assert(out.filter(col("robust_z") <= 3.5).count() == 0)
+  }
+
+  test("window dedup keeps first event of each burst") {
+    val kept = Relational.qWindowDedup(spark, sf)
+    val total = Tables.events(spark, sf).count()
+    assert(kept.count() > 0 && kept.count() <= total)
+    // no two kept events of the same (user, type) within 10 min
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us")
+    val viol = kept.withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap") <= 600000000L).count()
+    assert(viol == 0)
+  }
+
   test("salted aggregation is exact vs the one-stage groupBy") {
     val ev = Tables.events(spark, sf)
     val got = Skew.saltedSumCount(ev, "event_type", "value")
