@@ -123,4 +123,49 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(handle)
   }
+
+  case class FunnelEv(event_id: Long, ts_us: Long, user_id: Long,
+                      event_type: String)
+  /** -1 = stage not reached yet. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelStage(user_id: Long, stage: Int, t1_us: Long, t2_us: Long,
+                         t3_us: Long)
+
+  /** Ordered view→click→purchase funnel as a streaming state machine —
+    * the incremental twin of Relational.qFunnel. State per user is three
+    * timestamps (the earliest view, the earliest click after it, the
+    * earliest purchase after that); each micro-batch sorts its slice by
+    * event time and advances the machine, emitting the user's current
+    * stage. Batch-order caveats are identical to sessionizeStream.
+    *
+    * Scale: state is O(1) per user (24 bytes), keyed on the same user_id
+    * the batch funnel shuffles on. */
+  def funnelStream(events: Dataset[FunnelEv])(
+      implicit enc1: org.apache.spark.sql.Encoder[Long],
+      enc2: org.apache.spark.sql.Encoder[FunnelState],
+      enc3: org.apache.spark.sql.Encoder[FunnelStage]): Dataset[FunnelStage] = {
+
+    def handle(userId: Long, evs: Iterator[FunnelEv],
+               state: GroupState[FunnelState]): Iterator[FunnelStage] = {
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "view" if s.t1 < 0 => s = s.copy(t1 = e.ts_us)
+          case "click" if s.t1 >= 0 && s.t2 < 0 && e.ts_us > s.t1 =>
+            s = s.copy(t2 = e.ts_us)
+          case "purchase" if s.t2 >= 0 && s.t3 < 0 && e.ts_us > s.t2 =>
+            s = s.copy(t3 = e.ts_us)
+          case _ =>
+        }
+      }
+      state.update(s)
+      val stage = if (s.t3 >= 0) 3 else if (s.t2 >= 0) 2
+                  else if (s.t1 >= 0) 1 else 0
+      Iterator(FunnelStage(userId, stage, s.t1, s.t2, s.t3))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(handle)
+  }
 }

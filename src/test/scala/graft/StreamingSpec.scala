@@ -61,6 +61,34 @@ class StreamingSpec extends SparkSpec {
     assert(gotKeyed.size >= batchKeyed.size - nUsers)
   }
 
+  test("streaming funnel reaches the same per-user stage as the batch funnel") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+      .as[StreamingOps.FunnelEv]
+    val q = StreamingOps.funnelStream(stream).writeStream
+      .outputMode("update").format("memory").queryName("stream_funnel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_funnel")
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    // batch per-user stages via the same chained-window construction
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("us") > col("t1"), col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("us") > col("t2"), col("us"))).over(w))
+      .groupBy("user_id")
+      .agg(max(when(col("t3").isNotNull, 3)
+        .when(col("t2").isNotNull, 2)
+        .when(col("t1").isNotNull, 1).otherwise(0)).as("stage"))
+      .as[(Long, Int)].collect().toMap
+    assert(got.nonEmpty && got == batch,
+      s"stage mismatch for users: ${(got.toSet diff batch.toSet).take(5)}")
+  }
+
   test("stream-stream join matches the batch interval join") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val joined = StreamingOps.purchaseClickJoin(stream)
