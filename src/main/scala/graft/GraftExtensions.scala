@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
 
 /** Session extension entry point: makes graft's native expressions
   * available to pure-SQL users without any Scala imports.
@@ -14,10 +15,36 @@ import graft.functions.CosineSimilarity
   *   SparkSession.builder().withExtensions(new GraftExtensions)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Int parameters (shingle n, numHashes, k) must be literal in SQL. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name),
+        builder))
+
+    inject("graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)))
+    inject("graft_dist_sq", exprs => DistSq(exprs(0), exprs(1)))
+    inject("graft_char_entropy", exprs => CharEntropy(exprs(0)))
+    inject("graft_sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)))
+    inject("graft_shingle_hash_set",
+      exprs => ShingleHashSet(exprs(0), litInt(exprs(1), "shingle size")))
+    inject("graft_minhash_sig",
+      exprs => MinHashSig(exprs(0), litInt(exprs(1), "numHashes")))
+    inject("graft_smallest_k",
+      exprs => SmallestKAgg(exprs(0), litInt(exprs(1), "k"))
+        .toAggregateExpression())
+    inject("graft_vector_avg",
+      exprs => VectorSumAgg(exprs(0), avg = true).toAggregateExpression())
+    inject("graft_vector_sum",
+      exprs => VectorSumAgg(exprs(0), avg = false).toAggregateExpression())
   }
 }

@@ -62,14 +62,22 @@ object Dedup {
 
   /** Candidate near-dup pairs via LSH banding + exact Jaccard verification.
     * Returns (doc_id_a, doc_id_b, jaccard) for bucket-colliding pairs with
-    * jaccard >= threshold. */
+    * jaccard >= threshold.
+    *
+    * Hot path is fully native: shingle sets are sorted int64 hash sets
+    * ([[graft.functions.ShingleHashSet]], one pass per doc), signatures a
+    * fused numHashes×|set| loop ([[graft.functions.MinHashSig]]), and the
+    * exact verification a merge walk
+    * ([[graft.functions.SortedIntersectCount]]) — no per-pair hash-set
+    * builds, no interpreted HOF lambdas. */
   def minhashPairs(docs: DataFrame, textCol: String, k: Int = 3,
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSig = docs
-      .select(col("doc_id"), shingles(col(textCol), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashSet(lower(trim(col(textCol))), k).as("sh"))
+      .withColumn("sig", graft.functions.MinHashSig(col("sh"), numHashes))
       .withColumn("bandkeys", lshBands(col("sig"), bands, rowsPerBand))
     val buckets = withSig.select(col("doc_id"), col("sh"),
       posexplode(col("bandkeys")).as(Seq("band", "bh")))
@@ -81,9 +89,11 @@ object Dedup {
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("common",
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
@@ -102,7 +112,8 @@ object Dedup {
            max(col("jaccard")).as("best_jaccard"),
            count(lit(1)).as("n_candidates"))
     docs.select(col("doc_id"),
-        size(shingles(col(textCol), 3)).as("n_shingles"))
+        size(graft.functions.ShingleHashSet(lower(trim(col(textCol))), 3))
+          .as("n_shingles"))
       .join(best, Seq("doc_id"), "left")
   }
 

@@ -69,6 +69,24 @@ class BucketingSpec extends SparkSpec {
       "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
       .head.getDouble(0)
     assert(math.abs(out - 1.0) < 1e-12)
+    if (s2 != null) {
+      // the full native-kernel surface is SQL-reachable
+      val r = s2.sql("""
+        SELECT graft_dist_sq(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d,
+               graft_char_entropy('ab') AS e,
+               graft_sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS c,
+               size(graft_shingle_hash_set('a b c d', 3)) AS nsh,
+               size(graft_minhash_sig(array(1L, 2L), 4)) AS nsig
+      """).head
+      assert(r.getDouble(0) == 25.0 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+      assert(r.getInt(2) == 2 && r.getInt(3) == 2 && r.getInt(4) == 4)
+      val agg = s2.sql("""
+        SELECT graft_smallest_k(x, 2) AS sk, graft_vector_avg(v) AS va
+        FROM VALUES (3, array(1.0d)), (1, array(3.0d)), (2, array(5.0d)) t(x, v)
+      """).head
+      assert(agg.getSeq[Int](0) == Seq(1, 2))
+      assert(agg.getSeq[Double](1) == Seq(3.0))
+    }
     // do NOT close s2: SparkSession.close() stops the JVM-shared
     // SparkContext, killing every later suite's session.
   }
