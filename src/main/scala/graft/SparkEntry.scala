@@ -86,6 +86,7 @@ object SparkEntry {
     "text_entropy"     -> (TextOps.textEntropy _),
     // §2.5 multimodal plumbing + clustering (streaming lives in specs)
     "mm_binary_features" -> (Multimodal.mmBinaryFeatures _),
+    "mm_frame_sample"    -> (Multimodal.mmFrameSample _),
     "ts_kmeans_embed"    -> (graft.ml.KMeans.tsKmeansEmbed _),
     "ts_rul_pipeline"    -> (graft.ml.LinearModel.rulPipeline _),
   )

@@ -77,7 +77,54 @@ object Multimodal {
     }.toDF()
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int,
+                   frame_hash: Long, thumb: Array[Double])
+
+  /** Frame sampling + resize plumbing: every `stride` bytes of a video
+    * payload is one "frame"; up to `maxFrames` evenly-spaced frames are
+    * sampled per document, and each frame is "resized" to a fixed
+    * `thumbDim`-element intensity vector by even-stride byte sampling —
+    * the exact shape (explode per frame, fixed-size feature vector) a real
+    * ffmpeg/PIL decoder plugs into. Map-side only; output rows carry
+    * `thumbDim` doubles, never the payload. */
+  def frameSample(media: DataFrame, stride: Int = 256, maxFrames: Int = 8,
+                  thumbDim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "video")
+      .select(col("doc_id"), col("modality"), col("payload"),
+        col("meta.width"), col("meta.height"), col("meta.format"))
+      .as[MediaRow]
+      .flatMap { r =>
+        val nFrames = math.max(1, r.payload.length / stride)
+        val take = math.min(nFrames, maxFrames)
+        (0 until take).iterator.map { i =>
+          // evenly spaced frame selection across the payload
+          val idx = (i.toLong * nFrames / take).toInt
+          val off = idx * stride
+          val end = math.min(off + stride, r.payload.length)
+          val len = math.max(end - off, 1)
+          var h = 1125899906842597L
+          var p = off
+          while (p < end) { h = h * 31 + (r.payload(p) & 0xFF); p += 1 }
+          val thumb = Array.tabulate(thumbDim) { t =>
+            val q = off + (t.toLong * len / thumbDim).toInt
+            if (q < r.payload.length) (r.payload(q) & 0xFF) / 255.0 else 0.0
+          }
+          Frame(r.doc_id, i, off, h, thumb)
+        }
+      }.toDF()
+  }
+
   /** SparkEntry glue. */
   def mmBinaryFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(Tables.documents(spark, sfDir)))
+
+  /** Driver-facing projection (rows-only check): thumbs digested to a
+    * scalar so the gate can sort and hash. */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(mediaTable(Tables.documents(spark, sfDir)))
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+        col("frame_hash"),
+        round(aggregate(col("thumb"), lit(0.0), (a, x) => a + x), 6).as("thumb_sum"))
 }

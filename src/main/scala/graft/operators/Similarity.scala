@@ -52,16 +52,10 @@ object Similarity {
 
   /** Random-hyperplane LSH: `nBits`-bit signature via sign of dot products
     * against fixed hyperplanes — reproducible across any
-    * cluster/partitioning. */
-  def lshSignature(embCol: org.apache.spark.sql.Column, dim: Int, nBits: Int): org.apache.spark.sql.Column = {
-    val planes = hyperplanes(dim, nBits)
-    // sign(dot(e, p)) == sign(cosine(e, p)) and the cosine expression is a
-    // native codegen'd loop — much cheaper than interpreted HOF folds.
-    planes.map { p =>
-      val cosv = VectorOps.cosineNative(embCol, typedLit(p.toArray))
-      when(cosv >= 0, 1L).otherwise(0L)
-    }.reduce((acc, bit) => acc * 2 + bit)
-  }
+    * cluster/partitioning. Native fused loop; the plane matrix rides in
+    * the codegen references array (code size independent of nBits). */
+  def lshSignature(embCol: org.apache.spark.sql.Column, dim: Int, nBits: Int): org.apache.spark.sql.Column =
+    graft.functions.HyperplaneSignature(embCol, hyperplanes(dim, nBits))
 
   /** Bucketed ANN: candidates share an LSH bucket with the query; exact
     * cosine re-rank inside buckets, top-k per query. Recall vs [[annTopK]]

@@ -18,8 +18,8 @@ class RelationalSpec extends SparkSpec {
     val specOnly = Set(
       "ts_window_tensorize", "ts_pad_truncate", "ts_adding_problem",
       "ts_autoregressive_gen", "dedup_minhash", "dedup_simhash", "ann_lsh",
-      "text_langid", "text_fingerprint", "mm_binary_features", "ts_kmeans_embed",
-      "q_approx_sketch", "ts_rul_pipeline", "ann_ivf")
+      "text_langid", "text_fingerprint", "mm_binary_features", "mm_frame_sample",
+      "ts_kmeans_embed", "q_approx_sketch", "ts_rul_pipeline", "ann_ivf")
     assert(missing.subsetOf(specOnly), s"queries without oracle: $missing")
   }
 

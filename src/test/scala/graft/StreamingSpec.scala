@@ -127,6 +127,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"expected $want unique events, got $got")
   }
 
+  test("multimodal frame sampling: bounded frames, stable hashes, thumb contract") {
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+    val frames = Multimodal.frameSample(media, stride = 256, maxFrames = 8,
+      thumbDim = 16).cache()
+    assert(frames.count() > 0)
+    // only video rows, <= maxFrames frames each, thumb always 16-dim
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") > 8).count() == 0)
+    assert(frames.filter(size(col("thumb")) =!= 16).count() == 0)
+    // deterministic across recomputation
+    val again = Multimodal.frameSample(media, stride = 256, maxFrames = 8,
+      thumbDim = 16).select("doc_id", "frame_idx", "frame_hash")
+    assert(again.exceptAll(frames.select("doc_id", "frame_idx", "frame_hash"))
+      .count() == 0)
+    frames.unpersist()
+  }
+
   test("multimodal feature extraction: deterministic stub features, schema contract") {
     val feats = operators.Multimodal.mmBinaryFeatures(spark, sf)
     assert(feats.columns.toSeq ==
