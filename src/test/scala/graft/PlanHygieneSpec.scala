@@ -14,6 +14,27 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("per-trajectory window suite plans exactly one exchange") {
+    // SURVEY §3.5: all frame computations of a ts_* query share the single
+    // hashpartitioning(user_id) shuffle — a second Exchange means a window
+    // spec stopped aligning with the partitioning and the operator now
+    // reshuffles the full table at scale.
+    // q_funnel's budget is 3: one shuffle shared by all three window
+    // frames + the partial/final pair of the closing count-distinct
+    // aggregation (which moves per-user stage rows, not the table).
+    val budget = Map("ts_rolling_agg" -> 1, "ts_zscore_norm" -> 1,
+      "ts_lag_features" -> 1, "ts_ffill" -> 1, "ts_diff" -> 1,
+      "q_window_dedup" -> 1, "q_funnel" -> 3)
+    budget.foreach { case (name, maxEx) =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val nExchanges = "(?<!Broadcast)Exchange hashpartitioning".r
+        .findAllIn(plan).size
+      assert(nExchanges <= maxEx,
+        s"$name plans $nExchanges hash exchanges (budget $maxEx):\n${plan.take(1500)}")
+    }
+  }
+
   test("oracle-checked scans prune columns (no SELECT * scans of lineitem)") {
     val plan = operators.Relational.q1Agg(spark, sf)
       .queryExecution.executedPlan.toString
