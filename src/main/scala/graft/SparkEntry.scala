@@ -58,6 +58,7 @@ object SparkEntry {
     "ts_seasonal"          -> (TimeSeriesQueries.tsSeasonal _),
     "ts_autocorr"          -> (TimeSeriesQueries.tsAutocorr _),
     "ts_mad_outliers"      -> (TimeSeriesQueries.tsMadOutliers _),
+    "ts_holt"              -> (TimeSeriesQueries.tsHolt _),
     "ts_calendar_features" -> (TimeSeriesQueries.tsCalendarFeatures _),
     // §2.1 tensor/generative forms — driver sees scalar digests of the
     // array columns (tensorize/pad_truncate are oracle-checked; the
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_cube"               -> Relational.qCubeSql,
     "q_window_dedup"       -> Relational.qWindowDedupSql,
     "ts_mad_outliers"      -> TimeSeriesQueries.tsMadOutliersSql,
+    "ts_holt"              -> TimeSeriesQueries.tsHoltSql,
     "ts_calendar_features" -> TimeSeriesQueries.tsCalendarFeaturesSql,
     "text_entropy"         -> TextOps.textEntropySql,
     "dedup_exact"            -> Dedup.dedupExactSql,

@@ -275,6 +275,51 @@ object TimeSeriesOps {
     }
   }
 
+  /** Two-state generalization of [[recurrence]]: (s1, s2)_t =
+    * step((s1, s2)_{t-1}, x_t). Same scale shape — one shuffle, sorted
+    * partitions, O(1) state per key. */
+  def recurrence2(df: DataFrame, key: String, order: Seq[String],
+                  valueCol: String, outCols: (String, String),
+                  init: Double => (Double, Double),
+                  step: ((Double, Double), Double) => (Double, Double)): DataFrame = {
+    val sortCols = (key +: order).map(col)
+    val sorted = df.repartition(col(key)).sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+      .add(outCols._1, org.apache.spark.sql.types.DoubleType)
+      .add(outCols._2, org.apache.spark.sql.types.DoubleType)
+    val keyIdx = sorted.schema.fieldIndex(key)
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var acc = (0.0, 0.0)
+      var first = true
+      it.map { r =>
+        val k = r.get(keyIdx)
+        val x = r.getDouble(valIdx)
+        if (first || k != curKey) { curKey = k; acc = init(x); first = false }
+        else acc = step(acc, x)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc._1 :+ acc._2)
+      }
+    }
+  }
+
+  /** Holt double-exponential smoothing (level + trend), the reference
+    * forecasting baseline one notch above EWMA:
+    *   l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+    *   b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+    * with l_1 = x_1, b_1 = 0. One-step forecast = l_t + b_t. */
+  def holt(df: DataFrame, key: String, order: Seq[String], valueCol: String,
+           alpha: Double, beta: Double): DataFrame =
+    recurrence2(df, key, order, valueCol, ("level", "trend"),
+      init = x => (x, 0.0),
+      step = { case ((l, b), x) =>
+        val l2 = alpha * x + (1.0 - alpha) * (l + b)
+        val b2 = beta * (l2 - l) + (1.0 - beta) * b
+        (l2, b2)
+      })
+
   /** One-sided CUSUM change-point statistic (predictive-maintenance drift
     * detection): s_t = max(0, s_{t-1} + (x_t - target - slack)), s_1 from
     * x_1. Alarms where s exceeds a threshold chosen downstream. `target`

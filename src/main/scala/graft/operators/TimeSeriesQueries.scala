@@ -417,6 +417,38 @@ object TimeSeriesQueries {
       |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
       |GROUP BY user_id, session_idx""".stripMargin
 
+  // §2.1 extras — Holt double-exponential smoothing. α/β must NOT be
+  // powers of two: with 2-dp inputs, dyadic coefficients make every state
+  // a terminating decimal that lands EXACTLY on rounding half-way points,
+  // where the engines' 1-ulp fold differences flip HALF_UP. The oracle
+  // writes (1.0 - 0.3) rather than 0.7 because the IEEE subtraction the
+  // operator performs differs from the 0.7 literal by one ulp; with both
+  // engines computing the same subtraction the folds are bit-identical.
+  def tsHolt(spark: SparkSession, sfDir: String): DataFrame =
+    TimeSeriesOps.holt(ev(spark, sfDir), "user_id", OrderCols, "value",
+        alpha = 0.3, beta = 0.2)
+      .select(col("user_id"), col("event_id"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("level") + col("trend"), 6).as("forecast"))
+
+  val tsHoltSql: String =
+    """SELECT user_id, event_id,
+      |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+      |  round(st[1] + st[2], 6) AS forecast
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    list_reduce(
+      |      list_transform(
+      |        list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |        x -> [x, 0.0]),
+      |      (acc, e) -> [
+      |        0.3 * e[1] + (1.0 - 0.3) * (acc[1] + acc[2]),
+      |        0.2 * ((0.3 * e[1] + (1.0 - 0.3) * (acc[1] + acc[2])) - acc[1]) + (1.0 - 0.2) * acc[2]
+      |      ]) AS st
+      |  FROM events)""".stripMargin
+
   // §2.1 extras — robust (median/MAD) per-trajectory outliers: immune to
   // the outliers' own influence, unlike the z-score variant. Both the
   // median and the MAD are window aggregates over the SAME user partition

@@ -144,6 +144,36 @@ class NewOpsSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("holt smoothing matches a driver-side reference fold per trajectory") {
+    val out = graft.operators.TimeSeriesQueries.tsHolt(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3, t._2))
+    val want = scala.collection.mutable.Map.empty[(Long, Long), (Double, Double)]
+    var cur = -1L; var l = 0.0; var b = 0.0
+    ev.foreach { case (u, id, _, x) =>
+      if (u != cur) { cur = u; l = x; b = 0.0 }
+      else {
+        val l2 = 0.3 * x + (1.0 - 0.3) * (l + b)
+        b = 0.2 * (l2 - l) + (1.0 - 0.2) * b
+        l = l2
+      }
+      want((u, id)) = (l, b)
+    }
+    val got = out.select("user_id", "event_id", "level", "trend")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+    assert(got.length == want.size)
+    got.foreach { case (k, (gl, gt)) =>
+      val (wl, wt) = want(k)
+      // got is rounded to 6 dp; compare against the unrounded reference
+      // within the rounding half-width
+      assert(math.abs(gl - wl) < 5.1e-7 && math.abs(gt - wt) < 5.1e-7,
+        s"holt mismatch at $k: got ($gl,$gt) want ($wl,$wt)")
+    }
+  }
+
   test("salted aggregation is exact vs the one-stage groupBy") {
     val ev = Tables.events(spark, sf)
     val got = Skew.saltedSumCount(ev, "event_type", "value")
