@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Conf.applyTuned(spark)
     // warm the session (codegen, file-listing, shuffle infra) so the first
     // measured query isn't charged for startup
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -35,6 +35,35 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("tuned conf injects a runtime bloom filter into selective dim joins") {
+    // semi-join reduction without writing one: the fact side of a shuffle
+    // join is pre-filtered by a bloom filter over the filtered dim keys
+    val before = Conf.tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Conf.applyTuned(spark)
+      // force a shuffle join so the bloom path (not broadcast reuse) applies
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // sf0.01: the fact side must clear the (already lowered) 1MB
+      // application-side scan threshold, which sf0.001 does not
+      val sf01 = "/root/testdata/sf0.01"
+      val orders = Tables.orders(spark, sf01)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf01)
+      val plan = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(1200)}")
+    } finally {
+      before.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+    }
+  }
+
   test("oracle-checked scans prune columns (no SELECT * scans of lineitem)") {
     val plan = operators.Relational.q1Agg(spark, sf)
       .queryExecution.executedPlan.toString
