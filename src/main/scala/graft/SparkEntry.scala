@@ -25,6 +25,7 @@ object SparkEntry {
     "q_distinct"      -> (Relational.qDistinct _),
     "q_percentiles"   -> (Relational.qPercentiles _),
     "q_approx_sketch" -> (Relational.qApproxSketch _),
+    "q_sketch_rollup" -> (Relational.qSketchRollup _),
     "q_top_words"     -> (Relational.qTopWords _),
     "q_upsert"        -> (Upsert.qUpsert _),
     "q_range_join"    -> (RangeJoin.qRangeJoin _),

@@ -240,6 +240,23 @@ object Relational {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
         count(lit(1)).as("n"))
 
+  /** Pre-aggregated sketch rollup — THE pattern for distinct-counting at
+    * 100 TB: materialize one mergeable HLL sketch per (day, event_type)
+    * cell (the expensive pass touches raw data once), then answer
+    * coarser-grained distinct questions by UNIONING sketches, never
+    * re-reading rows. Here: daily user sketches → per-type all-time
+    * distinct estimate. Spec bounds the estimate against the exact count;
+    * no SQL oracle (sketch binaries are engine-specific). */
+  def qSketchRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("date_trunc('day', ts)").as("day"), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"),
+        count(lit(1)).as("n_days"))
+  }
+
   /** Top-5 most frequent tokens per language (explode → count → bounded
     * top-k). The per-group rank is the native smallest_k aggregate rather
     * than a row_number window: with a low-cardinality group key (5

@@ -174,6 +174,21 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("sketch rollup: unioned daily sketches estimate all-time distincts within 5%") {
+    val est = Relational.qSketchRollup(spark, sf)
+      .select("event_type", "est_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: sketch estimate $e vs exact $n")
+    }
+  }
+
   test("salted aggregation is exact vs the one-stage groupBy") {
     val ev = Tables.events(spark, sf)
     val got = Skew.saltedSumCount(ev, "event_type", "value")
