@@ -299,10 +299,11 @@ object Dedup {
   def dedupClustersQuery(spark: SparkSession, sfDir: String): DataFrame =
     dedupClusters(Tables.documents(spark, sfDir), threshold = 0.5)
 
-  /** Recursive-CTE oracle: reach(v, l) closure over the symmetrized edge
-    * set, cluster id = min reachable label. The edge CTE is the
-    * dedup_ngram oracle filtered at the same threshold. */
-  val dedupClustersSql: String = {
+  /** Recursive CTE list computing the min-label closure `reach(v, l)` over
+    * the symmetrized near-dup edge set (edges = the dedup_ngram oracle
+    * filtered at jaccard >= 0.5) — shared by the dedup_clusters oracle and
+    * the curation-pipeline oracle. */
+  val clustersCtes: String = {
     val pairsSql = dedupNgramSql.trim.stripSuffix(";")
     s"""WITH RECURSIVE pairs AS (
        |$pairsSql
@@ -313,11 +314,15 @@ object Dedup {
        |reach(v, l) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)""".stripMargin
+  }
+
+  /** Recursive-CTE oracle: cluster id = min reachable label. */
+  val dedupClustersSql: String =
+    s"""$clustersCtes
        |SELECT v AS doc_id, min(l) AS cluster_id,
        |  CAST(min(l) = v AS INT) AS is_canonical
        |FROM reach GROUP BY v""".stripMargin
-  }
 
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame =
     embedCosinePairs(Tables.embeddings(spark, sfDir))

@@ -201,6 +201,55 @@ object TextOps {
         aggregate(col("fingerprints"), lit(0L),
           (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"))
 
+  /** End-to-end corpus-curation pipeline — the composition a training-data
+    * run executes: length gate → quality gate → exact-dup drop (keep
+    * lowest doc_id) → near-dup drop (keep each cluster's canonical doc).
+    * Every doc gets its first failing gate as `reason` ('' = kept). All
+    * four verdicts are computed corpus-wide in parallel branches and
+    * joined on doc_id; the full pipeline is oracle-checked because each
+    * branch reuses an already-hash-matching formulation (quality score,
+    * md5 keep-first window, recursive-CTE cluster closure). */
+  def pipelineCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val qual = qualityScore(docs, "text", EnStop)
+      .select(col("doc_id"), col("n_chars"), col("quality"))
+    val exact = Dedup.exactKeepFirst(docs, "text").select("doc_id", "is_dup")
+    val clus = Dedup.dedupClusters(docs, threshold = 0.5)
+      .select("doc_id", "is_canonical")
+    qual.join(exact, "doc_id").join(clus, "doc_id")
+      .withColumn("reason",
+        when(col("n_chars") < 20, "too_short")
+          .when(col("quality") < 0.35, "low_quality")
+          .when(col("is_dup") === 1, "exact_dup")
+          .when(col("is_canonical") === 0, "near_dup")
+          .otherwise(""))
+      .withColumn("kept", (col("reason") === "").cast("int"))
+      .select("doc_id", "kept", "reason", "quality")
+  }
+
+  val pipelineCurationSql: String =
+    s"""${Dedup.clustersCtes},
+       |clus AS (
+       |  SELECT v AS doc_id, CAST(min(l) = v AS INT) AS is_canonical
+       |  FROM reach GROUP BY v),
+       |qual AS (
+       |${TextOps.textQualitySql}
+       |),
+       |exact AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+       |  FROM documents)
+       |SELECT doc_id, CAST(reason = '' AS INT) AS kept, reason, quality FROM (
+       |  SELECT q.doc_id AS doc_id, q.quality AS quality,
+       |    CASE WHEN q.n_chars < 20 THEN 'too_short'
+       |         WHEN q.quality < 0.35 THEN 'low_quality'
+       |         WHEN e.is_dup = 1 THEN 'exact_dup'
+       |         WHEN c.is_canonical = 0 THEN 'near_dup'
+       |         ELSE '' END AS reason
+       |  FROM qual q
+       |  JOIN exact e ON q.doc_id = e.doc_id
+       |  JOIN clus c ON q.doc_id = c.doc_id)""".stripMargin
+
   /** Per-document code-point entropy (bits/char) — native one-pass
     * expression; the oracle cross-checks it against the relational
     * explode-per-char formulation. */

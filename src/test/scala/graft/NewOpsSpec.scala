@@ -189,6 +189,22 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline: gates partition the corpus, kept set is dup-free") {
+    import graft.operators.TextOps
+    val out = TextOps.pipelineCuration(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() == docs.count())
+    // reason is exactly '' iff kept
+    assert(out.filter((col("kept") === 1) =!= (col("reason") === "")).count() == 0)
+    // kept docs have no exact-duplicate texts among themselves
+    val keptDocs = out.filter(col("kept") === 1).join(docs, "doc_id")
+    val dupTexts = keptDocs.groupBy(md5(col("text").cast("binary")))
+      .count().filter(col("count") > 1).count()
+    assert(dupTexts == 0, "kept set contains exact duplicates")
+    assert(keptDocs.count() > 0, "pipeline dropped everything")
+    out.unpersist()
+  }
+
   test("salted aggregation is exact vs the one-stage groupBy") {
     val ev = Tables.events(spark, sf)
     val got = Skew.saltedSumCount(ev, "event_type", "value")
