@@ -19,37 +19,36 @@ import graft.Tables
   */
 object LinearModel {
 
-  /** Fit w (last element = bias) on (features: array<double>, label). */
+  /** Fit w (last element = bias) on (features: array<double>, label).
+    *
+    * Sufficient statistics via the native vector_sum aggregate: each row
+    * contributes its flattened d×d outer product and its d·y cross terms
+    * as ONE array value; partial aggregation sums them map-side, so the
+    * shuffle carries d²+d doubles per map partition — the posexplode²
+    * formulation this replaces inflated the corpus ×d(d+1)/2 rows through
+    * the shuffle. */
   def fitRidge(df: DataFrame, featCol: String, labelCol: String,
                lambda: Double): Array[Double] = {
     val d0 = df.select(size(col(featCol))).head.getInt(0)
     val d = d0 + 1 // + bias
-    // one row per (i, j >= i) of XtX and per i of Xty, via a single explode
     val withBias = df.select(
       concat(col(featCol), array(lit(1.0))).as("x"),
       col(labelCol).cast("double").as("y"))
-    val pairs = withBias.select(
-      posexplode(col("x")).as(Seq("i", "xi")), col("x"), col("y"))
-      .select(col("i"), col("xi"), col("y"),
-        posexplode(col("x")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj")).as("xtx"),
-           sum(when(col("j") === col("i"), col("xi") * col("y"))).as("xty_part"))
-    val rows = pairs.collect()
-    val xtx = Array.ofDim[Double](d, d)
-    val xty = new Array[Double](d)
-    rows.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(2)
-      xtx(i)(j) = v; xtx(j)(i) = v
-      if (!r.isNullAt(3)) xty(i) = r.getDouble(3)
-    }
+    val stats = withBias.agg(
+      graft.functions.VectorAgg.vectorSum(
+        graft.functions.WeightedOuterFlat(col("x"), lit(1.0))).as("xtx"),
+      graft.functions.VectorAgg.vectorSum(
+        transform(col("x"), xi => xi * col("y"))).as("xty"))
+      .head()
+    val flat = stats.getSeq[Double](0)
+    val xty = stats.getSeq[Double](1).toArray
+    val xtx = Array.tabulate(d, d)((i, j) => flat(i * d + j))
     (0 until d0).foreach(i => xtx(i)(i) += lambda) // no penalty on bias
     solve(xtx, xty)
   }
 
   /** In-place Gaussian elimination with partial pivoting (d is tiny). */
-  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+  private[ml] def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     val m = a.map(_.clone()); val y = b.clone()
     for (col <- 0 until n) {

@@ -1,0 +1,78 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{VectorAgg, VectorOps}
+
+/** Distributed L2-regularized logistic regression on array-valued feature
+  * columns, fit by IRLS (iteratively reweighted least squares) — the
+  * classification twin of [[LinearModel.fitRidge]] and the third instance
+  * of the engine's sufficient-statistics pattern (k-means, ridge, IRLS):
+  * the model (d+1 doubles) is driver-resident between iterations and
+  * embedded into the scan; each iteration is ONE distributed aggregation
+  * whose partial states are d²+d doubles per map partition, at any corpus
+  * size. Deterministic: β₀ = 0, fixed iteration count, no RNG.
+  */
+object LogisticRegression {
+
+  /** P(y=1|x) as a column, β embedded as a literal (last element = bias). */
+  def predictProb(featCol: Column, beta: Array[Double]): Column = {
+    val xb = VectorOps.dot(concat(featCol, array(lit(1.0))), typedLit(beta.toSeq))
+    lit(1.0) / (lit(1.0) + exp(-xb))
+  }
+
+  /** Fit β (last element = bias) on (features: array<double>, label 0/1). */
+  def fit(df: DataFrame, featCol: String, labelCol: String,
+          lambda: Double = 1e-3, iters: Int = 4): Array[Double] = {
+    val d0 = df.select(size(col(featCol))).head.getInt(0)
+    val d = d0 + 1
+    val base = df.select(
+      concat(col(featCol), array(lit(1.0))).as("x"),
+      col(labelCol).cast("double").as("y"))
+    var beta = new Array[Double](d)
+    for (_ <- 1 to iters) {
+      val xb = VectorOps.dot(col("x"), typedLit(beta.toSeq))
+      val p = lit(1.0) / (lit(1.0) + exp(-xb))
+      // weight clipped away from 0 so the working response stays finite
+      // for separable points
+      val w = greatest(p * (lit(1.0) - p), lit(1e-6))
+      val z = xb + (col("y") - p) / w
+      val stats = base
+        .select(col("x"), w.as("w"), (w * z).as("wz"))
+        .agg(
+          VectorAgg.vectorSum(
+            graft.functions.WeightedOuterFlat(col("x"), col("w"))).as("xtwx"),
+          VectorAgg.vectorSum(
+            transform(col("x"), xi => xi * col("wz"))).as("xtwz"))
+        .head()
+      val flat = stats.getSeq[Double](0)
+      val xtwz = stats.getSeq[Double](1).toArray
+      val xtwx = Array.tabulate(d, d)((i, j) => flat(i * d + j))
+      (0 until d0).foreach(i => xtwx(i)(i) += lambda) // no penalty on bias
+      beta = LinearModel.solve(xtwx, xtwz)
+    }
+    beta
+  }
+
+  /** SparkEntry glue: one-vs-rest for embedding label 0; per-label mean
+    * predicted probability + accuracy at the 0.5 threshold (rows-only
+    * check; the spec bounds accuracy against the base rate). */
+  def tsLogregEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("features"),
+        (col("label") === 0).cast("double").as("y"))
+      .cache()
+    val beta = fit(emb, "features", "y")
+    val out = emb
+      .withColumn("p", predictProb(col("features"), beta))
+      .groupBy(col("label"))
+      .agg(round(avg(col("p")), 6).as("mean_p"),
+           avg(((col("p") >= 0.5).cast("double") === col("y")).cast("double")).as("acc"),
+           count(lit(1)).as("n"))
+      .select(col("label"), col("mean_p"), round(col("acc"), 6).as("acc"), col("n"))
+    emb.unpersist(blocking = false)
+    out
+  }
+}

@@ -31,4 +31,38 @@ class LinearModelSpec extends SparkSpec {
     // the fitted model must beat predicting nothing (MSE vs label variance)
     assert(out.values.forall(_._1 >= 0.0))
   }
+
+  test("logistic IRLS separates a linearly separable synthetic problem") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    // y = 1 iff x1 + x2 > 0.5, points kept away from the boundary
+    val pts = (1 to 400).map { i =>
+      val x1 = ((i * 37) % 21 - 10).toDouble / 2.0
+      val x2 = ((i * 53) % 19 - 9).toDouble / 2.0
+      (Seq(x1, x2), if (x1 + x2 > 0.5) 1.0 else 0.0)
+    }.filter(p => math.abs(p._1.sum - 0.5) > 0.4)
+    val df = pts.toDF("features", "y")
+    val beta = graft.ml.LogisticRegression.fit(df, "features", "y", lambda = 1e-3, iters = 6)
+    val acc = df.withColumn("p",
+        graft.ml.LogisticRegression.predictProb(col("features"), beta))
+      .select(avg(((col("p") >= 0.5).cast("double") === col("y")).cast("double")))
+      .head().getDouble(0)
+    assert(acc > 0.97, s"training accuracy $acc on separable data")
+  }
+
+  test("logreg on embeddings beats the base rate for label-0 detection") {
+    val out = graft.ml.LogisticRegression.tsLogregEmbed(spark, sf)
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getDouble(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(out.length > 1)
+    val total = out.map(_._4).sum.toDouble
+    val n0 = out.filter(_._1 == 0L).map(_._4).sum.toDouble
+    val baseRate = math.max(n0, total - n0) / total
+    val acc = out.map(t => t._3 * t._4).sum / total
+    assert(acc >= baseRate - 1e-9, s"acc $acc below base rate $baseRate")
+    // the label-0 group should get a higher mean predicted probability
+    val p0 = out.find(_._1 == 0L).get._2
+    val pRest = out.filter(_._1 != 0L).map(_._2).max
+    assert(p0 > pRest, s"mean p for label 0 ($p0) not above other labels ($pRest)")
+  }
 }

@@ -19,8 +19,8 @@ class RelationalSpec extends SparkSpec {
       "ts_window_tensorize", "ts_pad_truncate", "ts_adding_problem",
       "ts_autoregressive_gen", "dedup_minhash", "dedup_simhash", "ann_lsh",
       "text_langid", "text_fingerprint", "mm_binary_features", "mm_frame_sample",
-      "ts_kmeans_embed", "q_approx_sketch", "q_sketch_rollup",
-      "ts_rul_pipeline", "ann_ivf")
+      "ts_kmeans_embed", "ts_logreg_embed", "q_approx_sketch",
+      "q_sketch_rollup", "ts_rul_pipeline", "ann_ivf")
     assert(missing.subsetOf(specOnly), s"queries without oracle: $missing")
   }
 
