@@ -18,9 +18,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * aggregation (map-side combine) applies, so a groupBy shuffles only
   * k·(dim+1) doubles per map partition at any corpus size.
   *
-  * Rows whose array is null are ignored; arrays shorter than the first
-  * seen dimension contribute to their prefix (consistent with the min-n
-  * convention of [[DistSq]]/[[CosineSimilarity]]).
+  * Rows whose array is null are ignored. On ragged input the result spans
+  * the LONGEST array seen (shorter arrays contribute to their prefix;
+  * the count divides every dimension), which keeps the aggregate
+  * associative and partition-order independent.
   */
 case class VectorSumAgg(child: Expression, avg: Boolean,
                         mutableAggBufferOffset: Int = 0,
@@ -51,10 +52,20 @@ case class VectorSumAgg(child: Expression, avg: Boolean,
     if (v == null) return buf
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val b = if (buf.length == 0) new Array[Double](n + 1) else buf
-    val m = math.min(n, b.length - 1)
+    // grow to the longest array seen (count stays at the tail) so the
+    // result dimensionality is max-length regardless of row/partition
+    // order — truncating to the first-seen length would make the
+    // aggregate non-associative on ragged input
+    val b =
+      if (buf.length == 0) new Array[Double](n + 1)
+      else if (n + 1 > buf.length) {
+        val g = new Array[Double](n + 1)
+        System.arraycopy(buf, 0, g, 0, buf.length - 1)
+        g(n) = buf(buf.length - 1)
+        g
+      } else buf
     var i = 0
-    while (i < m) {
+    while (i < n) {
       b(i) += (if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i))
       i += 1
     }

@@ -228,14 +228,31 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val prop = labels.join(edges, labels("v") === edges("src"))
         .select(col("dst").as("v"), col("l"))
-      val next = labels.unionByName(prop)
+      // materialized before the self-join below (re-using one lazy plan on
+      // both sides trips Catalyst's union constraint rewrite, and the
+      // checkpoint also keeps the join from recomputing the aggregation)
+      val neighbor = labels.unionByName(prop)
         .groupBy(col("v")).agg(min(col("l")).as("l"))
+        .localCheckpoint()
+      // pointer jumping (path halving): l <- label(label(v)). Neighbor
+      // propagation alone needs O(component diameter) rounds — a chain of
+      // templated near-dups is exactly that worst case; the jump roughly
+      // squares the reach per round, so maxIters covers ~2^maxIters-long
+      // chains instead of maxIters-long ones.
+      val next = neighbor
+        .join(neighbor.select(col("v").as("lv"), col("l").as("ll")),
+          col("l") === col("lv"))
+        .select(col("v"), least(col("l"), col("ll")).as("l"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("l", "l_old"), "v")
         .filter(col("l") =!= col("l_old")).count()
       labels = next
       it += 1
     }
+    // a silent non-converged return would break the one-canonical-per-
+    // cluster invariant downstream (dedupClusters, pipeline_curation)
+    require(changed == 0,
+      s"componentLabels did not converge within $maxIters rounds")
     labels
   }
 

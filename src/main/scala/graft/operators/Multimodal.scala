@@ -99,8 +99,11 @@ object Multimodal {
         val nFrames = math.max(1, r.payload.length / stride)
         val take = math.min(nFrames, maxFrames)
         (0 until take).iterator.map { i =>
-          // evenly spaced frame selection across the payload
-          val idx = (i.toLong * nFrames / take).toInt
+          // evenly spaced frame selection covering BOTH endpoints — the
+          // floor(i*n/take) grid can never reach the final frame, biasing
+          // thumbnails away from the payload tail
+          val idx = if (take == 1) 0
+                    else (i.toLong * (nFrames - 1) / (take - 1)).toInt
           val off = idx * stride
           val end = math.min(off + stride, r.payload.length)
           val len = math.max(end - off, 1)

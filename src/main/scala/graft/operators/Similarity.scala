@@ -91,17 +91,18 @@ object Similarity {
     // cell assignment map-side against the driver-resident centroids — no
     // join of the corpus back to the fit's assignment (that join would
     // shuffle the whole corpus twice at scale)
+    // NearestCentroid reads array<float> natively — no toDouble transform
+    // (that would allocate a converted copy per corpus row)
     val assigned = corpus.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"),
-      graft.ml.KMeans.assign(VectorOps.toDouble(col("embedding")),
-        centroids).as("cell"))
+      graft.ml.KMeans.assign(col("embedding"), centroids).as("cell"))
     // route each query to its nprobe nearest cells — native NearestCells
     // selection against the driver-resident centroids (no join, no
     // shuffle, codegen size independent of nlist)
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(graft.functions.NearestCells(
-        VectorOps.toDouble(col("q_emb")), centroids, nprobe)))
+        col("q_emb"), centroids, nprobe)))
       .select(col("q_id"), col("q_emb"), col("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))

@@ -136,7 +136,13 @@ object StreamingOps {
     * timestamps (the earliest view, the earliest click after it, the
     * earliest purchase after that); each micro-batch sorts its slice by
     * event time and advances the machine, emitting the user's current
-    * stage. Batch-order caveats are identical to sessionizeStream.
+    * stage. Batch-order caveats are identical to sessionizeStream — and
+    * stricter here: a stage event that arrives in an EARLIER micro-batch
+    * than its prerequisite is not revisited (the machine only moves
+    * forward), so stages can lag the batch computation under cross-batch
+    * event-time disorder until the missing stage recurs. Exact parity
+    * with qFunnel holds when each user's events arrive in one batch or
+    * in event-time order across batches.
     *
     * Scale: state is O(1) per user (24 bytes), keyed on the same user_id
     * the batch funnel shuffles on. */

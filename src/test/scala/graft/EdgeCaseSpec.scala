@@ -53,6 +53,45 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.filter(col("is_canonical") =!= 1).count() == 0)
   }
 
+  test("vector_sum on ragged arrays is partition-order independent, spans max length") {
+    val rows = Seq((1, Seq(1.0, 2.0, 3.0)), (1, Seq(10.0, 20.0, 30.0, 40.0, 50.0)),
+      (1, Seq(100.0)))
+    for (parts <- Seq(1, 3)) {
+      val out = rows.toDF("g", "v").repartition(parts)
+        .groupBy("g").agg(graft.functions.VectorAgg.vectorSum(col("v")).as("s"))
+        .head().getSeq[Double](1)
+      assert(out == Seq(111.0, 22.0, 33.0, 40.0, 50.0),
+        s"parts=$parts got $out")
+    }
+  }
+
+  test("component labels converge on a long chain (pointer jumping)") {
+    // a path graph 0-1-2-...-59: min-label needs 59 hops by neighbor
+    // propagation alone; pointer jumping must close it within maxIters=20
+    val chain = (0 until 59).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_id_a", "doc_id_b")
+    val verts = (0 to 59).map(_.toLong).toDF("doc_id")
+    val labels = Dedup.componentLabels(verts, chain)
+    assert(labels.filter(col("l") =!= 0L).count() == 0,
+      "all chain members must resolve to label 0")
+  }
+
+  test("shingle hash tokenization matches split semantics on whitespace-edged text") {
+    // trailing \t: split("ab cd\t", "\\s+") keeps a trailing empty token,
+    // so "ab cd\t" and "ab cd" have DIFFERENT singleton shingles
+    val df = Seq(("ab cd\t", "ab cd"), ("x y z", "x y z\n")).toDF("a", "b")
+      .select(
+        (graft.functions.ShingleHashSet(col("a"), 3) ===
+         graft.functions.ShingleHashSet(col("b"), 3)).as("eq"))
+    val eqs = df.collect().map(_.getBoolean(0)).toSeq
+    assert(eqs == Seq(false, false))
+    // and the set SIZE still matches the HOF formulation on such text
+    val sizes = Seq("ab cd\t", "\tx", "a b c d\n").toDF("text")
+      .select(size(Dedup.ngramSet(col("text"), 3)).as("want"),
+        size(graft.functions.ShingleHashSet(col("text"), 3)).as("got"))
+    assert(sizes.filter(col("want") =!= col("got")).count() == 0)
+  }
+
   test("shingle hashes of empty and sub-n texts collapse to one shingle") {
     val df = Seq("", "one", "one two").toDF("t")
       .select(size(graft.functions.ShingleHashSet(col("t"), 3)).as("n"))
