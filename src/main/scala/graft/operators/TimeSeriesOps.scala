@@ -231,6 +231,41 @@ object TimeSeriesOps {
     out.drop("_side", "_rv", "_rts", "_asof_raw", "_asof_ts")
   }
 
+  /** Forward (look-ahead) as-of join: each left row gets the FIRST right
+    * value at-or-after its timestamp — the label-alignment direction
+    * ("next reading after the event"). Same single-shuffle union+window
+    * shape as [[asofJoin]], mirrored: left rows sort before right rows at
+    * an equal timestamp (so exact matches are visible), and the fill is a
+    * first-non-null over the FOLLOWING frame. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      tsUsCol: String, rightValCol: String,
+                      tieCols: Seq[String] = Nil,
+                      toleranceUs: Option[Long] = None): DataFrame = {
+    val l = left.withColumn("_side", lit(0)).withColumn("_rv", lit(null).cast("double"))
+      .withColumn("_rts", lit(null).cast("long"))
+    val r = right.select((Seq(key, tsUsCol) ++ tieCols).map(col) ++
+      Seq(lit(1).as("_side"), col(rightValCol).cast("double").as("_rv"),
+          col(tsUsCol).cast("long").as("_rts")): _*)
+    val cols = l.columns.filterNot(c => c == "_side" || c == "_rv" || c == "_rts")
+    val unioned = l.select(cols.map(col) :+ col("_side") :+ col("_rv") :+ col("_rts"): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // left rows (side 0) sort before right rows (side 1) at the same
+    // timestamp → "at or after"; tieCols make the order total.
+    val w = Window.partitionBy(col(key))
+      .orderBy(Seq(col(tsUsCol), col("_side")) ++ tieCols.map(col): _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val withVal = unioned
+      .withColumn("_asof_raw", first(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("_asof_ts", first(col("_rts"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+    val out = toleranceUs match {
+      case Some(tol) => withVal.withColumn("asof_val",
+        when(col("_asof_ts") - col(tsUsCol) <= tol, col("_asof_raw")))
+      case None => withVal.withColumn("asof_val", col("_asof_raw"))
+    }
+    out.drop("_side", "_rv", "_rts", "_asof_raw", "_asof_ts")
+  }
+
   /** Exponentially-weighted moving average — a true sequential recurrence
     * (e_t = α·x_t + (1-α)·e_{t-1}, e_1 = x_1; pandas ewm(adjust=False)).
     *

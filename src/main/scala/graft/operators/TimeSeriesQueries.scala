@@ -260,6 +260,35 @@ object TimeSeriesQueries {
       |    FROM events WHERE event_type = 'purchase'))
       |WHERE side = 1""".stripMargin
 
+  // §2.1 extras — forward as-of join: first purchase at-or-after each
+  // event ("next label after the reading"). Mirror image of ts_asof_join:
+  // left rows sort before right rows at an equal timestamp, first-non-null
+  // over the FOLLOWING frame.
+  def tsAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ev(spark, sfDir)
+    val purchases = d.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value").as("pv"))
+    TimeSeriesOps.asofJoinForward(d, purchases, "user_id", "ts_us", "pv",
+        tieCols = Seq("event_id"))
+      .select("user_id", "event_id", "event_type", "value", "asof_val")
+  }
+
+  val tsAsofForwardSql: String =
+    """SELECT user_id, event_id, event_type, value, asof_val FROM (
+      |  SELECT user_id, event_id, event_type, value, side,
+      |    first_value(pv IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, side, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_val
+      |  FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      epoch_us(ts) AS ts_us, 0 AS side, CAST(NULL AS DOUBLE) AS pv
+      |    FROM events
+      |    UNION ALL
+      |    SELECT user_id, event_id, event_type, value,
+      |      epoch_us(ts) AS ts_us, 1 AS side, value AS pv
+      |    FROM events WHERE event_type = 'purchase'))
+      |WHERE side = 0""".stripMargin
+
   // §2.1 extras — EWMA (α=0.1), sequential recurrence via mapPartitions
   def tsEwma(spark: SparkSession, sfDir: String): DataFrame =
     TimeSeriesOps.ewma(ev(spark, sfDir), "user_id", OrderCols, "value", alpha = 0.1)

@@ -8,7 +8,9 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val keys = if (args.length > 1) args(1).split(",").toSeq
-      else Seq("q1_agg", "q3_join", "q5_multijoin", "ts_sliding_window", "ann_topk", "dedup_minhash")
+      else Seq("q1_agg", "q3_join", "q5_multijoin", "ts_sliding_window",
+        "ann_topk", "dedup_minhash", "q_range_join", "q_funnel",
+        "q_top_words", "q_window_dedup")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

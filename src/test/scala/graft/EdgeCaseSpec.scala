@@ -92,6 +92,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sizes.filter(col("want") =!= col("got")).count() == 0)
   }
 
+  test("forward as-of join picks the next right value, exact matches visible") {
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 300L, 12L))
+      .toDF("user_id", "ts_us", "event_id")
+    val right = Seq((1L, 200L, 90L, 2.0), (1L, 250L, 91L, 3.0))
+      .toDF("user_id", "ts_us", "event_id", "pv")
+    val out = TimeSeriesOps.asofJoinForward(left, right, "user_id", "ts_us",
+        "pv", tieCols = Seq("event_id"))
+      .orderBy("ts_us").select("asof_val").collect().map(r => Option(r.get(0)))
+    // ts=100 -> next right 200 (2.0); ts=200 -> exact match visible (2.0);
+    // ts=300 -> nothing after -> null
+    assert(out.toSeq == Seq(Some(2.0), Some(2.0), None))
+    // with tolerance 40µs, ts=100 (gap 100) is out of range
+    val tol = TimeSeriesOps.asofJoinForward(left, right, "user_id", "ts_us",
+        "pv", tieCols = Seq("event_id"), toleranceUs = Some(40L))
+      .orderBy("ts_us").select("asof_val").collect().map(r => Option(r.get(0)))
+    assert(tol.toSeq == Seq(None, Some(2.0), None))
+  }
+
   test("shingle hashes of empty and sub-n texts collapse to one shingle") {
     val df = Seq("", "one", "one two").toDF("t")
       .select(size(graft.functions.ShingleHashSet(col("t"), 3)).as("n"))
