@@ -260,6 +260,52 @@ object TimeSeriesQueries {
       |    FROM events WHERE event_type = 'purchase'))
       |WHERE side = 1""".stripMargin
 
+  // §2.1 extras — resample to a REGULAR hourly grid: unlike ts_resample
+  // (which only aggregates buckets that have data), this generates every
+  // bucket in each trajectory's [min, max] span — explode of a per-key
+  // sequence, one left join back to the hourly aggregate, forward fill
+  // across the gaps. The canonical "regularize the time axis" step before
+  // windowing/tensorizing irregular data.
+  def tsGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val d = ev(spark, sfDir)
+      .withColumn("bucket_us", col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
+    val hourly = d.groupBy(col("user_id"), col("bucket_us"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("v_avg"))
+    val grid = d.groupBy(col("user_id"))
+      .agg(min(col("bucket_us")).as("b0"), max(col("bucket_us")).as("b1"))
+      .select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"), lit(hourUs))).as("bucket_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "bucket_us"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("v_filled", last(col("v_avg"), ignoreNulls = true).over(w))
+      .select("user_id", "bucket_us", "n", "v_avg", "v_filled")
+  }
+
+  val tsGapFillSql: String =
+    """WITH d AS (
+      |  SELECT user_id, value,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us
+      |  FROM events),
+      |hourly AS (
+      |  SELECT user_id, bucket_us, count(*) AS n,
+      |    round(avg(value), 6) AS v_avg
+      |  FROM d GROUP BY user_id, bucket_us),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(bucket_us), max(bucket_us), 3600000000)) AS bucket_us
+      |  FROM d GROUP BY user_id)
+      |SELECT g.user_id AS user_id, g.bucket_us AS bucket_us,
+      |  CAST(coalesce(h.n, 0) AS BIGINT) AS n, h.v_avg AS v_avg,
+      |  last_value(h.v_avg IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.bucket_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM grid g LEFT JOIN hourly h
+      |  ON g.user_id = h.user_id AND g.bucket_us = h.bucket_us""".stripMargin
+
   // §2.1 extras — forward as-of join: first purchase at-or-after each
   // event ("next label after the reading"). Mirror image of ts_asof_join:
   // left rows sort before right rows at an equal timestamp, first-non-null

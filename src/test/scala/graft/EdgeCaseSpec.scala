@@ -92,6 +92,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sizes.filter(col("want") =!= col("got")).count() == 0)
   }
 
+  test("gap-fill resample: contiguous hourly grid, gaps carry last value") {
+    val out = graft.operators.TimeSeriesQueries.tsGapFill(spark, sf).cache()
+    val hourUs = 3600000000L
+    // grid contiguity: per user, (max - min)/hour + 1 rows
+    val spans = out.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"),
+        ((max("bucket_us") - min("bucket_us")) / hourUs + 1).as("want"))
+      .filter(col("rows") =!= col("want")).count()
+    assert(spans == 0, "grid has holes or duplicates")
+    assert(out.filter(col("bucket_us") % hourUs =!= 0).count() == 0)
+    // generated gap rows exist (irregular data) and are filled
+    val gaps = out.filter(col("n") === 0)
+    assert(gaps.count() > 0, "expected at least one empty bucket at sf0.001")
+    assert(gaps.filter(col("v_avg").isNotNull).count() == 0)
+    assert(gaps.filter(col("v_filled").isNull).count() == 0,
+      "interior gaps must carry the previous bucket's value")
+    out.unpersist()
+  }
+
   test("forward as-of join picks the next right value, exact matches visible") {
     val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 300L, 12L))
       .toDF("user_id", "ts_us", "event_id")
