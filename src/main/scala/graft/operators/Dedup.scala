@@ -119,28 +119,15 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash over whitespace tokens: per bit, tokens vote +-1 by
-    * their hash bit; the sketch bit is the vote sign. Emitted with the four
+  /** 64-bit SimHash over whitespace tokens: every distinct token's 64-bit
+    * hash votes ±1 per bit; the sketch bit is the vote sign. One native
+    * pass per document ([[graft.functions.SimHash64]] — the HOF
+    * formulation it replaces hashed every (bit, token) pair separately
+    * through interpreted lambdas, 64× the hashing). Emitted with the four
     * 16-bit band keys used for hamming-distance candidate generation. */
   def simhash(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = array_distinct(split(lower(trim(col(textCol))), "\\s+"))
-    // votes: array of 64 ints, sequential fold over tokens. Each bit is an
-    // independent hash sign (hash parity of (bit, token)) — equivalent to
-    // extracting bits of one wide hash, but expressible without
-    // column-indexed shifts.
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
-        b => when(pmod(xxhash64(b, t), lit(2)) === 0, 1).otherwise(-1)),
-        (a, v) => a + v))
-    val bits = transform(votes, v => when(v > 0, lit(1L)).otherwise(lit(0L)))
-    // fold bits into a long via two 32-bit halves (a single 64-bit
-    // multiply-add fold would overflow under ANSI mode when bit 63 is set)
-    val hi = aggregate(slice(bits, 1, 32), lit(0L), (acc, b) => acc * 2 + b)
-    val lo = aggregate(slice(bits, 33, 32), lit(0L), (acc, b) => acc * 2 + b)
-    val hash = shiftleft(hi, 32).bitwiseOR(lo)
-    docs.select(col("doc_id"), hash.as("simhash"))
+    docs.select(col("doc_id"),
+        graft.functions.SimHash64(lower(trim(col(textCol)))).as("simhash"))
       .withColumn("band0", shiftright(col("simhash"), 0).bitwiseAND(0xFFFFL))
       .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
       .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(0xFFFFL))
