@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleHashSet(exprs(0), litInt(exprs(1), "shingle size")))
     inject("graft_minhash_sig",
       exprs => MinHashSig(exprs(0), litInt(exprs(1), "numHashes")))
+    inject("graft_simhash64", exprs => SimHash64(exprs(0)))
+    inject("graft_weighted_outer_flat",
+      exprs => WeightedOuterFlat(exprs(0), exprs(1)))
     inject("graft_smallest_k",
       exprs => SmallestKAgg(exprs(0), litInt(exprs(1), "k"))
         .toAggregateExpression())

@@ -240,6 +240,21 @@ object Relational {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
         count(lit(1)).as("n"))
 
+  /** Ordered string aggregation — list-like rollups (all statuses seen per
+    * priority) with deterministic ordering via sorted collect_set. */
+  def qStringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+        count(lit(1)).as("n"))
+
+  val qStringAggSql: String =
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Pre-aggregated sketch rollup — THE pattern for distinct-counting at
     * 100 TB: materialize one mergeable HLL sketch per (day, event_type)
     * cell (the expensive pass touches raw data once), then answer
