@@ -42,9 +42,6 @@ case class ShingleHashSet(child: Expression, n: Int)
         s"shingle_hash_set expects string, got ${other.catalogString}")
     }
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
-
   // 64-bit mix fold over token hashes (splitmix-style finalizer per step)
   private def mix(acc: Long, h: Long): Long = {
     var z = acc ^ h
@@ -54,41 +51,11 @@ case class ShingleHashSet(child: Expression, n: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val len = bytes.length
-    // token spans. split(text, "\\s+") emits an EMPTY token before leading
-    // and after trailing whitespace (Pattern.split with limit -1 keeps
-    // them, and trim() strips only ' ', so \t\n\f\r edges survive) — emit
-    // the same empty tokens so shingle sets stay identical to the HOF /
-    // oracle formulation on whitespace-edged text.
-    var nTok = 0
-    var starts = new Array[Int](16); var ends = new Array[Int](16)
-    def addTok(s: Int, e: Int): Unit = {
-      if (nTok == starts.length) {
-        starts = java.util.Arrays.copyOf(starts, nTok * 2)
-        ends = java.util.Arrays.copyOf(ends, nTok * 2)
-      }
-      starts(nTok) = s; ends(nTok) = e; nTok += 1
-    }
-    if (len > 0 && isWs(bytes(0))) addTok(0, 0)
-    var i = 0
-    while (i < len) {
-      while (i < len && isWs(bytes(i))) i += 1
-      if (i < len) {
-        val s = i
-        while (i < len && !isWs(bytes(i))) i += 1
-        addTok(s, i)
-      }
-    }
-    if (len > 0 && isWs(bytes(len - 1))) addTok(len, len)
-    val tokHash = new Array[Long](nTok)
-    i = 0
-    while (i < nTok) {
-      tokHash(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + starts(i),
-        ends(i) - starts(i), 42L)
-      i += 1
-    }
+    // tokenization = exact split("\\s+") parity, shared with SimHash64
+    // (see SplitTokens for the edge-empty-token rules)
+    val tokHash = SplitTokens.tokenHashes(
+      input.asInstanceOf[UTF8String].getBytes)
+    val nTok = tokHash.length
     val out: Array[Long] =
       if (nTok < n) {
         // single shingle of all tokens (empty text folds zero tokens)

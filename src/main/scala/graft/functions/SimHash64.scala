@@ -31,38 +31,14 @@ case class SimHash64(child: Expression)
         s"simhash64 expects string, got ${other.catalogString}")
     }
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
-
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val len = bytes.length
-    // token hashes (split semantics incl. empty edge tokens, as in
-    // ShingleHashSet)
-    var hashes = new Array[Long](16); var n = 0
-    def add(h: Long): Unit = {
-      if (n == hashes.length) hashes = java.util.Arrays.copyOf(hashes, n * 2)
-      hashes(n) = h; n += 1
-    }
-    def hashSpan(s: Int, e: Int): Long =
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, e - s, 42L)
-    if (len == 0) add(hashSpan(0, 0))
-    else {
-      if (isWs(bytes(0))) add(hashSpan(0, 0))
-      var i = 0
-      while (i < len) {
-        while (i < len && isWs(bytes(i))) i += 1
-        if (i < len) {
-          val s = i
-          while (i < len && !isWs(bytes(i))) i += 1
-          add(hashSpan(s, i))
-        }
-      }
-      if (isWs(bytes(len - 1))) add(hashSpan(len, len))
-    }
+    // tokenization = exact split("\\s+") parity, shared with
+    // ShingleHashSet (see SplitTokens for the edge-empty-token rules)
+    val hashes = SplitTokens.tokenHashes(
+      input.asInstanceOf[UTF8String].getBytes)
+    val n = hashes.length
     // distinct tokens (array_distinct semantics): sort + dedupe the hashes
-    java.util.Arrays.sort(hashes, 0, n)
+    java.util.Arrays.sort(hashes)
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {

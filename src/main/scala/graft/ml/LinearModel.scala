@@ -29,7 +29,7 @@ object LinearModel {
     * the shuffle. */
   def fitRidge(df: DataFrame, featCol: String, labelCol: String,
                lambda: Double): Array[Double] = {
-    val d0 = df.select(size(col(featCol))).head.getInt(0)
+    val d0 = uniformDim(df, featCol)
     val d = d0 + 1 // + bias
     val withBias = df.select(
       concat(col(featCol), array(lit(1.0))).as("x"),
@@ -45,6 +45,18 @@ object LinearModel {
     val xtx = Array.tabulate(d, d)((i, j) => flat(i * d + j))
     (0 until d0).foreach(i => xtx(i)(i) += lambda) // no penalty on bias
     solve(xtx, xty)
+  }
+
+  /** Feature dimensionality, REQUIRING it uniform: the flattened
+    * outer-product statistics index cells as i*d+j, so a ragged row would
+    * silently land its products in the wrong cells (the failure is
+    * garbage coefficients, not an error) — fail fast instead. */
+  private[ml] def uniformDim(df: DataFrame, featCol: String): Int = {
+    val dims = df.select(size(col(featCol)).as("d")).distinct().limit(2).collect()
+    require(dims.length == 1,
+      s"$featCol must have uniform dimensionality; found " +
+        dims.map(_.getInt(0)).mkString(" and "))
+    dims(0).getInt(0)
   }
 
   /** In-place Gaussian elimination with partial pivoting (d is tiny). */

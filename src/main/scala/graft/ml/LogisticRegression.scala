@@ -25,7 +25,7 @@ object LogisticRegression {
   /** Fit β (last element = bias) on (features: array<double>, label 0/1). */
   def fit(df: DataFrame, featCol: String, labelCol: String,
           lambda: Double = 1e-3, iters: Int = 4): Array[Double] = {
-    val d0 = df.select(size(col(featCol))).head.getInt(0)
+    val d0 = LinearModel.uniformDim(df, featCol)
     val d = d0 + 1
     val base = df.select(
       concat(col(featCol), array(lit(1.0))).as("x"),

@@ -205,62 +205,63 @@ object TimeSeriesOps {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsUsCol: String, rightValCol: String,
                tieCols: Seq[String] = Nil,
-               toleranceUs: Option[Long] = None): DataFrame = {
-    val l = left.withColumn("_side", lit(1)).withColumn("_rv", lit(null).cast("double"))
-      .withColumn("_rts", lit(null).cast("long"))
-    val r = right.select((Seq(key, tsUsCol) ++ tieCols).map(col) ++
-      Seq(lit(0).as("_side"), col(rightValCol).cast("double").as("_rv"),
-          col(tsUsCol).cast("long").as("_rts")): _*)
-    val cols = l.columns.filterNot(c => c == "_side" || c == "_rv" || c == "_rts")
-    val unioned = l.select(cols.map(col) :+ col("_side") :+ col("_rv") :+ col("_rts"): _*)
-      .unionByName(r, allowMissingColumns = true)
-    // right rows sort before left rows at the same timestamp → "at or before";
-    // tieCols make the order total when timestamps collide.
-    val w = Window.partitionBy(col(key))
-      .orderBy(Seq(col(tsUsCol), col("_side")) ++ tieCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val withVal = unioned
-      .withColumn("_asof_raw", last(col("_rv"), ignoreNulls = true).over(w))
-      .withColumn("_asof_ts", last(col("_rts"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-    val out = toleranceUs match {
-      case Some(tol) => withVal.withColumn("asof_val",
-        when(col(tsUsCol) - col("_asof_ts") <= tol, col("_asof_raw")))
-      case None => withVal.withColumn("asof_val", col("_asof_raw"))
-    }
-    out.drop("_side", "_rv", "_rts", "_asof_raw", "_asof_ts")
-  }
+               toleranceUs: Option[Long] = None): DataFrame =
+    asofCore(left, right, key, tsUsCol, rightValCol, tieCols, toleranceUs,
+      forward = false)
 
   /** Forward (look-ahead) as-of join: each left row gets the FIRST right
     * value at-or-after its timestamp — the label-alignment direction
-    * ("next reading after the event"). Same single-shuffle union+window
-    * shape as [[asofJoin]], mirrored: left rows sort before right rows at
-    * an equal timestamp (so exact matches are visible), and the fill is a
-    * first-non-null over the FOLLOWING frame. */
+    * ("next reading after the event"). Mirror image of [[asofJoin]]: left
+    * rows sort before right rows at an equal timestamp (so exact matches
+    * are visible), and the fill is a first-non-null over the FOLLOWING
+    * frame. */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
                       tsUsCol: String, rightValCol: String,
                       tieCols: Seq[String] = Nil,
-                      toleranceUs: Option[Long] = None): DataFrame = {
-    val l = left.withColumn("_side", lit(0)).withColumn("_rv", lit(null).cast("double"))
+                      toleranceUs: Option[Long] = None): DataFrame =
+    asofCore(left, right, key, tsUsCol, rightValCol, tieCols, toleranceUs,
+      forward = true)
+
+  /** Shared union+window as-of machinery. Direction flips the side sort
+    * order (so the matchable right rows sort toward the frame), the frame
+    * bounds, first-vs-last fill, and the sign of the tolerance delta. */
+  private def asofCore(left: DataFrame, right: DataFrame, key: String,
+                       tsUsCol: String, rightValCol: String,
+                       tieCols: Seq[String], toleranceUs: Option[Long],
+                       forward: Boolean): DataFrame = {
+    val leftSide = if (forward) 0 else 1
+    val l = left.withColumn("_side", lit(leftSide))
+      .withColumn("_rv", lit(null).cast("double"))
       .withColumn("_rts", lit(null).cast("long"))
     val r = right.select((Seq(key, tsUsCol) ++ tieCols).map(col) ++
-      Seq(lit(1).as("_side"), col(rightValCol).cast("double").as("_rv"),
-          col(tsUsCol).cast("long").as("_rts")): _*)
+      Seq(lit(1 - leftSide).as("_side"),
+          col(rightValCol).cast("double").as("_rv"),
+          // _rts must track the row that provides _rv: a null-valued right
+          // row must NOT contribute a timestamp, or the tolerance check
+          // pairs the matched value with a nearer row's ts
+          when(col(rightValCol).isNotNull, col(tsUsCol)).cast("long").as("_rts")): _*)
     val cols = l.columns.filterNot(c => c == "_side" || c == "_rv" || c == "_rts")
     val unioned = l.select(cols.map(col) :+ col("_side") :+ col("_rv") :+ col("_rts"): _*)
       .unionByName(r, allowMissingColumns = true)
-    // left rows (side 0) sort before right rows (side 1) at the same
-    // timestamp → "at or after"; tieCols make the order total.
-    val w = Window.partitionBy(col(key))
+    // matchable right rows sort before (backward) / after (forward) left
+    // rows at an equal timestamp → "at or before"/"at or after"; tieCols
+    // make the order total when timestamps collide.
+    val w0 = Window.partitionBy(col(key))
       .orderBy(Seq(col(tsUsCol), col("_side")) ++ tieCols.map(col): _*)
-      .rowsBetween(0, Window.unboundedFollowing)
+    val w = if (forward) w0.rowsBetween(0, Window.unboundedFollowing)
+            else w0.rowsBetween(Window.unboundedPreceding, 0)
+    val fill = (c: org.apache.spark.sql.Column) =>
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
     val withVal = unioned
-      .withColumn("_asof_raw", first(col("_rv"), ignoreNulls = true).over(w))
-      .withColumn("_asof_ts", first(col("_rts"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 0)
+      .withColumn("_asof_raw", fill(col("_rv")))
+      .withColumn("_asof_ts", fill(col("_rts")))
+      .filter(col("_side") === leftSide)
+    val delta = if (forward) col("_asof_ts") - col(tsUsCol)
+                else col(tsUsCol) - col("_asof_ts")
     val out = toleranceUs match {
       case Some(tol) => withVal.withColumn("asof_val",
-        when(col("_asof_ts") - col(tsUsCol) <= tol, col("_asof_raw")))
+        when(delta <= tol, col("_asof_raw")))
       case None => withVal.withColumn("asof_val", col("_asof_raw"))
     }
     out.drop("_side", "_rv", "_rts", "_asof_raw", "_asof_ts")

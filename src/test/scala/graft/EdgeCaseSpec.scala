@@ -127,6 +127,17 @@ class EdgeCaseSpec extends SparkSpec {
         "pv", tieCols = Seq("event_id"), toleranceUs = Some(40L))
       .orderBy("ts_us").select("asof_val").collect().map(r => Option(r.get(0)))
     assert(tol.toSeq == Seq(None, Some(2.0), None))
+    // a NULL-valued right row nearer than the matched value must not
+    // satisfy the tolerance on the matched value's behalf
+    val rightWithNull = Seq((1L, 110L, 89L, None: Option[Double]),
+      (1L, 1000L, 90L, Some(5.0)))
+      .toDF("user_id", "ts_us", "event_id", "pv")
+    val lone = Seq((1L, 100L, 10L)).toDF("user_id", "ts_us", "event_id")
+    val nullTol = TimeSeriesOps.asofJoinForward(lone, rightWithNull, "user_id",
+        "ts_us", "pv", tieCols = Seq("event_id"), toleranceUs = Some(50L))
+      .select("asof_val").collect().map(r => Option(r.get(0)))
+    assert(nullTol.toSeq == Seq(None),
+      "null-valued right row's timestamp leaked into the tolerance check")
   }
 
   test("shingle hashes of empty and sub-n texts collapse to one shingle") {
