@@ -210,9 +210,17 @@ object Dedup {
       .localCheckpoint()
     var labels = vertices.select(col("doc_id").as("v"), col("doc_id").as("l"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence test: labels are monotonically non-increasing under
+    // min-propagation (every candidate label includes the vertex's own), so
+    // the fixpoint is reached exactly when sum(l) stops decreasing — one
+    // shuffle-free partial aggregate over the just-checkpointed frame,
+    // instead of a join + count against the previous round's labels.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (!converged && it < maxIters) {
       val prop = labels.join(edges, labels("v") === edges("src"))
         .select(col("dst").as("v"), col("l"))
       // materialized before the self-join below (re-using one lazy plan on
@@ -231,14 +239,15 @@ object Dedup {
           col("l") === col("lv"))
         .select(col("v"), least(col("l"), col("ll")).as("l"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("l", "l_old"), "v")
-        .filter(col("l") =!= col("l_old")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       it += 1
     }
     // a silent non-converged return would break the one-canonical-per-
     // cluster invariant downstream (dedupClusters, pipeline_curation)
-    require(changed == 0,
+    require(converged,
       s"componentLabels did not converge within $maxIters rounds")
     labels
   }
