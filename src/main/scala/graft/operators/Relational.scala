@@ -421,4 +421,39 @@ object Relational {
     """SELECT event_type, round(sum(value), 2) AS v_sum,
       |  CAST(count(value) AS BIGINT) AS v_n
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Ordered event-sequence pattern matching — a MATCH_RECOGNIZE stand-in:
+    * each user's event types collapse to an ordered code string (first
+    * letter of the type — distinct across the five types), then a regex
+    * counts conversion runs `v[cs]*p` (view, then purchase, with only
+    * clicks/signups between — an error breaks the run). One shuffle (the
+    * per-user collect_list); the regex scan is map-side on 1 row per user.
+    * The codes stay deterministic under collisions via (ts_us, event_id)
+    * struct sort. At 100 TB the per-user string is bounded by session
+    * length, not table size — pair with ts_sessionize to bound it further. */
+  def qEventPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+    d.groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("c")))),
+          x => x.getField("c")), "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).as("seq_len"),
+        regexp_count(col("seq"), lit("v[cs]*p")).as("n_conv"),
+        (regexp_count(col("seq"), lit("v[cs]*p")) > 0).cast("int").as("converted"))
+  }
+
+  val qEventPatternSql: String =
+    """SELECT user_id,
+      |  length(seq) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'v[cs]*p')) AS INT) AS n_conv,
+      |  CAST(len(regexp_extract_all(seq, 'v[cs]*p')) > 0 AS INT) AS converted
+      |FROM (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq
+      |  FROM events GROUP BY user_id)""".stripMargin
 }

@@ -268,4 +268,135 @@ object TextOps {
       |    FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
       |    GROUP BY doc_id, ch)
       |  GROUP BY doc_id)""".stripMargin
+
+  // ---------- PII redaction ----------
+
+  /** PII patterns, applied in this order (emails first so their local parts
+    * aren't half-eaten by the number patterns). Kept to regex constructs
+    * with identical semantics in java.util.regex and RE2 (DuckDB):
+    * character classes, bounded/unbounded repetition, word boundaries. */
+  private val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip",    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("ssn",   "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>"),
+    ("phone", "\\+[0-9]{7,15}", "<PHONE>"))
+
+  /** Privacy scrub for training corpora: REDACT (tag, don't delete) emails,
+    * IPv4s, SSN-shaped ids, and international phone numbers, with per-kind
+    * counts — the audit trail a compliance pass needs. Unlike [[textClean]]
+    * (which strips boilerplate), redaction preserves document structure.
+    * Pure map-side regex work; at 100 TB this is an embarrassingly
+    * parallel scan with zero shuffle. */
+  def piiRedact(docs: DataFrame, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, tag)) => regexp_replace(c, lit(pat), lit(tag))
+    }
+    val counts = PiiPatterns.map { case (kind, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).as(s"n_$kind")
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted") :+
+      length(redacted).as("n_chars_redacted"): _*)
+  }
+
+  // ---------- stratified sampling ----------
+
+  /** Deterministic stratified sample: within each stratum (language), keep
+    * the ceil(frac·n) documents with the smallest md5-derived priority — a
+    * seeded uniform draw that is reproducible across engines, partitionings
+    * and reruns (rand() is none of those). One shuffle on the stratum key;
+    * the per-stratum counts join back broadcast. The standard corpus
+    * re-balancing step before training-mix construction. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+                       frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(pri, col("doc_id"))
+    val ranked = docs.select(col("doc_id"), col(stratumCol))
+      .withColumn("rk", row_number().over(w))
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_stratum"))
+    ranked.join(broadcast(counts), stratumCol)
+      .filter(col("rk") <= ceil(col("n_stratum") * lit(frac)))
+      .select(col(stratumCol), col("doc_id"), col("rk"), col("n_stratum"))
+  }
+
+  // ---------- length profiling ----------
+
+  /** Token-count histogram of the corpus (bucket width 10) with cumulative
+    * document counts — the length-distribution profile that drives
+    * curation thresholds (truncation length, short-doc gates). One grouped
+    * aggregate; the cumulative window runs over the tiny bucket table. */
+  def lengthHistogram(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(wsTokens(col(textCol)))
+    val hist = docs.select(nTok.cast("long").as("n_tok"))
+      .select(expr("n_tok div 10 * 10").as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("bucket_lo"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.withColumn("cum_docs", sum(col("n_docs")).over(w))
+  }
+
+  // ---------- SparkEntry glue (new ops) ----------
+
+  /** Inject deterministic PII into a derived column (emails on every 3rd
+    * doc, IP + SSN + phone on every 7th) so the redaction path is exercised
+    * regardless of corpus content. */
+  def textPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = Tables.documents(spark, sfDir).withColumn("dirty",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" contact j.doe@corp.example or sales+eu@corp.example")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" host 192.168.10.42 id 123-45-6789 tel +14155550123")).otherwise(lit(""))))
+    piiRedact(dirty, "dirty")
+  }
+
+  val textPiiRedactSql: String = {
+    // single line: the interpolating outer string is stripMargin'd, which
+    // would eat one pipe of a line-leading `||`
+    val dirty =
+      "text || (CASE WHEN doc_id % 3 = 0 THEN ' contact j.doe@corp.example or sales+eu@corp.example' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 7 = 0 THEN ' host 192.168.10.42 id 123-45-6789 tel +14155550123' ELSE '' END)"
+    val redacted =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($dirty,
+         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         |  '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g'),
+         |  '\\+[0-9]{7,15}', '<PHONE>', 'g')""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all($dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       |  CAST(len(regexp_extract_all($dirty, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ip,
+       |  CAST(len(regexp_extract_all($dirty, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
+       |  CAST(len(regexp_extract_all($dirty, '\\+[0-9]{7,15}')) AS INT) AS n_phone,
+       |  $redacted AS redacted,
+       |  length($redacted) AS n_chars_redacted
+       |FROM documents""".stripMargin
+  }
+
+  def docStratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, sfDir), "lang", frac = 0.2)
+
+  val docStratifiedSampleSql: String =
+    """SELECT lang, doc_id, rk, n_stratum FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |               doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n_stratum
+      |  FROM documents)
+      |WHERE rk <= ceil(n_stratum * 0.2)""".stripMargin
+
+  def textLengthHist(spark: SparkSession, sfDir: String): DataFrame =
+    lengthHistogram(Tables.documents(spark, sfDir), "text")
+
+  val textLengthHistSql: String =
+    """SELECT bucket_lo, n_docs,
+      |  CAST(sum(n_docs) OVER (ORDER BY bucket_lo
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs
+      |FROM (
+      |  SELECT len(string_split_regex(lower(trim(text)), '\s+')) // 10 * 10 AS bucket_lo,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1)""".stripMargin
 }

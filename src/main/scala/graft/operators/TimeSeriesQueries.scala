@@ -416,11 +416,15 @@ object TimeSeriesQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
 
   // §2.1 extras — deterministic per-key downsampling: keep the k events
-  // with the smallest md5 priority (a seeded uniform sample that is stable
-  // across engines, partitionings, and reruns — unlike rand()).
+  // with the smallest md5-derived priority (a seeded uniform sample that is
+  // stable across engines, partitionings, and reruns — unlike rand()).
+  // The priority is the first 60 bits of the digest as an int64 — the
+  // per-partition sort compares longs instead of 32-char strings (the
+  // string compare dominated this operator's runtime at sf0.1).
   def tsSample(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pri = md5(col("event_id").cast("string").cast("binary"))
+    val pri = conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
     val w = Window.partitionBy(col("user_id")).orderBy(pri, col("event_id"))
     Tables.events(spark, sfDir)
       .withColumn("rk", row_number().over(w))
@@ -432,7 +436,8 @@ object TimeSeriesQueries {
     """SELECT user_id, rk, event_id, value FROM (
       |  SELECT user_id, event_id, value,
       |    row_number() OVER (PARTITION BY user_id
-      |                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      |                       ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+      |                                event_id) AS rk
       |  FROM events) WHERE rk <= 5""".stripMargin
 
   // §2.1 extras — seasonality profile: hour-of-day averages per event type
@@ -573,4 +578,144 @@ object TimeSeriesQueries {
       |  (epoch_us(ts) // 3600000000) % 24 AS hour,
       |  CAST((epoch_us(ts) // 86400000000 + 3) % 7 >= 5 AS INT) AS is_weekend
       |FROM events""".stripMargin
+
+  // §2.1 extras — winsorization: per-trajectory robust clipping at the
+  // interpolated p05/p95 (the outlier-limiting twin of ts_zscore_norm's
+  // standardization). The per-key quantiles come from one grouped
+  // aggregate joined back broadcast — cheaper than quantile windows over
+  // the full table (the aggregate shuffles partial states, the window
+  // would shuffle every row's value twice).
+  def tsWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = ev(spark, sfDir)
+    val bounds = d.groupBy(col("user_id"))
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+           expr("percentile(value, 0.95)").as("p95"))
+    d.join(broadcast(bounds), "user_id")
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(least(greatest(col("value"), col("p05")), col("p95")), 6)
+          .as("v_wins"),
+        (col("value") < col("p05") || col("value") > col("p95")).cast("int")
+          .as("clipped"))
+  }
+
+  val tsWinsorizeSql: String =
+    """SELECT e.user_id AS user_id, e.event_id AS event_id, e.value AS value,
+      |  round(least(greatest(e.value, b.p05), b.p95), 6) AS v_wins,
+      |  CAST(e.value < b.p05 OR e.value > b.p95 AS INT) AS clipped
+      |FROM events e
+      |JOIN (SELECT user_id, quantile_cont(value, 0.05) AS p05,
+      |             quantile_cont(value, 0.95) AS p95
+      |      FROM events GROUP BY user_id) b
+      |  ON e.user_id = b.user_id""".stripMargin
+
+  // §2.1 extras — cyclical (Fourier) time encodings: sin/cos of the
+  // hour-of-day and day-of-week angles, the standard continuous embedding
+  // of periodic time for ML models (complements ts_calendar_features'
+  // integer features). Map-side only. Both engines compute the angle with
+  // the SAME expression tree (2π·unit/period from epoch-µs integers) so
+  // the doubles entering sin/cos are bit-identical; round-6 absorbs libm
+  // ulp differences.
+  def tsFourierFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .select(col("event_id"), col("ts_us"))
+      .withColumn("hod_angle",
+        lit(2.0) * lit(math.Pi) * pmod(col("ts_us"), lit(86400000000L)) / lit(86400000000.0))
+      .withColumn("dow_angle",
+        lit(2.0) * lit(math.Pi) * pmod(col("ts_us"), lit(604800000000L)) / lit(604800000000.0))
+      .select(col("event_id"), col("ts_us"),
+        round(sin(col("hod_angle")), 6).as("hod_sin"),
+        round(cos(col("hod_angle")), 6).as("hod_cos"),
+        round(sin(col("dow_angle")), 6).as("dow_sin"),
+        round(cos(col("dow_angle")), 6).as("dow_cos"))
+
+  val tsFourierFeaturesSql: String =
+    """SELECT event_id, ts_us,
+      |  round(sin(hod_angle), 6) AS hod_sin,
+      |  round(cos(hod_angle), 6) AS hod_cos,
+      |  round(sin(dow_angle), 6) AS dow_sin,
+      |  round(cos(dow_angle), 6) AS dow_cos
+      |FROM (
+      |  SELECT event_id, epoch_us(ts) AS ts_us,
+      |    2.0 * pi() * (epoch_us(ts) % 86400000000) / 86400000000.0 AS hod_angle,
+      |    2.0 * pi() * (epoch_us(ts) % 604800000000) / 604800000000.0 AS dow_angle
+      |  FROM events)""".stripMargin
+
+  // §2.1 extras — seasonal-trend decomposition (additive, STL-style
+  // moving-average flavor) on the hourly-resampled series: trend = centered
+  // 25-bucket rolling mean, seasonal = per (trajectory, hour-of-day) mean
+  // of the detrended series, residual = the rest. Two shuffles total: the
+  // hourly aggregate keyed on (user, bucket), then every window/group step
+  // shares the user_id partitioning; the seasonal profile joins back
+  // broadcast (≤ 24 rows per trajectory).
+  def tsStlDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    // Every cross-row sum runs on exact integers (2-dp inputs → centi-unit
+    // BIGINTs; detrended values → micro-unit BIGINTs after an identical
+    // double is computed in both engines): windowed/grouped float sums
+    // accumulate in engine-specific order (Spark slides, DuckDB
+    // segment-trees), and that 1-ulp drift flips round-6 at half-way
+    // points. Integer sums are exact and order-free, and every double here
+    // derives from them through the same expression tree — bit-identical
+    // by construction. Trend = event-weighted mean of all raw points in
+    // the ±12 h window.
+    val hourly = ev(spark, sfDir)
+      .withColumn("bucket_us", col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
+      .groupBy(col("user_id"), col("bucket_us"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sv"),
+           count(lit(1)).as("n"))
+    val wTrend = Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
+      .rowsBetween(-12, 12)
+    val detrended = hourly
+      .withColumn("v", col("sv").cast("double") / (lit(100.0) * col("n")))
+      .withColumn("trend",
+        sum(col("sv")).over(wTrend).cast("double") /
+          (lit(100.0) * sum(col("n")).over(wTrend)))
+      .withColumn("detr", col("v") - col("trend"))
+      .withColumn("hod", pmod(expr("bucket_us div 3600000000"), lit(24)))
+      // BINARY scale (2^20), not 10^6: a decimal scale lands seasonal (and
+      // detr - seasonal) exactly on round-6 half-way points, where Spark's
+      // exact BigDecimal rounding and DuckDB's float-multiply rounding
+      // disagree; dyadic lattice values can never sit on a decimal
+      // half-way boundary (that would need a 5^6 denominator factor)
+      .withColumn("di", round(col("detr") * lit(1048576)).cast("long"))
+    val seasonal = detrended.groupBy(col("user_id"), col("hod"))
+      .agg((sum(col("di")).cast("double") / (lit(1048576.0) * count(lit(1))))
+        .as("seasonal"))
+    detrended.join(broadcast(seasonal), Seq("user_id", "hod"))
+      .select(col("user_id"), col("bucket_us"),
+        round(col("v"), 6).as("v"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("detr") - col("seasonal"), 6).as("resid"))
+  }
+
+  val tsStlDecomposeSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |det AS (
+      |  SELECT user_id, bucket_us,
+      |    CAST(sv AS DOUBLE) / (100.0 * n) AS v,
+      |    CAST(sum(sv) OVER w AS DOUBLE) / (100.0 * sum(n) OVER w) AS trend,
+      |    CAST(sv AS DOUBLE) / (100.0 * n)
+      |      - CAST(sum(sv) OVER w AS DOUBLE) / (100.0 * sum(n) OVER w) AS detr,
+      |    (bucket_us // 3600000000) % 24 AS hod
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_us
+      |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |seas AS (
+      |  SELECT user_id, hod,
+      |    CAST(sum(CAST(round(detr * 1048576) AS BIGINT)) AS DOUBLE)
+      |      / (1048576.0 * count(*)) AS seasonal
+      |  FROM det GROUP BY user_id, hod)
+      |SELECT d.user_id AS user_id, d.bucket_us AS bucket_us,
+      |  round(d.v, 6) AS v,
+      |  round(d.trend, 6) AS trend,
+      |  round(s.seasonal, 6) AS seasonal,
+      |  round(d.detr - s.seasonal, 6) AS resid
+      |FROM det d JOIN seas s ON d.user_id = s.user_id AND d.hod = s.hod""".stripMargin
 }
