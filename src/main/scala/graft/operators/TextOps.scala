@@ -191,6 +191,30 @@ object TextOps {
       "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
       "es" -> Seq("el", "la", "los", "y", "es", "un", "una")))
 
+  /** Oracle replica of [[langId]]'s strict-greater fold over the langs in
+    * sorted order (de, en, es, fr) — ties keep the earlier language. Scores
+    * are round-6 of integer-count ratios, so both engines compare identical
+    * doubles and the CASE chain reproduces the fold exactly. */
+  val textLangidSql: String =
+    """SELECT doc_id, score_de, score_en, score_es, score_fr,
+      |  CASE WHEN score_fr > m3 THEN 'fr' ELSE l3 END AS pred_lang
+      |FROM (
+      |  SELECT *,
+      |    CASE WHEN score_es > m2 THEN score_es ELSE m2 END AS m3,
+      |    CASE WHEN score_es > m2 THEN 'es' ELSE l2 END AS l3
+      |  FROM (
+      |    SELECT *,
+      |      CASE WHEN score_en > score_de THEN score_en ELSE score_de END AS m2,
+      |      CASE WHEN score_en > score_de THEN 'en' ELSE 'de' END AS l2
+      |    FROM (
+      |      SELECT doc_id,
+      |        round(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) * 1.0 / greatest(len(toks), 1), 6) AS score_de,
+      |        round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) * 1.0 / greatest(len(toks), 1), 6) AS score_en,
+      |        round(len(list_filter(toks, t -> list_contains(['el','la','los','y','es','un','una'], t))) * 1.0 / greatest(len(toks), 1), 6) AS score_es,
+      |        round(len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une'], t))) * 1.0 / greatest(len(toks), 1), 6) AS score_fr
+      |      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |            FROM documents))))""".stripMargin
+
   /** Driver-facing projection: digest the fingerprint set to scalars
     * (count/min/max/xor) so the oracle gate can sort and hash the result;
     * [[fingerprint]] keeps the full `array<long>` form (spec-tested). */
@@ -312,10 +336,13 @@ object TextOps {
     val pri = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
       16, 10).cast("long")
     val w = Window.partitionBy(col(stratumCol)).orderBy(pri, col("doc_id"))
-    val ranked = docs.select(col("doc_id"), col(stratumCol))
+    // stratum size from a count window over the SAME partition the rank
+    // window already shuffles on — zero extra shuffle, zero extra scan
+    // (the groupBy + join-back form reads the source twice)
+    val wAll = Window.partitionBy(col(stratumCol))
+    docs.select(col("doc_id"), col(stratumCol))
       .withColumn("rk", row_number().over(w))
-    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_stratum"))
-    ranked.join(broadcast(counts), stratumCol)
+      .withColumn("n_stratum", count(lit(1)).over(wAll))
       .filter(col("rk") <= ceil(col("n_stratum") * lit(frac)))
       .select(col(stratumCol), col("doc_id"), col("rk"), col("n_stratum"))
   }

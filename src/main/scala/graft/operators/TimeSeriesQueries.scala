@@ -581,16 +581,18 @@ object TimeSeriesQueries {
 
   // §2.1 extras — winsorization: per-trajectory robust clipping at the
   // interpolated p05/p95 (the outlier-limiting twin of ts_zscore_norm's
-  // standardization). The per-key quantiles come from one grouped
-  // aggregate joined back broadcast — cheaper than quantile windows over
-  // the full table (the aggregate shuffles partial states, the window
-  // would shuffle every row's value twice).
+  // standardization). Quantiles come from a window over the trajectory
+  // partition — one scan and one shuffle of (key, id, value). An
+  // agg-plus-join-back formulation would NOT be cheaper: exact percentile
+  // state is the full value list (non-algebraic), so its "partial
+  // aggregate" ships every value through the shuffle anyway AND scans the
+  // table a second time for the probe side (same shape as ts_mad_outliers).
   def tsWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = ev(spark, sfDir)
-    val bounds = d.groupBy(col("user_id"))
-      .agg(expr("percentile(value, 0.05)").as("p05"),
-           expr("percentile(value, 0.95)").as("p95"))
-    d.join(broadcast(bounds), "user_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    ev(spark, sfDir)
+      .withColumn("p05", expr("percentile(value, 0.05)").over(w))
+      .withColumn("p95", expr("percentile(value, 0.95)").over(w))
       .select(col("user_id"), col("event_id"), col("value"),
         round(least(greatest(col("value"), col("p05")), col("p95")), 6)
           .as("v_wins"),
@@ -599,14 +601,15 @@ object TimeSeriesQueries {
   }
 
   val tsWinsorizeSql: String =
-    """SELECT e.user_id AS user_id, e.event_id AS event_id, e.value AS value,
-      |  round(least(greatest(e.value, b.p05), b.p95), 6) AS v_wins,
-      |  CAST(e.value < b.p05 OR e.value > b.p95 AS INT) AS clipped
-      |FROM events e
-      |JOIN (SELECT user_id, quantile_cont(value, 0.05) AS p05,
-      |             quantile_cont(value, 0.95) AS p95
-      |      FROM events GROUP BY user_id) b
-      |  ON e.user_id = b.user_id""".stripMargin
+    """SELECT user_id, event_id, value,
+      |  round(least(greatest(value, p05), p95), 6) AS v_wins,
+      |  CAST(value < p05 OR value > p95 AS INT) AS clipped
+      |FROM (
+      |  SELECT user_id, event_id, value,
+      |    quantile_cont(value, 0.05) OVER w AS p05,
+      |    quantile_cont(value, 0.95) OVER w AS p95
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id))""".stripMargin
 
   // §2.1 extras — cyclical (Fourier) time encodings: sin/cos of the
   // hour-of-day and day-of-week angles, the standard continuous embedding
@@ -679,10 +682,16 @@ object TimeSeriesQueries {
       // disagree; dyadic lattice values can never sit on a decimal
       // half-way boundary (that would need a 5^6 denominator factor)
       .withColumn("di", round(col("detr") * lit(1048576)).cast("long"))
-    val seasonal = detrended.groupBy(col("user_id"), col("hod"))
-      .agg((sum(col("di")).cast("double") / (lit(1048576.0) * count(lit(1))))
-        .as("seasonal"))
-    detrended.join(broadcast(seasonal), Seq("user_id", "hod"))
+    // seasonal as a window over (user, hod) — NOT a groupBy + join back:
+    // the join form evaluates the whole scan→agg→window pipeline twice
+    // (Catalyst does not reuse the common subplan across join branches),
+    // which is a double scan of the raw table at scale. The window costs
+    // one extra shuffle of the (already hourly-sized) frame instead.
+    val wSeason = Window.partitionBy(col("user_id"), col("hod"))
+    detrended
+      .withColumn("seasonal",
+        sum(col("di")).over(wSeason).cast("double") /
+          (lit(1048576.0) * count(lit(1)).over(wSeason)))
       .select(col("user_id"), col("bucket_us"),
         round(col("v"), 6).as("v"),
         round(col("trend"), 6).as("trend"),
@@ -708,14 +717,15 @@ object TimeSeriesQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_us
       |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
       |seas AS (
-      |  SELECT user_id, hod,
-      |    CAST(sum(CAST(round(detr * 1048576) AS BIGINT)) AS DOUBLE)
-      |      / (1048576.0 * count(*)) AS seasonal
-      |  FROM det GROUP BY user_id, hod)
-      |SELECT d.user_id AS user_id, d.bucket_us AS bucket_us,
-      |  round(d.v, 6) AS v,
-      |  round(d.trend, 6) AS trend,
-      |  round(s.seasonal, 6) AS seasonal,
-      |  round(d.detr - s.seasonal, 6) AS resid
-      |FROM det d JOIN seas s ON d.user_id = s.user_id AND d.hod = s.hod""".stripMargin
+      |  SELECT user_id, bucket_us, v, trend, detr,
+      |    CAST(sum(CAST(round(detr * 1048576) AS BIGINT)) OVER ws AS DOUBLE)
+      |      / (1048576.0 * count(*) OVER ws) AS seasonal
+      |  FROM det
+      |  WINDOW ws AS (PARTITION BY user_id, hod))
+      |SELECT user_id, bucket_us,
+      |  round(v, 6) AS v,
+      |  round(trend, 6) AS trend,
+      |  round(seasonal, 6) AS seasonal,
+      |  round(detr - seasonal, 6) AS resid
+      |FROM seas""".stripMargin
 }
