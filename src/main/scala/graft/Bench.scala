@@ -42,8 +42,10 @@ object Bench {
     // only when nonempty for the same reason
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def cs(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .map { case (k, v) => s"\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
     val failedJson =

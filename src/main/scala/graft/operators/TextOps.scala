@@ -415,6 +415,125 @@ object TextOps {
       |  FROM documents)
       |WHERE rk <= ceil(n_stratum * 0.2)""".stripMargin
 
+  // ---------- repetition scoring ----------
+
+  /** Intra-document repetition: 1 - distinct/total word 3-grams (the
+    * Gopher-class "repeated n-gram" quality gate). Distinct counting runs
+    * on the native one-pass shingle hash set; 64-bit shingle hashing is
+    * collision-free at corpus scale (same argument as dedup_ngram's
+    * oracle). Map-side, zero shuffle. */
+  def repetitionScore(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val total = greatest(size(toks) - 2, lit(1))
+    val distinct3 = size(graft.functions.ShingleHashSet(lower(trim(col(textCol))), 3))
+    docs.select(col("doc_id"),
+      total.as("n_ngrams"),
+      distinct3.as("n_distinct"),
+      round(lit(1.0) - distinct3.cast("double") / total, 6).as("rep_ratio"))
+      .withColumn("repetitive", (col("rep_ratio") > 0.2).cast("int"))
+  }
+
+  // ---------- sequence packing ----------
+
+  /** Concat-and-chunk sequence packing: documents are laid out
+    * contiguously per language (ordered by doc_id), and the token stream
+    * is cut into fixed `budget`-token training chunks; each document maps
+    * to the chunk containing its start offset. This is the packing step of
+    * an LLM pretraining pipeline (TFDS-style concat → chunk). One shuffle
+    * on the language key; the cumulative offset is a window sum over it. */
+  def packChunks(docs: DataFrame, textCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(wsTokens(col(textCol))).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col("lang"), col("doc_id"), nTok.as("n_tok"))
+      .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("off"),
+        expr(s"off div $budget").as("chunk_id"),
+        pmod(col("off"), lit(budget.toLong)).as("chunk_off"))
+  }
+
+  // ---------- contamination screening ----------
+
+  /** Benchmark-contamination screen: flag documents sharing word 3-grams
+    * with a probe set (here: each language's lowest-id document stands in
+    * for a held-out benchmark). Probe shingle sets are dim-sized →
+    * broadcast; overlap is the native merge-walk intersect on sorted hash
+    * sets. The fact side never shuffles. */
+  def contamination(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.functions.ShingleHashSet(lower(trim(col(textCol))), 3)
+    val withG = docs.select(col("doc_id"), col("lang"), g.as("g"))
+    val probes = withG
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("lang"), col("doc_id").as("probe_id"), col("g").as("g_probe"))
+    withG.join(broadcast(probes), "lang")
+      .withColumn("n_overlap",
+        graft.functions.SortedIntersectCount(col("g"), col("g_probe")))
+      .select(col("lang"), col("doc_id"), col("probe_id"),
+        col("n_overlap"),
+        (col("doc_id") === col("probe_id")).cast("int").as("is_probe"),
+        (col("doc_id") =!= col("probe_id") && col("n_overlap") >= 1)
+          .cast("int").as("contaminated"))
+  }
+
+  /** DuckDB word-3-gram distinct-set builder over a `text` column (shared
+    * by the repetition and contamination oracles; same construction as
+    * dedup_ngram's). */
+  private val SqlToks = "string_split_regex(lower(trim(text)), '\\s+')"
+  private val Sql3Grams =
+    s"""list_distinct(CASE WHEN len($SqlToks) >= 3
+       |  THEN list_transform(range(len($SqlToks) - 2),
+       |    i -> list_aggregate($SqlToks[i+1:i+3], 'string_agg', ' '))
+       |  ELSE [list_aggregate($SqlToks, 'string_agg', ' ')] END)""".stripMargin
+
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionScore(Tables.documents(spark, sfDir), "text")
+
+  val textRepetitionSql: String =
+    s"""SELECT doc_id, n_ngrams, n_distinct, rep_ratio,
+       |  CAST(rep_ratio > 0.2 AS INT) AS repetitive
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(greatest(len($SqlToks) - 2, 1) AS INT) AS n_ngrams,
+       |    CAST(len($Sql3Grams) AS INT) AS n_distinct,
+       |    round(1.0 - len($Sql3Grams) * 1.0
+       |      / greatest(len($SqlToks) - 2, 1), 6) AS rep_ratio
+       |  FROM documents)""".stripMargin
+
+  def docPackChunks(spark: SparkSession, sfDir: String): DataFrame =
+    packChunks(Tables.documents(spark, sfDir), "text", budget = 512)
+
+  val docPackChunksSql: String =
+    s"""SELECT lang, doc_id, n_tok, off,
+       |  off // 512 AS chunk_id, off % 512 AS chunk_off
+       |FROM (
+       |  SELECT lang, doc_id, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - n_tok AS off
+       |  FROM (
+       |    SELECT lang, doc_id,
+       |      CAST(len($SqlToks) AS BIGINT) AS n_tok
+       |    FROM documents))""".stripMargin
+
+  def docContamination(spark: SparkSession, sfDir: String): DataFrame =
+    contamination(Tables.documents(spark, sfDir), "text")
+
+  val docContaminationSql: String =
+    s"""WITH g AS (SELECT doc_id, lang, $Sql3Grams AS g FROM documents),
+       |p AS (SELECT lang, min(doc_id) AS probe_id FROM documents GROUP BY lang)
+       |SELECT d.lang AS lang, d.doc_id AS doc_id, p.probe_id AS probe_id,
+       |  CAST(len(list_intersect(d.g, pg.g)) AS INT) AS n_overlap,
+       |  CAST(d.doc_id = p.probe_id AS INT) AS is_probe,
+       |  CAST(d.doc_id != p.probe_id
+       |       AND len(list_intersect(d.g, pg.g)) >= 1 AS INT) AS contaminated
+       |FROM g d
+       |JOIN p ON d.lang = p.lang
+       |JOIN g pg ON pg.doc_id = p.probe_id""".stripMargin
+
   def textLengthHist(spark: SparkSession, sfDir: String): DataFrame =
     lengthHistogram(Tables.documents(spark, sfDir), "text")
 

@@ -92,6 +92,47 @@ class Round3OpsSpec extends SparkSpec {
     assert(TextOps.stratifiedSample(docs, "lang", 0.2).exceptAll(out).count() == 0)
   }
 
+  test("repetition score: known ratio on a hand-built repetitive doc") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c a b c a b c"), (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionScore(docs, "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4))).toMap
+    // 9 tokens -> 7 trigram slots, 3 distinct trigrams -> 1 - 3/7
+    assert(got(1L) == ((7, 3, math.rint((1.0 - 3.0 / 7) * 1e6) / 1e6, 1)))
+    // all-distinct doc: ratio 0, not repetitive
+    assert(got(2L) == ((3, 3, 0.0, 0)))
+  }
+
+  test("pack chunks: offsets are dense per language and chunk-local offsets bounded") {
+    val out = TextOps.docPackChunks(spark, sf).cache()
+    // every doc's offset equals the sum of preceding docs' token counts
+    val bad = out.filter(col("chunk_off") >= 512 || col("chunk_off") < 0 ||
+      col("chunk_id") =!= expr("off div 512"))
+    assert(bad.count() == 0)
+    // total stream length per lang = last offset + last doc's tokens
+    val byLang = out.groupBy(col("lang")).agg(
+      sum(col("n_tok")).as("total"),
+      max(col("off") + col("n_tok")).as("end"))
+    assert(byLang.filter(col("total") =!= col("end")).count() == 0)
+    out.unpersist()
+  }
+
+  test("contamination: probes self-match fully, flags require shared trigrams") {
+    val out = TextOps.docContamination(spark, sf).cache()
+    // the probe row overlaps itself completely and is never 'contaminated'
+    val probes = out.filter(col("is_probe") === 1)
+    assert(probes.filter(col("contaminated") === 1).count() == 0)
+    assert(probes.filter(col("n_overlap") === 0).count() == 0)
+    // non-probe flags appear iff overlap >= 1
+    val bad = out.filter(col("is_probe") === 0 &&
+      (col("contaminated") === 1) =!= (col("n_overlap") >= 1))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
   test("length histogram covers every document exactly once") {
     val docs = Tables.documents(spark, sf)
     val out = TextOps.textLengthHist(spark, sf)
