@@ -119,15 +119,92 @@ object Multimodal {
       }.toDF()
   }
 
-  /** SparkEntry glue. */
+  /** SparkEntry glue. Float features rounded so the DuckDB oracle (which
+    * re-derives the byte statistics from hex(encode(text))) hash-matches
+    * despite engine-order float summation. */
   def mmBinaryFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(Tables.documents(spark, sfDir)))
+      .select(col("doc_id"), col("modality"), col("n_bytes"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        round(col("byte_entropy"), 6).as("byte_entropy"),
+        col("n_frames"))
 
-  /** Driver-facing projection (rows-only check): thumbs digested to a
-    * scalar so the gate can sort and hash. */
+  /** DuckDB byte-list builder shared by the two multimodal oracles: the
+    * payload is the UTF-8 encoding of `text`, recovered byte-by-byte via
+    * hex(encode(text)). */
+  private val SqlBytes =
+    "list_transform(range(octet_length(encode(text))), i -> ('0x' || substr(hex(encode(text)), 2*i + 1, 2))::INT)"
+
+  /** Oracle for the stubbed batch feature extraction: identical byte
+    * statistics computed relationally (mean via list_avg over the same
+    * byte order; entropy via a per-(doc, byte) group count). */
+  val mmBinaryFeaturesSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+       |    $SqlBytes AS bs
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, byte, CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM (SELECT doc_id, unnest(bs) AS byte FROM m)
+       |  GROUP BY doc_id, byte),
+       |e AS (
+       |  SELECT c.doc_id,
+       |    -sum((cnt / t.n) * ln(cnt / t.n) / ln(2.0)) AS ent
+       |  FROM c JOIN (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n
+       |               FROM c GROUP BY doc_id) t
+       |    ON c.doc_id = t.doc_id
+       |  GROUP BY c.doc_id)
+       |SELECT m.doc_id AS doc_id, m.modality AS modality,
+       |  CAST(len(m.bs) AS INT) AS n_bytes,
+       |  round(CASE WHEN len(m.bs) = 0 THEN 0.0 ELSE list_avg(m.bs) END, 6) AS mean_byte,
+       |  round(coalesce(e.ent, 0.0), 6) AS byte_entropy,
+       |  CAST(greatest(len(m.bs) // 256, 1) AS INT) AS n_frames
+       |FROM m LEFT JOIN e ON m.doc_id = e.doc_id""".stripMargin
+
+  /** Driver-facing projection: thumbs digested to a scalar so the gate can
+    * sort and hash. */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =
     frameSample(mediaTable(Tables.documents(spark, sfDir)))
       .select(col("doc_id"), col("frame_idx"), col("frame_off"),
         col("frame_hash"),
         round(aggregate(col("thumb"), lit(0.0), (a, x) => a + x), 6).as("thumb_sum"))
+
+  /** Oracle for frame sampling: the per-frame polynomial hash replays
+    * Java's wrapping 64-bit arithmetic in HUGEINT mod 2^64 (then converts
+    * back to signed), and the thumbnail byte grid is the same integer
+    * index arithmetic. */
+  val mmFrameSampleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, $SqlBytes AS bs
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id, bs, len(bs) AS L,
+       |    greatest(len(bs) // 256, 1) AS nf,
+       |    least(greatest(len(bs) // 256, 1), 8) AS tk
+       |  FROM m),
+       |y AS (
+       |  SELECT doc_id, bs, L,
+       |    CAST(i AS INT) AS frame_idx,
+       |    CAST((CASE WHEN tk = 1 THEN 0 ELSE i * (nf - 1) // (tk - 1) END) * 256 AS INT) AS frame_off
+       |  FROM (SELECT doc_id, bs, L, nf, tk, unnest(range(tk)) AS i FROM f)),
+       |z AS (
+       |  SELECT doc_id, frame_idx, frame_off, bs, L,
+       |    least(frame_off + 256, L) AS fend,
+       |    greatest(least(frame_off + 256, L) - frame_off, 1) AS flen
+       |  FROM y)
+       |SELECT doc_id, frame_idx, frame_off,
+       |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+       |       THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS frame_hash,
+       |  round(ts, 6) AS thumb_sum
+       |FROM (
+       |  SELECT doc_id, frame_idx, frame_off,
+       |    list_reduce([1125899906842597::HUGEINT] ||
+       |      list_transform(bs[frame_off+1:fend], b -> b::HUGEINT),
+       |      (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS hu,
+       |    list_sum(list_transform(range(16),
+       |      t -> CASE WHEN frame_off + (t * flen // 16) < L
+       |           THEN bs[CAST(frame_off + (t * flen // 16) AS INT) + 1] / 255.0
+       |           ELSE 0.0 END)) AS ts
+       |  FROM z)""".stripMargin
 }
