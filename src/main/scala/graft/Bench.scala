@@ -37,9 +37,12 @@ object Bench {
       name -> (if (ok) dt else -dt)
     }.toMap
     // the driver archives only the last ~2000 output chars and parses the
-    // final line as JSON — millisecond precision (plenty for a wall-clock
-    // bench) keeps the full line inside that window; "failed" is emitted
-    // only when nonempty for the same reason
+    // final line as JSON — centisecond per-query precision (plenty for a
+    // wall-clock bench) keeps the full line inside that window; "failed"
+    // is emitted only when nonempty for the same reason, and if the line
+    // still would not fit (many failures, very long times) the per-query
+    // map is dropped rather than letting the archiver cut off the head of
+    // the JSON
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def cs(v: Double): String =
@@ -52,7 +55,11 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfName"}""")
+    def line(queries: String, failedPart: String) =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries$failedPart,"sf":"$sfName"}"""
+    // degrade gracefully: full detail -> headline + failures -> headline
+    val candidates = Seq(line(qs, failedJson), line("{}", failedJson), line("{}", ""))
+    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
     spark.stop()
   }
 }

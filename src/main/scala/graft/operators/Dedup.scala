@@ -214,9 +214,13 @@ object Dedup {
     // min-propagation (every candidate label includes the vertex's own), so
     // the fixpoint is reached exactly when sum(l) stops decreasing — one
     // shuffle-free partial aggregate over the just-checkpointed frame,
-    // instead of a join + count against the previous round's labels.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
+    // instead of a join + count against the previous round's labels. The
+    // sum runs in decimal(38,0): a Long sum would wrap mod 2^64 at
+    // billions-of-vertices scale and the monotonicity argument only holds
+    // for exact arithmetic.
+    def labelSum(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(coalesce(sum(col("l").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0))
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0

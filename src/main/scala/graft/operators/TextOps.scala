@@ -303,7 +303,9 @@ object TextOps {
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip",    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
     ("ssn",   "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<ID>"),
-    ("phone", "\\+[0-9]{7,15}", "<PHONE>"))
+    // unbounded repetition: a bounded {7,15} would leave the tail digits
+    // of a 16+-digit number unredacted in the scrubbed output
+    ("phone", "\\+[0-9]{7,}", "<PHONE>"))
 
   /** Privacy scrub for training corpora: REDACT (tag, don't delete) emails,
     * IPv4s, SSN-shaped ids, and international phone numbers, with per-kind
@@ -333,8 +335,7 @@ object TextOps {
   def stratifiedSample(docs: DataFrame, stratumCol: String,
                        frac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pri = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-      16, 10).cast("long")
+    val pri = graft.functions.Deterministic.md5Priority(col("doc_id"))
     val w = Window.partitionBy(col(stratumCol)).orderBy(pri, col("doc_id"))
     // stratum size from a count window over the SAME partition the rank
     // window already shuffles on — zero extra shuffle, zero extra scan
@@ -391,12 +392,12 @@ object TextOps {
          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
          |  '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g'),
-         |  '\\+[0-9]{7,15}', '<PHONE>', 'g')""".stripMargin
+         |  '\\+[0-9]{7,}', '<PHONE>', 'g')""".stripMargin
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all($dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
        |  CAST(len(regexp_extract_all($dirty, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ip,
        |  CAST(len(regexp_extract_all($dirty, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
-       |  CAST(len(regexp_extract_all($dirty, '\\+[0-9]{7,15}')) AS INT) AS n_phone,
+       |  CAST(len(regexp_extract_all($dirty, '\\+[0-9]{7,}')) AS INT) AS n_phone,
        |  $redacted AS redacted,
        |  length($redacted) AS n_chars_redacted
        |FROM documents""".stripMargin

@@ -416,15 +416,12 @@ object TimeSeriesQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
 
   // §2.1 extras — deterministic per-key downsampling: keep the k events
-  // with the smallest md5-derived priority (a seeded uniform sample that is
-  // stable across engines, partitionings, and reruns — unlike rand()).
-  // The priority is the first 60 bits of the digest as an int64 — the
-  // per-partition sort compares longs instead of 32-char strings (the
-  // string compare dominated this operator's runtime at sf0.1).
+  // with the smallest md5-derived int64 priority (see
+  // graft.functions.Deterministic.md5Priority for the construction and its
+  // engine-portability rationale).
   def tsSample(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pri = conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 15),
-      16, 10).cast("long")
+    val pri = graft.functions.Deterministic.md5Priority(col("event_id"))
     val w = Window.partitionBy(col("user_id")).orderBy(pri, col("event_id"))
     Tables.events(spark, sfDir)
       .withColumn("rk", row_number().over(w))
@@ -644,8 +641,9 @@ object TimeSeriesQueries {
       |  FROM events)""".stripMargin
 
   // §2.1 extras — seasonal-trend decomposition (additive, STL-style
-  // moving-average flavor) on the hourly-resampled series: trend = centered
-  // 25-bucket rolling mean, seasonal = per (trajectory, hour-of-day) mean
+  // moving-average flavor) on the hourly-bucketed series: trend = mean of
+  // all raw points within ±12 h of REAL time (RANGE frame on the epoch-µs
+  // bucket), seasonal = per (trajectory, hour-of-day) mean
   // of the detrended series, residual = the rest. Two shuffles total: the
   // hourly aggregate keyed on (user, bucket), then every window/group step
   // shares the user_id partitioning; the seasonal profile joins back
@@ -667,8 +665,11 @@ object TimeSeriesQueries {
       .groupBy(col("user_id"), col("bucket_us"))
       .agg(sum(round(col("value") * 100).cast("long")).as("sv"),
            count(lit(1)).as("n"))
+    // a RANGE frame on the epoch-µs bucket key: ±12 h of REAL time, not
+    // ±12 observed rows — the hourly series has gaps, and a row frame
+    // would silently widen the smoother to days on sparse trajectories
     val wTrend = Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
-      .rowsBetween(-12, 12)
+      .rangeBetween(-12L * hourUs, 12L * hourUs)
     val detrended = hourly
       .withColumn("v", col("sv").cast("double") / (lit(100.0) * col("n")))
       .withColumn("trend",
@@ -715,7 +716,8 @@ object TimeSeriesQueries {
       |    (bucket_us // 3600000000) % 24 AS hod
       |  FROM hourly
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_us
-      |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |               RANGE BETWEEN 43200000000 PRECEDING
+      |                     AND 43200000000 FOLLOWING)),
       |seas AS (
       |  SELECT user_id, bucket_us, v, trend, detr,
       |    CAST(sum(CAST(round(detr * 1048576) AS BIGINT)) OVER ws AS DOUBLE)

@@ -72,7 +72,7 @@ class Round3OpsSpec extends SparkSpec {
       col("redacted").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
       col("redacted").rlike("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b") ||
       col("redacted").rlike("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b") ||
-      col("redacted").rlike("\\+[0-9]{7,15}"))
+      col("redacted").rlike("\\+[0-9]{7,}"))
     assert(leftover.count() == 0)
     // injected PII is found: every 3rd doc has 2 emails, every 7th has ip+ssn+phone
     assert(out.filter(pmod(col("doc_id"), lit(3)) === 0 && col("n_email") < 2).count() == 0)
