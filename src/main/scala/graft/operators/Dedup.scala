@@ -153,12 +153,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, lenTol: Int = 2): DataFrame = {
     val withG = docs.select(col("doc_id"), col("lang"), col("n_chars"),
       graft.functions.ShingleHashSet(lower(trim(col("text"))), n).as("g"))
+    // Banded equi-join on (lang, n_chars): the a-side is exploded to its
+    // 2·lenTol+1 admissible lengths and joined on the exact length — each
+    // qualifying pair matches at exactly one offset, so no dedup is
+    // needed. A plain same-lang join with an |nc_a - nc_b| <= tol
+    // post-filter is quadratic per language and concentrates the largest
+    // language in one shuffle partition; the banded key spreads it and
+    // produces only qualifying pairs.
     val a = withG.select(col("lang"), col("doc_id").as("doc_id_a"),
-      col("n_chars").as("nc_a"), col("g").as("g_a"))
+        col("g").as("g_a"),
+        explode(sequence(col("n_chars") - lenTol, col("n_chars") + lenTol))
+          .as("nc_key"))
     a.join(withG.select(col("lang"), col("doc_id").as("doc_id_b"),
-        col("n_chars").as("nc_b"), col("g").as("g_b")), Seq("lang"))
-      .filter(col("doc_id_a") < col("doc_id_b") &&
-              abs(col("nc_a") - col("nc_b")) <= lenTol)
+        col("n_chars").as("nc_key"), col("g").as("g_b")), Seq("lang", "nc_key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
       .withColumn("common",
         graft.functions.SortedIntersectCount(col("g_a"), col("g_b")))
       .withColumn("jaccard",
