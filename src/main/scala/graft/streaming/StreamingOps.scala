@@ -124,6 +124,42 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(handle)
   }
 
+  case class EwmaState(last: Double)
+  case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
+  /** EWMA recurrence as a streaming state machine — the incremental twin
+    * of TimeSeriesOps.ewma (and of the batch `plans.Ewma` custom plan):
+    * state per key is ONE double (the running smoothed value), each
+    * micro-batch sorts its slice and folds the identical
+    * `acc·(1-α) + x·α` step the batch operator uses, so replaying a
+    * static directory in one batch reproduces the batch output exactly.
+    * Cross-batch ordering caveats are the same as sessionizeStream. */
+  def ewmaStream(events: Dataset[Ev], alpha: Double)(
+      implicit enc1: org.apache.spark.sql.Encoder[Long],
+      enc2: org.apache.spark.sql.Encoder[EwmaState],
+      enc3: org.apache.spark.sql.Encoder[EwmaOut]): Dataset[EwmaOut] = {
+
+    def handle(userId: Long, evs: Iterator[Ev],
+               state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[EwmaOut]
+      evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val next = cur match {
+          case Some(s) => s.last * (1.0 - alpha) + e.value * alpha
+          case None => e.value
+        }
+        cur = Some(EwmaState(next))
+        out += EwmaOut(userId, e.event_id, next)
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+  }
+
   case class FunnelEv(event_id: Long, ts_us: Long, user_id: Long,
                       event_type: String)
   /** -1 = stage not reached yet. */

@@ -140,6 +140,53 @@ class EdgeCaseSpec extends SparkSpec {
       "null-valued right row's timestamp leaked into the tolerance check")
   }
 
+  test("round-3 text ops survive empty and whitespace-only documents") {
+    val docs = Seq((1L, "", "en"), (2L, "   ", "en"), (3L, "one", "en"),
+        (4L, "a b c d e f g h i j k", "de"))
+      .toDF("doc_id", "text", "lang")
+    // repetition: no NaN/negative ratios on degenerate token streams
+    val rep = graft.operators.TextOps.repetitionScore(docs, "text")
+    assert(rep.filter(col("rep_ratio").isNull || col("rep_ratio") < 0 ||
+      col("rep_ratio") > 1).count() == 0)
+    // pii redaction: empty text passes through with zero counts
+    val pii = graft.operators.TextOps.piiRedact(docs, "text")
+    assert(pii.filter(col("doc_id") === 1L)
+      .select("n_email", "n_ip", "n_ssn", "n_phone")
+      .head.toSeq.map(_.asInstanceOf[Int]).sum == 0)
+    // packing: offsets stay dense even with zero-ish token counts
+    val packed = graft.operators.TextOps.packChunks(docs, "text", budget = 8)
+    assert(packed.filter(col("off") < 0 || col("chunk_off") < 0).count() == 0)
+    assert(packed.count() == 4)
+    // contamination: a single-doc stratum has only its probe row
+    val cont = graft.operators.TextOps.contamination(docs, "text")
+    val de = cont.filter(col("lang") === "de").collect()
+    assert(de.length == 1 && de.head.getAs[Int]("is_probe") == 1 &&
+      de.head.getAs[Int]("contaminated") == 0)
+  }
+
+  test("stl decomposition on a single-bucket trajectory: trend = v, resid = 0") {
+    val one = Seq((9L, java.sql.Timestamp.valueOf("2024-01-01 05:30:00"), 42.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("event_id", lit(1L))
+    // single bucket: the ±12 h window sees only itself → trend = v,
+    // seasonal = detr = 0, resid = 0
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val d = one.withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("bucket_us", col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
+      .groupBy(col("user_id"), col("bucket_us"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("v", col("sv").cast("double") / (lit(100.0) * col("n")))
+      .withColumn("trend", sum(col("sv")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
+            .rangeBetween(-12L * hourUs, 12L * hourUs)).cast("double") /
+        (lit(100.0) * sum(col("n")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
+            .rangeBetween(-12L * hourUs, 12L * hourUs))))
+    val r = d.head
+    assert(r.getAs[Double]("v") == 42.0 && r.getAs[Double]("trend") == 42.0)
+  }
+
   test("shingle hashes of empty and sub-n texts collapse to one shingle") {
     val df = Seq("", "one", "one two").toDF("t")
       .select(size(graft.functions.ShingleHashSet(col("t"), 3)).as("n"))

@@ -61,6 +61,26 @@ class StreamingSpec extends SparkSpec {
     assert(gotKeyed.size >= batchKeyed.size - nUsers)
   }
 
+  test("streaming ewma equals the batch recurrence on a one-batch replay") {
+    val batch = operators.TimeSeriesQueries.tsEwma(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ewma"))
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"))
+      .as[StreamingOps.Ev]
+    val q = StreamingOps.ewmaStream(stream, alpha = 0.1).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("stream_ewma")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_ewma")
+      .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma_s"))
+    val joined = batch.join(got, Seq("user_id", "event_id"))
+    assert(joined.count() == batch.count(), "row sets differ")
+    // identical fold expression + one-batch replay → exactly equal after
+    // the same round-6 the batch query applies
+    assert(joined.filter(col("ewma") =!= col("ewma_s")).count() == 0)
+  }
+
   test("streaming funnel reaches the same per-user stage as the batch funnel") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
