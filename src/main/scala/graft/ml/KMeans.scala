@@ -35,14 +35,23 @@ object KMeans {
   private def assignCol(centroids: Array[Array[Double]]): Column =
     assign(col("v"), centroids).as("cluster")
 
-  def fit(emb: DataFrame, k: Int, iters: Int): DataFrame =
-    fitWithCentroids(emb, k, iters)._1
+  def fit(emb: DataFrame, k: Int, iters: Int,
+          roundDp: Option[Int] = None): DataFrame =
+    fitWithCentroids(emb, k, iters, roundDp)._1
 
   /** Fit returning both the assignment DataFrame and the final centroids
     * (k·dim, driver-resident) so downstream consumers (e.g. IVF routing)
-    * don't recompute them. */
-  def fitWithCentroids(emb: DataFrame, k: Int,
-                       iters: Int): (DataFrame, Array[Array[Double]]) = {
+    * don't recompute them.
+    *
+    * `roundDp` pins every REFRESHED centroid coordinate to that many
+    * decimals (exact BigDecimal HALF_UP on the driver — the same rule as
+    * Spark's round()): centroid means are float sums whose accumulation
+    * order is engine-specific, so pinning them makes the whole iteration
+    * reproducible across engines and lets the DuckDB oracle replay the
+    * unrolled Lloyd iterations exactly. Initial centroids (raw input
+    * vectors) are never rounded. */
+  def fitWithCentroids(emb: DataFrame, k: Int, iters: Int,
+                       roundDp: Option[Int] = None): (DataFrame, Array[Array[Double]]) = {
     val vecs = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .cache()
     var centroids: Array[Array[Double]] = vecs.orderBy("vec_id").limit(k)
@@ -59,8 +68,10 @@ object KMeans {
         .collect()
       // empty clusters keep their previous centroid
       val updated = centroids.clone()
+      val pin = (d: Double) => roundDp.fold(d)(dp =>
+        BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
       rows.foreach { r =>
-        updated(r.getLong(0).toInt) = r.getSeq[Double](1).toArray
+        updated(r.getLong(0).toInt) = r.getSeq[Double](1).toArray.map(pin)
       }
       centroids = updated
     }
@@ -84,7 +95,49 @@ object KMeans {
       .agg(sum(col("d")).as("sse"))
   }
 
-  /** SparkEntry glue: k=10 (the label cardinality), 3 iterations. */
+  /** SparkEntry glue: k=10 (the label cardinality), 3 iterations,
+    * centroids pinned at 6 decimals so the oracle can replay the fit. */
   def tsKmeansEmbed(spark: SparkSession, sfDir: String): DataFrame =
-    fit(Tables.embeddings(spark, sfDir), k = 10, iters = 3)
+    fit(Tables.embeddings(spark, sfDir), k = 10, iters = 3, roundDp = Some(6))
+
+  /** DuckDB oracle: the three Lloyd iterations unrolled as generated CTEs —
+    * assignment = deterministic argmin (ORDER BY distance, then cluster id,
+    * mirroring NearestCentroid's strict-< tie rule), refresh = per-dim
+    * round-6 mean with empty clusters keeping their previous centroid. */
+  val tsKmeansEmbedSql: String = {
+    val dims = 64
+    def dist(v: String, c: String): String =
+      s"list_sum(list_transform(range($dims), i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1])))"
+    def assign(a: String, cPrev: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, v, j AS cl FROM (
+         |    SELECT v.vec_id AS vec_id, v.v AS v, c.j AS j,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dist("v.v", "c.c")}, c.j) AS rn
+         |    FROM v, $cPrev c)
+         |  WHERE rn = 1)""".stripMargin
+    def refresh(cNew: String, a: String, cPrev: String): String =
+      s"""${cNew}d AS (
+         |  SELECT cl AS j, i, round(avg(v[i+1]), 6) AS m
+         |  FROM $a, range($dims) t(i) GROUP BY cl, i),
+         |$cNew AS (
+         |  SELECT p.j AS j,
+         |    CASE WHEN d.j IS NULL THEN p.c
+         |         ELSE (SELECT list(m ORDER BY i) FROM ${cNew}d x WHERE x.j = p.j)
+         |    END AS c
+         |  FROM $cPrev p
+         |  LEFT JOIN (SELECT DISTINCT j FROM ${cNew}d) d ON p.j = d.j)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+       |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 10)),
+       |${assign("a1", "c0")},
+       |${refresh("c1", "a1", "c0")},
+       |${assign("a2", "c1")},
+       |${refresh("c2", "a2", "c1")},
+       |${assign("a3", "c2")},
+       |${refresh("c3", "a3", "c2")},
+       |${assign("a4", "c3")}
+       |SELECT vec_id, cl AS cluster FROM a4""".stripMargin
+  }
 }

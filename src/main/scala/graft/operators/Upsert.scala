@@ -32,8 +32,13 @@ object Upsert {
     * 10th customer gets a refreshed acctbal; two synthetic inserts). */
   def qUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
+    // round at the LATTICE precision: 2-dp inputs × 1.1 are exact 3-dp
+    // values, half of which end in 5 — i.e. exactly on round-2 half-way
+    // points, where the engines' rounding implementations disagree
+    // (surfaced at sf0.1: 4 of 1500 updated rows). At 3 dp every value
+    // sits ON a lattice point, never on a boundary.
     val updates = cust.filter(col("c_custkey") % 10 === 0)
-      .withColumn("c_acctbal", round(col("c_acctbal") * 1.1 + 100.0, 2))
+      .withColumn("c_acctbal", round(col("c_acctbal") * 1.1 + 100.0, 3))
     val inserts = spark.range(2).select(
       (col("id") + 900000000L).as("c_custkey"),
       concat(lit("Customer#new"), col("id").cast("string")).as("c_name"),
@@ -46,7 +51,7 @@ object Upsert {
   val qUpsertSql: String =
     """WITH src AS (
       |  SELECT c_custkey, c_name, c_nationkey,
-      |    round(c_acctbal * 1.1 + 100.0, 2) AS c_acctbal, c_mktsegment
+      |    round(c_acctbal * 1.1 + 100.0, 3) AS c_acctbal, c_mktsegment
       |  FROM customer WHERE c_custkey % 10 = 0
       |  UNION ALL
       |  SELECT 900000000 + i AS c_custkey, 'Customer#new' || i AS c_name,
