@@ -49,7 +49,15 @@ object KMeans {
     * order is engine-specific, so pinning them makes the whole iteration
     * reproducible across engines and lets the DuckDB oracle replay the
     * unrolled Lloyd iterations exactly. Initial centroids (raw input
-    * vectors) are never rounded. */
+    * vectors) are never rounded.
+    *
+    * Residual parity risk (accepted, documented): the rounding input is
+    * still an order-dependent float mean, so on OTHER data a coordinate
+    * within ~1 ulp of a 0.5e-6 boundary could round apart between engines
+    * and cascade through assignments. The gate's inputs are fixed and the
+    * parity is verified empirically at sf0.001/0.01/0.1; an exact-integer
+    * mean is not available here because the coordinates are arbitrary
+    * floats, not lattice-valued like the STL path's. */
   def fitWithCentroids(emb: DataFrame, k: Int, iters: Int,
                        roundDp: Option[Int] = None): (DataFrame, Array[Array[Double]]) = {
     val vecs = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))

@@ -137,7 +137,14 @@ object Multimodal {
 
   /** Oracle for the stubbed batch feature extraction: identical byte
     * statistics computed relationally (mean via list_avg over the same
-    * byte order; entropy via a per-(doc, byte) group count). */
+    * byte order; entropy via a per-(doc, byte) group count).
+    *
+    * Residual parity risk (accepted, documented): the entropy group-sum
+    * accumulates ≤256 float terms in engine-specific order before round-6;
+    * a document whose entropy sits within ~1 ulp of a half-way point could
+    * round apart on other corpora. Verified green on the fixed gate data
+    * at sf0.001/0.01/0.1 (the terms cannot be integer-scaled — ln(c) is
+    * irrational). */
   val mmBinaryFeaturesSql: String =
     s"""WITH m AS (
        |  SELECT doc_id,
