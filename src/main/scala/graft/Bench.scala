@@ -19,16 +19,18 @@ object Bench {
     // the timed pass reports throughput rather than one-off whole-stage
     // codegen (Janino) compile times — the cost a long-lived session or any
     // executor pays once. Disable with SPARK_GRAFT_COLD=1 to measure cold.
+    // NonFatal only: an OOM/VM error must crash the bench, not be absorbed
     if (!sys.env.get("SPARK_GRAFT_COLD").contains("1"))
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: $e")
           failed ::= name; false
         }

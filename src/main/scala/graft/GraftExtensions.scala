@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_simhash64", exprs => SimHash64(exprs(0)))
     inject("graft_weighted_outer_flat",
       exprs => WeightedOuterFlat(exprs(0), exprs(1)))
+    inject("graft_normal_eq",
+      exprs => NormalEqAgg(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression())
     inject("graft_smallest_k",
       exprs => SmallestKAgg(exprs(0), litInt(exprs(1), "k"))
         .toAggregateExpression())

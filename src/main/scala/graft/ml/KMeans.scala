@@ -87,7 +87,10 @@ object KMeans {
     // cache so repeated fits don't accumulate executor storage. The final
     // assignment below is a single map-side pass; recomputing it from the
     // source scan costs one read and keeps the operator leak-free.
-    vecs.unpersist(blocking = false)
+    // blocking=true so the blocks are actually gone before the next query
+    // starts (non-blocking unpersists piled eviction churn onto later
+    // bench queries).
+    vecs.unpersist(blocking = true)
     (vecs.select(col("vec_id"), assignCol(centroids)), centroids)
   }
 

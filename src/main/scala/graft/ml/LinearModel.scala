@@ -29,37 +29,25 @@ object LinearModel {
     * the shuffle. */
   def fitRidge(df: DataFrame, featCol: String, labelCol: String,
                lambda: Double): Array[Double] = {
-    val d0 = uniformDim(df, featCol)
-    val d = d0 + 1 // + bias
     val withBias = df.select(
       concat(col(featCol), array(lit(1.0))).as("x"),
       col(labelCol).cast("double").as("y"))
-    val stats = withBias.agg(
-      graft.functions.VectorAgg.vectorSum(
-        graft.functions.WeightedOuterFlat(col("x"), lit(1.0))).as("xtx"),
-      graft.functions.VectorAgg.vectorSum(
-        transform(col("x"), xi => xi * col("y"))).as("xty"))
-      .head()
-    val flat = stats.getSeq[Double](0)
-    val xty = stats.getSeq[Double](1).toArray
+    // one fused aggregation; see NormalEqAgg for why this replaces the
+    // vector_sum(weighted_outer_flat(...)) pair (per-row d² allocation),
+    // and raggedness now fails fast inside the aggregate itself
+    val flat = withBias
+      .agg(graft.functions.NormalEq.normalEq(col("x"), lit(1.0), col("y")).as("s"))
+      .head().getSeq[Double](0)
+    val d = graft.functions.NormalEq.dimOf(flat.length)
     val xtx = Array.tabulate(d, d)((i, j) => flat(i * d + j))
-    (0 until d0).foreach(i => xtx(i)(i) += lambda) // no penalty on bias
+    val xty = Array.tabulate(d)(i => flat(d * d + i))
+    (0 until d - 1).foreach(i => xtx(i)(i) += lambda) // no penalty on bias
     solve(xtx, xty)
   }
 
-  /** Feature dimensionality, REQUIRING it uniform: the flattened
-    * outer-product statistics index cells as i*d+j, so a ragged row would
-    * silently land its products in the wrong cells (the failure is
-    * garbage coefficients, not an error) — fail fast instead. */
-  private[ml] def uniformDim(df: DataFrame, featCol: String): Int = {
-    val dims = df.select(size(col(featCol)).as("d")).distinct().limit(2).collect()
-    require(dims.length == 1,
-      s"$featCol must have uniform dimensionality; found " +
-        dims.map(_.getInt(0)).mkString(" and "))
-    dims(0).getInt(0)
-  }
-
-  /** In-place Gaussian elimination with partial pivoting (d is tiny). */
+  /** In-place Gaussian elimination with partial pivoting (d is tiny).
+    * (Raggedness of the design matrix is rejected by NormalEqAgg itself —
+    * the separate uniformity pre-scan this module used to run is gone.) */
   private[ml] def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     val m = a.map(_.clone()); val y = b.clone()
@@ -90,7 +78,13 @@ object LinearModel {
       concat(featCol, array(lit(1.0))), typedLit(w.toSeq))
 
   /** The reference's full TurboFan workflow: tensorize → time split →
-    * ridge-fit RUL on the train fold → MSE on both folds. */
+    * ridge-fit RUL on the train fold → MSE on both folds.
+    *
+    * The tensorized corpus is cached only across the fit + eval passes;
+    * the 2-row result is materialized and the cache dropped (blocking)
+    * before returning, so repeated invocations (bench warm + timed pass)
+    * neither recompute the pipeline on the caller's action nor leave
+    * storage pressure behind. */
   def rulPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val events = Tables.events(spark, sfDir)
       .withColumn("ts_us", unix_micros(col("ts")))
@@ -98,11 +92,15 @@ object LinearModel {
       Seq("ts_us", "event_id"), "value", t = 20, skip = 5, rulCap = 130)
     val split = TimeSeriesOps.ratioSplit(tensors, "user_id", Seq("widx"), 0.8)
       .withColumn("label", col("rul").cast("double")).cache()
-    val w = fitRidge(split.filter(col("fold") === "train"), "features", "label",
-      lambda = 1e-3)
-    split.withColumn("pred", predict(col("features"), w))
-      .groupBy(col("fold"))
-      .agg(round(avg(pow(col("pred") - col("label"), 2)), 4).as("mse"),
-           count(lit(1)).as("n"))
+    try {
+      val w = fitRidge(split.filter(col("fold") === "train"), "features", "label",
+        lambda = 1e-3)
+      val out = split.withColumn("pred", predict(col("features"), w))
+        .groupBy(col("fold"))
+        .agg(round(avg(pow(col("pred") - col("label"), 2)), 4).as("mse"),
+             count(lit(1)).as("n"))
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally split.unpersist(blocking = true)
   }
 }

@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{VectorAgg, VectorOps}
+import graft.functions.{NormalEq, VectorOps}
 
 /** Distributed L2-regularized logistic regression on array-valued feature
   * columns, fit by IRLS (iteratively reweighted least squares) — the
@@ -22,34 +22,34 @@ object LogisticRegression {
     lit(1.0) / (lit(1.0) + exp(-xb))
   }
 
-  /** Fit β (last element = bias) on (features: array<double>, label 0/1). */
+  /** Fit β (last element = bias) on (features: array<double>, label 0/1).
+    *
+    * Each IRLS iteration is ONE distributed aggregation via the fused
+    * `normal_eq` aggregate (no per-row d² array — see
+    * [[graft.functions.NormalEqAgg]]); raggedness is rejected by the
+    * aggregate itself, so no separate uniformity scan is needed. */
   def fit(df: DataFrame, featCol: String, labelCol: String,
           lambda: Double = 1e-3, iters: Int = 4): Array[Double] = {
-    val d0 = LinearModel.uniformDim(df, featCol)
-    val d = d0 + 1
     val base = df.select(
       concat(col(featCol), array(lit(1.0))).as("x"),
       col(labelCol).cast("double").as("y"))
-    var beta = new Array[Double](d)
+    var beta: Array[Double] = null // null = first iteration (β₀ = 0)
     for (_ <- 1 to iters) {
-      val xb = VectorOps.dot(col("x"), typedLit(beta.toSeq))
+      val xb =
+        if (beta == null) lit(0.0) // dot(x, 0-vector) without knowing d yet
+        else VectorOps.dot(col("x"), typedLit(beta.toSeq))
       val p = lit(1.0) / (lit(1.0) + exp(-xb))
       // weight clipped away from 0 so the working response stays finite
       // for separable points
       val w = greatest(p * (lit(1.0) - p), lit(1e-6))
       val z = xb + (col("y") - p) / w
-      val stats = base
-        .select(col("x"), w.as("w"), (w * z).as("wz"))
-        .agg(
-          VectorAgg.vectorSum(
-            graft.functions.WeightedOuterFlat(col("x"), col("w"))).as("xtwx"),
-          VectorAgg.vectorSum(
-            transform(col("x"), xi => xi * col("wz"))).as("xtwz"))
-        .head()
-      val flat = stats.getSeq[Double](0)
-      val xtwz = stats.getSeq[Double](1).toArray
+      val flat = base
+        .agg(NormalEq.normalEq(col("x"), w, w * z).as("s"))
+        .head().getSeq[Double](0)
+      val d = NormalEq.dimOf(flat.length)
       val xtwx = Array.tabulate(d, d)((i, j) => flat(i * d + j))
-      (0 until d0).foreach(i => xtwx(i)(i) += lambda) // no penalty on bias
+      val xtwz = Array.tabulate(d)(i => flat(d * d + i))
+      (0 until d - 1).foreach(i => xtwx(i)(i) += lambda) // no penalty on bias
       beta = LinearModel.solve(xtwx, xtwz)
     }
     beta
@@ -57,22 +57,33 @@ object LogisticRegression {
 
   /** SparkEntry glue: one-vs-rest for embedding label 0; per-label mean
     * predicted probability + accuracy at the 0.5 threshold (rows-only
-    * check; the spec bounds accuracy against the base rate). */
+    * check; the spec bounds accuracy against the base rate).
+    *
+    * Cache lifecycle: the corpus is cached only for the duration of the
+    * fit + scoring passes, the per-label result (≤ #labels rows) is
+    * materialized, and the cache is dropped with blocking=true BEFORE
+    * returning — the r3 pattern (lazy result + non-blocking unpersist
+    * issued before the caller's action) recomputed the whole pipeline on
+    * every downstream action and left cache churn behind for the next
+    * bench query. */
   def tsLogregEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         VectorOps.toDouble(col("embedding")).as("features"),
         (col("label") === 0).cast("double").as("y"))
       .cache()
-    val beta = fit(emb, "features", "y")
-    val out = emb
-      .withColumn("p", predictProb(col("features"), beta))
-      .groupBy(col("label"))
-      .agg(round(avg(col("p")), 6).as("mean_p"),
-           avg(((col("p") >= 0.5).cast("double") === col("y")).cast("double")).as("acc"),
-           count(lit(1)).as("n"))
-      .select(col("label"), col("mean_p"), round(col("acc"), 6).as("acc"), col("n"))
-    emb.unpersist(blocking = false)
-    out
+    try {
+      val beta = fit(emb, "features", "y")
+      val out = emb
+        .withColumn("p", predictProb(col("features"), beta))
+        .groupBy(col("label"))
+        .agg(round(avg(col("p")), 6).as("mean_p"),
+             avg(((col("p") >= 0.5).cast("double") === col("y")).cast("double")).as("acc"),
+             count(lit(1)).as("n"))
+        .select(col("label"), col("mean_p"), round(col("acc"), 6).as("acc"), col("n"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally emb.unpersist(blocking = true)
   }
 }

@@ -397,15 +397,15 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(corr(col("l_discount"), col("l_extendedprice")), 6).as("corr_disc_price"),
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("corr_qty_price"),
+        (round(corr(col("l_discount"), col("l_extendedprice")), 6) + lit(0.0)).as("corr_disc_price"),
         round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
         count(lit(1)).as("n"))
 
   val qCorrSql: String =
     """SELECT l_returnflag,
-      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-      |  round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
+      |  round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+      |  round(corr(l_discount, l_extendedprice), 6) + 0.0 AS corr_disc_price,
       |  round(stddev_samp(l_quantity), 6) AS sd_qty,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin

@@ -119,9 +119,11 @@ object Tensorize {
       "user_id", Seq("ts_us", "event_id"), "value", t = 20, skip = 5, rulCap = 130)
       .select(col("user_id"), col("widx"),
         col("rul").cast("long").as("rul"),
-        round(array_min(col("features")), 6).as("z_min"),
-        round(array_max(col("features")), 6).as("z_max"),
-        round(element_at(col("features"), -1), 6).as("z_last"))
+        // + 0.0 folds a -0.0 round output (z-score in (-0.5e-6, 0) under
+        // DuckDB's float round) to +0.0; mirrored in the oracle SQL
+        (round(array_min(col("features")), 6) + lit(0.0)).as("z_min"),
+        (round(array_max(col("features")), 6) + lit(0.0)).as("z_max"),
+        (round(element_at(col("features"), -1), 6) + lit(0.0)).as("z_last"))
 
   /** DuckDB oracle for [[tsWindowTensorize]]: the same scale → window →
     * z-norm pipeline via window frames (z_min/z_max are monotone under the
@@ -145,9 +147,9 @@ object Tensorize {
       |SELECT user_id,
       |  CAST((rn - 20) / 5 AS BIGINT) AS widx,
       |  CAST(least(130, n - rn) AS BIGINT) AS rul,
-      |  round((vmin - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) AS z_min,
-      |  round((vmax - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) AS z_max,
-      |  round((v - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) AS z_last
+      |  round((vmin - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_min,
+      |  round((vmax - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_max,
+      |  round((v - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_last
       |FROM f WHERE rn >= 20 AND (rn - 20) % 5 = 0""".stripMargin
 
   /** SparkEntry glue: pad/left-truncate each user's series to 512 steps.

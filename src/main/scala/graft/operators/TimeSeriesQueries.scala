@@ -42,14 +42,19 @@ object TimeSeriesQueries {
   // §2.1 #3 — per-trajectory z-score with eps-guarded std
   def tsZscoreNorm(spark: SparkSession, sfDir: String): DataFrame =
     TimeSeriesOps.zscoreNorm(ev(spark, sfDir), "user_id", "value")
-      .select(col("user_id"), col("event_id"), round(col("value_z"), 6).as("value_z"))
+      .select(col("user_id"), col("event_id"),
+        // + 0.0 normalizes IEEE -0.0 → +0.0: a z-score in (-0.5e-6, 0)
+        // rounds to -0.0 under DuckDB's float round but +0.0 under Spark's
+        // BigDecimal round, and the driver's hash is byte-sensitive. Same
+        // normalization appears in the oracle SQL.
+        (round(col("value_z"), 6) + lit(0.0)).as("value_z"))
 
   val tsZscoreNormSql: String =
     """SELECT user_id, event_id,
       |  round((value - avg(value) OVER w) /
       |        (CASE WHEN stddev_samp(value) OVER w IS NULL
       |               OR stddev_samp(value) OVER w <= 1e-12
-      |              THEN 1.0 ELSE stddev_samp(value) OVER w END), 6) AS value_z
+      |              THEN 1.0 ELSE stddev_samp(value) OVER w END), 6) + 0.0 AS value_z
       |FROM events
       |WINDOW w AS (PARTITION BY user_id)""".stripMargin
 
@@ -213,16 +218,16 @@ object TimeSeriesQueries {
       .withColumn("ts_h", (col("ts_us") - lit(1704067200000000L)) / lit(3600000000.0))
     d.groupBy(col("user_id"))
       .agg(
-        round(regr_slope(col("value"), col("ts_h")), 6).as("slope"),
-        round(regr_intercept(col("value"), col("ts_h")), 4).as("intercept"),
+        (round(regr_slope(col("value"), col("ts_h")), 6) + lit(0.0)).as("slope"),
+        (round(regr_intercept(col("value"), col("ts_h")), 4) + lit(0.0)).as("intercept"),
         round(regr_r2(col("value"), col("ts_h")), 6).as("r2"),
         count(lit(1)).as("n"))
   }
 
   val tsLinregRulSql: String =
     """SELECT user_id,
-      |  round(regr_slope(value, ts_h), 6) AS slope,
-      |  round(regr_intercept(value, ts_h), 4) AS intercept,
+      |  round(regr_slope(value, ts_h), 6) + 0.0 AS slope,
+      |  round(regr_intercept(value, ts_h), 4) + 0.0 AS intercept,
       |  round(regr_r2(value, ts_h), 6) AS r2,
       |  count(*) AS n
       |FROM (SELECT user_id, value,
@@ -455,12 +460,12 @@ object TimeSeriesQueries {
     ev(spark, sfDir)
       .withColumn("prev", lag(col("value"), 1).over(w))
       .groupBy(col("user_id"))
-      .agg(round(corr(col("value"), col("prev")), 6).as("acf1"),
+      .agg((round(corr(col("value"), col("prev")), 6) + lit(0.0)).as("acf1"),
            count(col("prev")).as("n_pairs"))
   }
 
   val tsAutocorrSql: String =
-    """SELECT user_id, round(corr(value, prev), 6) AS acf1,
+    """SELECT user_id, round(corr(value, prev), 6) + 0.0 AS acf1,
       |  count(prev) AS n_pairs
       |FROM (
       |  SELECT user_id, value,
@@ -506,12 +511,14 @@ object TimeSeriesQueries {
         alpha = 0.3, beta = 0.2)
       .select(col("user_id"), col("event_id"),
         round(col("level"), 6).as("level"),
-        round(col("trend"), 6).as("trend"),
+        // trend is a smoothed difference and can land in (-0.5e-6, 0);
+        // + 0.0 folds the resulting -0.0 to +0.0 on both engines
+        (round(col("trend"), 6) + lit(0.0)).as("trend"),
         round(col("level") + col("trend"), 6).as("forecast"))
 
   val tsHoltSql: String =
     """SELECT user_id, event_id,
-      |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+      |  round(st[1], 6) AS level, round(st[2], 6) + 0.0 AS trend,
       |  round(st[1] + st[2], 6) AS forecast
       |FROM (
       |  SELECT user_id, event_id,
@@ -623,21 +630,25 @@ object TimeSeriesQueries {
       .withColumn("dow_angle",
         lit(2.0) * lit(math.Pi) * pmod(col("ts_us"), lit(604800000000L)) / lit(604800000000.0))
       .select(col("event_id"), col("ts_us"),
-        round(sin(col("hod_angle")), 6).as("hod_sin"),
-        round(cos(col("hod_angle")), 6).as("hod_cos"),
-        round(sin(col("dow_angle")), 6).as("dow_sin"),
-        round(cos(col("dow_angle")), 6).as("dow_cos"))
+        // sin/cos evaluated near multiples of π/2 produce magnitudes
+        // ~1e-10 of either sign; + 0.0 normalizes the -0.0 round output
+        (round(sin(col("hod_angle")), 6) + lit(0.0)).as("hod_sin"),
+        (round(cos(col("hod_angle")), 6) + lit(0.0)).as("hod_cos"),
+        (round(sin(col("dow_angle")), 6) + lit(0.0)).as("dow_sin"),
+        (round(cos(col("dow_angle")), 6) + lit(0.0)).as("dow_cos"))
 
   val tsFourierFeaturesSql: String =
     """SELECT event_id, ts_us,
-      |  round(sin(hod_angle), 6) AS hod_sin,
-      |  round(cos(hod_angle), 6) AS hod_cos,
-      |  round(sin(dow_angle), 6) AS dow_sin,
-      |  round(cos(dow_angle), 6) AS dow_cos
+      |  round(sin(hod_angle), 6) + 0.0 AS hod_sin,
+      |  round(cos(hod_angle), 6) + 0.0 AS hod_cos,
+      |  round(sin(dow_angle), 6) + 0.0 AS dow_sin,
+      |  round(cos(dow_angle), 6) + 0.0 AS dow_cos
       |FROM (
       |  SELECT event_id, epoch_us(ts) AS ts_us,
-      |    2.0 * pi() * (epoch_us(ts) % 86400000000) / 86400000000.0 AS hod_angle,
-      |    2.0 * pi() * (epoch_us(ts) % 604800000000) / 604800000000.0 AS dow_angle
+      |    2.0 * pi() * (((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+      |      / 86400000000.0 AS hod_angle,
+      |    2.0 * pi() * (((epoch_us(ts) % 604800000000) + 604800000000) % 604800000000)
+      |      / 604800000000.0 AS dow_angle
       |  FROM events)""".stripMargin
 
   // §2.1 extras — seasonal-trend decomposition (additive, STL-style
@@ -696,14 +707,20 @@ object TimeSeriesQueries {
       .select(col("user_id"), col("bucket_us"),
         round(col("v"), 6).as("v"),
         round(col("trend"), 6).as("trend"),
-        round(col("seasonal"), 6).as("seasonal"),
-        round(col("detr") - col("seasonal"), 6).as("resid"))
+        // seasonal and resid are detrended quantities that can land in
+        // (-0.5e-6, 0): Spark's BigDecimal round yields +0.0 there while
+        // DuckDB's float round yields -0.0, and the driver's hash is
+        // byte-sensitive (r3's only oracle failure, 302/9567 rows).
+        // IEEE `-0.0 + 0.0 = +0.0` normalizes both engines.
+        (round(col("seasonal"), 6) + lit(0.0)).as("seasonal"),
+        (round(col("detr") - col("seasonal"), 6) + lit(0.0)).as("resid"))
   }
 
   val tsStlDecomposeSql: String =
     """WITH hourly AS (
       |  SELECT user_id,
-      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+      |    epoch_us(ts)
+      |      - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000 AS bucket_us,
       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
       |    count(*) AS n
       |  FROM events GROUP BY 1, 2),
@@ -713,7 +730,7 @@ object TimeSeriesQueries {
       |    CAST(sum(sv) OVER w AS DOUBLE) / (100.0 * sum(n) OVER w) AS trend,
       |    CAST(sv AS DOUBLE) / (100.0 * n)
       |      - CAST(sum(sv) OVER w AS DOUBLE) / (100.0 * sum(n) OVER w) AS detr,
-      |    (bucket_us // 3600000000) % 24 AS hod
+      |    (((bucket_us // 3600000000) % 24) + 24) % 24 AS hod
       |  FROM hourly
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_us
       |               RANGE BETWEEN 43200000000 PRECEDING
@@ -727,7 +744,7 @@ object TimeSeriesQueries {
       |SELECT user_id, bucket_us,
       |  round(v, 6) AS v,
       |  round(trend, 6) AS trend,
-      |  round(seasonal, 6) AS seasonal,
-      |  round(detr - seasonal, 6) AS resid
+      |  round(seasonal, 6) + 0.0 AS seasonal,
+      |  round(detr - seasonal, 6) + 0.0 AS resid
       |FROM seas""".stripMargin
 }

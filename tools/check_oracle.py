@@ -8,8 +8,11 @@ oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with the sfDir
 parquet files registered as views, then compares: schema (sorted column
 names), dtype FAMILIES (int vs float vs other — the driver's hash is
 type-sensitive, so a DuckDB HUGEINT surfacing as float64 must fail here
-too), row count, and values (columns sorted by name, rows sorted, floats
-rounded to 9 decimal places before comparing).
+too), row count, and values BYTE-EXACTLY (columns sorted by name, rows
+sorted; float columns compared on their IEEE-754 bit patterns, so a
+Spark +0.0 vs DuckDB -0.0 fails here exactly as it fails the driver's
+byte-sensitive hash — the prior rtol=1e-9 comparison let the r3
+ts_stl_decompose sign-of-zero mismatch ship).
 """
 import sys, os, json, glob
 import duckdb
@@ -22,10 +25,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         if np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(9)
+            # widen (exact) so float32 vs float64 outputs compare on value;
+            # do NOT round — the driver hashes raw bytes
+            df[c] = df[c].astype(np.float64)
         if np.issubdtype(df[c].dtype, np.datetime64):
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def bitwise_float_diff(got: pd.DataFrame, want: pd.DataFrame):
+    """Return (col, n_bad, first_idx) for the first float column whose
+    IEEE bit patterns differ (NaN==NaN regardless of payload), else None."""
+    for c in got.columns:
+        if not np.issubdtype(got[c].dtype, np.floating):
+            continue
+        a = got[c].to_numpy(dtype=np.float64)
+        b = want[c].to_numpy(dtype=np.float64)
+        na, nb = np.isnan(a), np.isnan(b)
+        bad = (na != nb) | (~na & ~nb & (a.view(np.int64) != b.view(np.int64)))
+        if bad.any():
+            i = int(np.argmax(bad))
+            return c, int(bad.sum()), i
+    return None
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -59,11 +79,20 @@ def main(sf_dir, out_dir):
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
         try:
+            # non-float columns (ints/strings/timestamps) exact
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=False, rtol=1e-9, atol=1e-9)
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         except AssertionError as e:
-            print(f"FAIL {name}: value mismatch\n{str(e)[:500]}"); n_fail += 1
+            print(f"FAIL {name}: value mismatch\n{str(e)[:500]}"); n_fail += 1; continue
+        # float columns byte-exact (the driver hashes raw bytes; -0.0 != +0.0)
+        bit = bitwise_float_diff(got, want)
+        if bit is not None:
+            c, nbad, i = bit
+            print(f"FAIL {name}: bitwise float mismatch col={c} rows={nbad} "
+                  f"first@{i}: spark={got[c].iloc[i]!r} oracle={want[c].iloc[i]!r} "
+                  f"(signbit {np.signbit(got[c].iloc[i])} vs {np.signbit(want[c].iloc[i])})")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
