@@ -179,13 +179,27 @@ object Dedup {
 
   /** Embedding near-dup pairs within a bounded candidate window: same
     * label, vec_id within `idWindow` (stand-in for an ANN bucket join at
-    * scale — see Similarity.annLsh for the unbounded path). */
+    * scale — see Similarity.annLsh for the unbounded path).
+    *
+    * Banded equi-join on (label, vec_id div idWindow), mirroring the
+    * ngram generator above: with bucket width = idWindow, a qualifying
+    * pair (id_b − id_a ∈ (0, idWindow]) has bucket_b ∈ {bucket_a,
+    * bucket_a + 1}, so the a-side explodes to those two bucket keys and
+    * the range test becomes a post-filter on an already-bounded pair set.
+    * The r3 shape — join on `label` alone with the id-window as a
+    * post-filter — materialized every same-label pair first: per-label
+    * QUADRATIC, and one giant shuffle partition per label at corpus
+    * scale. */
   def embedCosinePairs(emb: DataFrame, idWindow: Int = 50): DataFrame = {
+    // integer `div`, not float division + cast: vec_id can exceed 2^53 at
+    // corpus scale, where double division mis-buckets
+    val bucket = expr(s"vec_id div $idWindow")
     val a = emb.select(col("label"), col("vec_id").as("vec_id_a"),
-      col("embedding").as("e_a"))
+        col("embedding").as("e_a"),
+        explode(array(bucket, bucket + 1)).as("bkt"))
     val b = emb.select(col("label"), col("vec_id").as("vec_id_b"),
-      col("embedding").as("e_b"))
-    a.join(b, Seq("label"))
+      bucket.as("bkt"), col("embedding").as("e_b"))
+    a.join(b, Seq("label", "bkt"))
       .filter(col("vec_id_a") < col("vec_id_b") &&
               col("vec_id_b") - col("vec_id_a") <= idWindow)
       .withColumn("cos", round(graft.functions.VectorOps.cosineNative(col("e_a"), col("e_b")), 6))

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorOps
 
@@ -18,6 +17,26 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Final per-query re-rank: exact top-k by (cos desc, c_id asc) via the
+    * bounded-state `smallest_k` aggregate — map-side partials, k rows of
+    * state per query. The r3 `row_number() OVER (PARTITION BY q_id)` form
+    * funneled EVERY scored candidate into ≤|queries| shuffle partitions
+    * for a full sort; this shuffles only k·|queries| rows per map
+    * partition.
+    *
+    * Sort key = (−cos + 0.0, c_id): negation turns smallest-k into
+    * largest-cos; the `+ 0.0` folds the −(+0.0) = −0.0 artifact so two
+    * zero-cosine candidates can't order differently than the window form
+    * (IEEE sorts −0.0 < +0.0, but SQL DESC treats them tied). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.SmallestK.smallestK(
+        struct((-col("cos") + lit(0.0)).as("nc"), col("c_id"), col("cos")), k)
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.c_id").as("c_id"), col("t.cos").as("cos"))
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast). */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -25,10 +44,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cos", round(VectorOps.cosineNative(col("q_emb"), col("c_emb")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("q_id", "rk", "c_id", "cos")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (components in [-1, 1) from a
@@ -70,10 +86,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(VectorOps.cosineNative(col("q_emb"), col("c_emb")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("q_id", "rk", "c_id", "cos")
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN: the corpus is coarsely clustered once
@@ -107,10 +120,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(VectorOps.cosineNative(col("q_emb"), col("c_emb")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("q_id", "rk", "c_id", "cos")
+    topKPerQuery(scored, k)
   }
 
   // ---------- SparkEntry glue ----------

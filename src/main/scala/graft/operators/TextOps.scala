@@ -324,28 +324,96 @@ object TextOps {
       length(redacted).as("n_chars_redacted"): _*)
   }
 
+  // ---------- distributed per-stratum prefix sums ----------
+
+  /** Two-level (exclusive) prefix sum of `value` per stratum under
+    * (ord, id) order — the distributed replacement for an unbounded
+    * `sum/row_number OVER (PARTITION BY stratum ORDER BY ...)` window,
+    * which puts an ENTIRE stratum in one task: with a real corpus (one
+    * language ≈ half the data) that is a single-task scan of half the
+    * corpus.
+    *
+    * Shape: range-partition on (stratum, ord, id) so every partition holds
+    * a contiguous ordered slice →
+    *   job 1: per-(partition, stratum) subtotals (P·L tiny rows to the
+    *          driver) → exclusive cumulative base per (partition, stratum)
+    *          + per-stratum totals, broadcast back;
+    *   job 2: map-side running sum over the SAME shuffled RDD instance
+    *          (stage reuse — the range shuffle is computed once; job 2
+    *          reads its map output, it does not rescan the source).
+    * Every stratum may span many partitions, so skew spreads instead of
+    * concentrating; state per task is one counter per stratum-slice.
+    *
+    * Input tuples: (stratum, ord, id, value), ordered by (ord, id) within
+    * stratum. Returns ((stratum, id, value, exclusivePrefix) rows, totals
+    * per stratum). An RDD is used deliberately: the two-job
+    * subtotal/re-map structure over one shared shuffle is genuine
+    * per-partition imperative logic that the declarative layer cannot
+    * express. */
+  private[operators] def stratumPrefixSum(rows: DataFrame)
+      : (org.apache.spark.rdd.RDD[(String, Long, Long, Long)], Map[String, Long]) = {
+    val sorted = rows.toDF("s", "o", "i", "v")
+      .repartitionByRange(col("s"), col("o"), col("i"))
+      .sortWithinPartitions("s", "o", "i")
+    val spark = rows.sparkSession
+    // ONE RDD instance, shared by both jobs (shuffle-stage reuse)
+    val rdd = sorted.rdd
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (s, _, _, v) => m.update(s, m.getOrElse(s, 0L) + v) }
+      m.iterator.map { case (s, t) => (pid, s, t) }
+    }.collect()
+    val bases: Map[(Int, String), Long] = subtotals.groupBy(_._2).flatMap {
+      case (s, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).map { case (pid, _, t) =>
+          val b = acc; acc += t; ((pid, s), b)
+        }
+    }
+    val totals: Map[String, Long] =
+      subtotals.groupBy(_._2).map { case (s, arr) => s -> arr.map(_._3).sum }
+    val bc = spark.sparkContext.broadcast(bases)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (s, o, i, v) =>
+        val prefix = bc.value.getOrElse((pid, s), 0L) + run.getOrElse(s, 0L)
+        run.update(s, run.getOrElse(s, 0L) + v)
+        (s, i, v, prefix)
+      }
+    }
+    (out, totals)
+  }
+
   // ---------- stratified sampling ----------
 
   /** Deterministic stratified sample: within each stratum (language), keep
     * the ceil(frac·n) documents with the smallest md5-derived priority — a
     * seeded uniform draw that is reproducible across engines, partitionings
-    * and reruns (rand() is none of those). One shuffle on the stratum key;
-    * the per-stratum counts join back broadcast. The standard corpus
-    * re-balancing step before training-mix construction. */
+    * and reruns (rand() is none of those). The standard corpus
+    * re-balancing step before training-mix construction.
+    *
+    * Rank = distributed prefix COUNT via [[stratumPrefixSum]] (ord = the
+    * md5 priority): exact global per-stratum ranks without the r3
+    * one-task-per-stratum ranking window. The stratum column is keyed by
+    * its string form. */
   def stratifiedSample(docs: DataFrame, stratumCol: String,
                        frac: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
     val pri = graft.functions.Deterministic.md5Priority(col("doc_id"))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(pri, col("doc_id"))
-    // stratum size from a count window over the SAME partition the rank
-    // window already shuffles on — zero extra shuffle, zero extra scan
-    // (the groupBy + join-back form reads the source twice)
-    val wAll = Window.partitionBy(col(stratumCol))
-    docs.select(col("doc_id"), col(stratumCol))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_stratum", count(lit(1)).over(wAll))
-      .filter(col("rk") <= ceil(col("n_stratum") * lit(frac)))
-      .select(col(stratumCol), col("doc_id"), col("rk"), col("n_stratum"))
+    val rows = docs
+      .select(col(stratumCol).cast("string"), pri, col("doc_id"), lit(1L))
+    val (pref, totals) = stratumPrefixSum(rows)
+    val bcTotals = spark.sparkContext.broadcast(totals)
+    pref.mapPartitions { it =>
+      val t = bcTotals.value
+      it.flatMap { case (s, docId, _, prefix) =>
+        val n = t(s)
+        val rk = prefix + 1
+        if (rk <= math.ceil(n * frac).toLong) Some((s, docId, rk, n)) else None
+      }
+    }.toDF(stratumCol, "doc_id", "rk", "n_stratum")
   }
 
   // ---------- length profiling ----------
@@ -440,15 +508,18 @@ object TextOps {
     * contiguously per language (ordered by doc_id), and the token stream
     * is cut into fixed `budget`-token training chunks; each document maps
     * to the chunk containing its start offset. This is the packing step of
-    * an LLM pretraining pipeline (TFDS-style concat → chunk). One shuffle
-    * on the language key; the cumulative offset is a window sum over it. */
+    * an LLM pretraining pipeline (TFDS-style concat → chunk).
+    *
+    * The start offset is a distributed prefix sum via [[stratumPrefixSum]]
+    * — the r3 form (`sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)`
+    * with an unbounded frame) ran each language in ONE task. */
   def packChunks(docs: DataFrame, textCol: String, budget: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
     val nTok = size(wsTokens(col(textCol))).cast("long")
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col("lang"), col("doc_id"), nTok.as("n_tok"))
-      .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+    val rows = docs.select(col("lang"), col("doc_id"), col("doc_id"), nTok)
+    val (pref, _) = stratumPrefixSum(rows)
+    pref.toDF("lang", "doc_id", "n_tok", "off")
       .select(col("lang"), col("doc_id"), col("n_tok"), col("off"),
         expr(s"off div $budget").as("chunk_id"),
         pmod(col("off"), lit(budget.toLong)).as("chunk_off"))

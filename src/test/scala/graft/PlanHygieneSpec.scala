@@ -64,6 +64,16 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("dedup_embed joins on the banded (label, bucket) key, not label alone") {
+    // a label-only equi-join materializes every same-label pair before the
+    // id-window filter — per-label quadratic and one giant partition per
+    // label at corpus scale; the bucket key must participate in the join
+    val plan = SparkEntry.queries("dedup_embed")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("bkt"),
+      s"dedup_embed no longer joins on the banded bucket key:\n${plan.take(1500)}")
+  }
+
   test("oracle-checked scans prune columns (no SELECT * scans of lineitem)") {
     val plan = operators.Relational.q1Agg(spark, sf)
       .queryExecution.executedPlan.toString
