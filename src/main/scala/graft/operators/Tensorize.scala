@@ -183,4 +183,74 @@ object Tensorize {
       |        ELSE 0.0 END, 6) AS seq_first,
       |  round(max(CASE WHEN rn = n THEN value END), 6) AS seq_last
       |FROM o GROUP BY user_id""".stripMargin
+
+  /** Provided-RUL validation windows — the reference's validation-set
+    * construction (turbofan.py:118 `sliding_window_rul(self.val_trajectories,
+    * rul=self.val_rul, augment_test_data=False)`): keep ONLY the last
+    * T-step window of each trajectory, front-pad short trajectories by
+    * repeating their FIRST observation (the np backfill at
+    * turbofan.py:135-138: `padded_traj[0:pad] = traj[0]`), and label each
+    * window with an EXTERNALLY supplied per-trajectory RUL (the
+    * RUL_FD00x.txt files of turbofan.py:100-103), clipped at `rulCap`
+    * (`y[y > max_rul_predictable] = max_rul_predictable`).
+    *
+    * `labels` must have columns (key, rul_provided); it is a per-trajectory
+    * table — tiny relative to the observations — so it broadcasts. One
+    * shuffle (groupBy key); per-key state is one bounded array.
+    */
+  def rulValidationWindow(df: DataFrame, labels: DataFrame, key: String,
+                          tsOrderCol: String, valueCol: String, t: Int,
+                          rulCap: Int): DataFrame =
+    df.groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col(tsOrderCol), col(valueCol)))).as("pts"))
+      .withColumn("orig_len", size(col("pts")))
+      .withColumn("vals", transform(col("pts"), p => p(valueCol)))
+      .withColumn("seq",
+        when(col("orig_len") >= t, slice(col("vals"), -t, t))
+          .otherwise(concat(
+            array_repeat(element_at(col("vals"), 1),
+              (lit(t) - col("orig_len")).cast("int")), col("vals"))))
+      .join(broadcast(labels), Seq(key))
+      .withColumn("rul", least(lit(rulCap.toLong), col("rul_provided").cast("long")))
+      .select(col(key), col("orig_len"), col("seq"), col("rul"))
+
+  /** SparkEntry glue: last-64-step validation window per trajectory with a
+    * deterministic stand-in for the external RUL label file
+    * (`(user_id·37 + 11) mod 200` — exercises the 130 clip), digested to
+    * scalars for the oracle gate like [[tsPadTruncate]]. */
+  def tsRulValidation(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts")))
+    val labels = ev.select(col("user_id")).distinct()
+      .withColumn("rul_provided", pmod(col("user_id") * 37 + 11, lit(200)))
+    rulValidationWindow(ev, labels, "user_id", "ts_us", "value",
+        t = 64, rulCap = 130)
+      .select(col("user_id"),
+        col("orig_len").cast("long").as("orig_len"),
+        greatest(lit(0L), lit(64L) - col("orig_len")).as("n_pad"),
+        col("rul"),
+        round(aggregate(col("seq"), lit(0.0), (acc, x) => acc + x), 6).as("win_sum"),
+        round(element_at(col("seq"), 1), 6).as("win_first"),
+        round(element_at(col("seq"), -1), 6).as("win_last"))
+  }
+
+  /** DuckDB oracle for [[tsRulValidation]]: the padded window sum equals
+    * tail-sum + n_pad·first (padding repeats the first observation); the
+    * window head is the first observation when padded, else the value at
+    * rn = n − 63. user_id ≥ 0, so `%` matches Spark's pmod. */
+  val tsRulValidationSql: String =
+    """WITH o AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(max(n) AS BIGINT) AS orig_len,
+      |  CAST(greatest(0, 64 - max(n)) AS BIGINT) AS n_pad,
+      |  CAST(least(130, (user_id * 37 + 11) % 200) AS BIGINT) AS rul,
+      |  round(sum(CASE WHEN rn > n - 64 THEN value ELSE 0.0 END)
+      |        + greatest(0, 64 - max(n))
+      |          * max(CASE WHEN rn = 1 THEN value END), 6) AS win_sum,
+      |  round(max(CASE WHEN rn = greatest(1, n - 63) THEN value END), 6) AS win_first,
+      |  round(max(CASE WHEN rn = n THEN value END), 6) AS win_last
+      |FROM o GROUP BY user_id""".stripMargin
 }

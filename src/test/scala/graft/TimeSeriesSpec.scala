@@ -101,6 +101,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2) == Seq(2.0, 3.0, 4.0))
   }
 
+  test("rulValidationWindow: last window only, first-row backfill, clipped external label") {
+    val df = mkSeries(Seq((1, 1L, 5.0), (1, 2L, 6.0), (2, 1L, 1.0), (2, 2L, 2.0),
+                          (2, 3L, 3.0), (2, 4L, 4.0)))
+    val labels = Seq((1, 150L), (2, 7L)).toDF("k", "rul_provided")
+    val got = Tensorize.rulValidationWindow(df, labels, "k", "t", "v",
+        t = 3, rulCap = 130).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getAs[scala.collection.Seq[Double]]("seq"), r.getAs[Long]("rul")))).toMap
+    assert(got.size == 2) // exactly one window per trajectory
+    assert(got(1)._1 == Seq(5.0, 5.0, 6.0)) // backfilled with traj[0], not 0.0
+    assert(got(1)._2 == 130L)               // external label clipped at cap
+    assert(got(2)._1 == Seq(2.0, 3.0, 4.0)) // last T of a long trajectory
+    assert(got(2)._2 == 7L)
+  }
+
   test("addingProblem: y equals sum of the two masked positions, deterministic") {
     val df = Synthetic.addingProblem(spark, n = 50, t = 16)
     val rows = df.collect()
