@@ -104,15 +104,23 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name, r_name""".stripMargin
 
-  /** Top-3 orders by totalprice per priority class (window rank). */
-  def qTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  /** Top-3 orders by totalprice per priority class, via the bounded-state
+    * `smallest_k` aggregate (same shape as [[qTopWords]]). A
+    * `row_number() OVER (PARTITION BY o_orderpriority ...)` window would
+    * sort the ENTIRE orders table on the 5 priority values — 5 tasks at
+    * any scale; the aggregate keeps 3 rows of state per priority with
+    * map-side partials. o_totalprice > 0, so negating it for the
+    * descending order cannot produce a -0.0 sort-key artifact. */
+  def qTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
-  }
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.SmallestK.smallestK(
+        struct((-col("o_totalprice")).as("np"), col("o_orderkey"),
+          col("o_totalprice")), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.o_orderkey").as("o_orderkey"),
+        col("t.o_totalprice").as("o_totalprice"))
 
   val qTopkPerGroupSql: String =
     """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (

@@ -74,6 +74,34 @@ class PlanHygieneSpec extends SparkSpec {
       s"dedup_embed no longer joins on the banded bucket key:\n${plan.take(1500)}")
   }
 
+  test("bounded-state top-k queries plan no rank window") {
+    // a row_number window partitioned by a low-cardinality key (priority
+    // class, query id, language) sorts the whole input on a handful of
+    // tasks; these queries must rank through the smallest_k aggregate
+    // (k rows of state per group, map-side partials) instead
+    Seq("q_topk_per_group", "q_top_words", "ann_topk", "ann_lsh", "ann_ivf")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Window"),
+          s"$name still plans a rank window:\n${plan.take(1500)}")
+        assert(plan.contains("partial_smallestkagg"),
+          s"$name does not map-side-aggregate through smallest_k:\n${plan.take(1500)}")
+      }
+  }
+
+  test("doc packing and stratified sampling plan no per-stratum window") {
+    // the distributed prefix sum replaced unbounded one-task-per-language
+    // windows; a WindowExec reappearing here means the operator regressed
+    // to single-task-per-stratum execution
+    Seq("doc_pack_chunks", "doc_stratified_sample").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plans a per-stratum window again:\n${plan.take(1500)}")
+    }
+  }
+
   test("oracle-checked scans prune columns (no SELECT * scans of lineitem)") {
     val plan = operators.Relational.q1Agg(spark, sf)
       .queryExecution.executedPlan.toString
