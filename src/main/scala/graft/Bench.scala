@@ -19,24 +19,43 @@ object Bench {
     // the timed pass reports throughput rather than one-off whole-stage
     // codegen (Janino) compile times — the cost a long-lived session or any
     // executor pays once. Disable with SPARK_GRAFT_COLD=1 to measure cold.
-    // NonFatal only: an OOM/VM error must crash the bench, not be absorbed
+    // NonFatal only: an OOM/VM error must crash the bench, not be absorbed.
+    // Warm-pass failures are named too — a query that fails only cold must
+    // not silently report a flattered steady-state number.
     if (!sys.env.get("SPARK_GRAFT_COLD").contains("1"))
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, sfDir).count()
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm pass $name FAILED: $e")
+        }
       }
+    // median-of-N timed passes (default 3) so one noisy run — GC pause, OS
+    // page-cache eviction, driver-box contention — can't move a per-query
+    // number 3× between rounds. SPARK_GRAFT_BENCH_REPS=1 restores the old
+    // single-pass behavior.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          failed ::= name; false
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: $e"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -dt
+      }
+      // failures are recorded as negative so they can't pose as wall time;
+      // any failing rep fails the query
+      val v =
+        if (times.exists(_ < 0)) { failed ::= name; -times.map(math.abs).max }
+        else {
+          val s = times.sorted
+          if (reps % 2 == 1) s(reps / 2)
+          else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // failures are recorded as negative so they can't pose as wall time
-      name -> (if (ok) dt else -dt)
+      name -> v
     }.toMap
     // the driver archives only the last ~2000 output chars and parses the
     // final line as JSON — centisecond per-query precision (plenty for a

@@ -20,6 +20,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Arithmetic is a strict left-to-right double fold — bit-identical to the
   * HOF version and to the DuckDB oracle's sequential list folds (see
   * VectorOpsSpec for the equivalence test).
+  *
+  * Degenerate inputs: a zero-norm side yields NULL (never NaN) — callers
+  * ranking by cosine filter nulls explicitly (Similarity.topKPerQuery).
+  * NaN ELEMENTS in an input array propagate NaN out; upstream embedding
+  * columns are assumed NaN-free (true of every graft source).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

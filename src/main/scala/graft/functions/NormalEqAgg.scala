@@ -54,6 +54,18 @@ case class NormalEqAgg(x: Expression, w: Expression, wz: Expression,
     if (xv == null) return buf
     val a = xv.asInstanceOf[ArrayData]
     val d = a.numElements()
+    // d = 0 would leave the buffer at the empty marker (0·0+0 == 0): the
+    // row would be silently ignored instead of tripping the raggedness
+    // check, and an all-empty input would eval to null downstream
+    require(d > 0, "normal_eq: empty feature vector")
+    // null elements must be rejected before getDouble: UnsafeArrayData
+    // yields garbage 0.0 for them, GenericArrayData an NPE — an O(d) scan
+    // against the O(d²) accumulate below
+    var k = 0
+    while (k < d) {
+      require(!a.isNullAt(k), s"normal_eq: null element at index $k in feature vector")
+      k += 1
+    }
     val b =
       if (buf.length == 0) new Array[Double](d * d + d)
       else {

@@ -35,9 +35,14 @@ object LinearModel {
     // one fused aggregation; see NormalEqAgg for why this replaces the
     // vector_sum(weighted_outer_flat(...)) pair (per-row d² allocation),
     // and raggedness now fails fast inside the aggregate itself
-    val flat = withBias
+    val statsRow = withBias
       .agg(graft.functions.NormalEq.normalEq(col("x"), lit(1.0), col("y")).as("s"))
-      .head().getSeq[Double](0)
+      .head()
+    // the aggregate evals to null over zero rows — fail with a diagnosis,
+    // not an NPE (e.g. an empty train fold reaching fitRidge)
+    require(!statsRow.isNullAt(0),
+      "fitRidge called on empty input (no non-null feature rows)")
+    val flat = statsRow.getSeq[Double](0)
     val d = graft.functions.NormalEq.dimOf(flat.length)
     val xtx = Array.tabulate(d, d)((i, j) => flat(i * d + j))
     val xty = Array.tabulate(d)(i => flat(d * d + i))

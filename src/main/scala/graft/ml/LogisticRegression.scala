@@ -43,9 +43,13 @@ object LogisticRegression {
       // for separable points
       val w = greatest(p * (lit(1.0) - p), lit(1e-6))
       val z = xb + (col("y") - p) / w
-      val flat = base
+      val statsRow = base
         .agg(NormalEq.normalEq(col("x"), w, w * z).as("s"))
-        .head().getSeq[Double](0)
+        .head()
+      // null = the aggregate saw zero rows; diagnose instead of NPE
+      require(!statsRow.isNullAt(0),
+        "LogisticRegression.fit called on empty input (no non-null feature rows)")
+      val flat = statsRow.getSeq[Double](0)
       val d = NormalEq.dimOf(flat.length)
       val xtwx = Array.tabulate(d, d)((i, j) => flat(i * d + j))
       val xtwz = Array.tabulate(d)(i => flat(d * d + i))

@@ -223,17 +223,28 @@ object Dedup {
     */
   def componentLabels(vertices: DataFrame, pairs: DataFrame,
                       maxIters: Int = 20): DataFrame = {
-    // materialize the edge set ONCE — its lineage embeds the candidate
-    // generator (an expensive similarity self-join), which would otherwise
-    // be recomputed by every propagation round and convergence check
-    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    // The fixpoint state covers ONLY edge-incident vertices: singletons —
+    // the overwhelming majority of any corpus — never enter the loop and
+    // get their own id back in the final join. Self-loops fold "keep your
+    // own label" into the propagation join+agg itself, so each round has
+    // no union branch. The edge set is materialized ONCE — its lineage
+    // embeds the candidate generator (an expensive similarity self-join),
+    // which would otherwise be recomputed by every round.
+    val sym = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    val edges = sym.unionByName(sym.select(col("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = vertices.select(col("doc_id").as("v"), col("doc_id").as("l"))
+    // Seed = one-hop closed-neighborhood min (self included via the
+    // self-loop): one agg, worth a full propagation round — shallow
+    // near-dup clusters often converge AT the seed and pay one
+    // confirmation round only.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("l"))
+      .select(col("src").as("v"), col("l"))
       .localCheckpoint()
     // Convergence test: labels are monotonically non-increasing under
-    // min-propagation (every candidate label includes the vertex's own), so
+    // min-propagation (the closed neighborhood includes the vertex), so
     // the fixpoint is reached exactly when sum(l) stops decreasing — one
     // shuffle-free partial aggregate over the just-checkpointed frame,
     // instead of a join + count against the previous round's labels. The
@@ -247,19 +258,20 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val prop = labels.join(edges, labels("v") === edges("src"))
+      // propagate: min label over the closed neighborhood (self-loop
+      // supplies the vertex's own label) — one join + one agg
+      val neighbor = labels.join(edges, labels("v") === edges("src"))
+        .groupBy(edges("dst")).agg(min(col("l")).as("l"))
         .select(col("dst").as("v"), col("l"))
-      // materialized before the self-join below (re-using one lazy plan on
-      // both sides trips Catalyst's union constraint rewrite, and the
-      // checkpoint also keeps the join from recomputing the aggregation)
-      val neighbor = labels.unionByName(prop)
-        .groupBy(col("v")).agg(min(col("l")).as("l"))
-        .localCheckpoint()
-      // pointer jumping (path halving): l <- label(label(v)). Neighbor
-      // propagation alone needs O(component diameter) rounds — a chain of
-      // templated near-dups is exactly that worst case; the jump roughly
-      // squares the reach per round, so maxIters covers ~2^maxIters-long
-      // chains instead of maxIters-long ones.
+      // pointer jumping (path halving) fused into the same round:
+      // l <- min(l, label(l)). Neighbor propagation alone needs
+      // O(component diameter) rounds — a chain of templated near-dups is
+      // exactly that worst case; the jump roughly squares the reach per
+      // round. `neighbor` feeds both sides of the jump join lazily and is
+      // recomputed rather than checkpointed: two joins over the (small)
+      // incident-vertex set are cheaper than a second materialization per
+      // round — the r4 shape paid 3 checkpoint jobs per round and the
+      // checkpoint overhead, not the join math, dominated the bench.
       val next = neighbor
         .join(neighbor.select(col("v").as("lv"), col("l").as("ll")),
           col("l") === col("lv"))
@@ -275,7 +287,13 @@ object Dedup {
     // cluster invariant downstream (dedupClusters, pipeline_curation)
     require(converged,
       s"componentLabels did not converge within $maxIters rounds")
-    labels
+    // Singletons re-enter here: every vertex without an edge keeps its own
+    // id. The label side is at most the incident vertices — AQE broadcasts
+    // it when small; at corpus scale this is the only join that touches
+    // the full vertex set, once, instead of every round.
+    vertices.select(col("doc_id").as("v"))
+      .join(labels.withColumnRenamed("l", "cl"), Seq("v"), "left")
+      .select(col("v"), coalesce(col("cl"), col("v")).as("l"))
   }
 
   /** Cluster assignment for every document: near-dup edges = same-lang

@@ -27,9 +27,16 @@ object Similarity {
     * Sort key = (−cos + 0.0, c_id): negation turns smallest-k into
     * largest-cos; the `+ 0.0` folds the −(+0.0) = −0.0 artifact so two
     * zero-cosine candidates can't order differently than the window form
-    * (IEEE sorts −0.0 < +0.0, but SQL DESC treats them tied). */
+    * (IEEE sorts −0.0 < +0.0, but SQL DESC treats them tied).
+    *
+    * Null cosines (CosineSimilarity yields null — never NaN — for a
+    * zero-norm side) are dropped explicitly: a window `cos DESC` sorted
+    * them last, while −null stays null and its smallest-k placement would
+    * be an implementation detail. Excluding degenerate candidates is the
+    * only defensible semantics either way. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("q_id"))
+    scored.filter(col("cos").isNotNull)
+      .groupBy(col("q_id"))
       .agg(graft.functions.SmallestK.smallestK(
         struct((-col("cos") + lit(0.0)).as("nc"), col("c_id"), col("cos")), k)
         .as("top"))
@@ -99,8 +106,12 @@ object Similarity {
              k: Int): DataFrame = {
     // index build cost (the k-means fit) is paid once per corpus in a real
     // deployment and amortized over all queries; one refinement iteration
-    // is enough for routing-quality cells
-    val (_, centroids) = graft.ml.KMeans.fitWithCentroids(corpus, nlist, iters = 1)
+    // is enough for routing-quality cells. Centroids pinned at 6 dp — the
+    // same reproducibility rule as ts_kmeans_embed: float means are
+    // accumulation-order-dependent, pinning makes routing identical across
+    // engines/partitionings and lets the DuckDB oracle replay the index.
+    val (_, centroids) = graft.ml.KMeans.fitWithCentroids(corpus, nlist,
+      iters = 1, roundDp = Some(6))
     // cell assignment map-side against the driver-resident centroids — no
     // join of the corpus back to the fit's assignment (that join would
     // shuffle the whole corpus twice at scale)
@@ -142,15 +153,105 @@ object Similarity {
       |  WHERE q.vec_id < 10)
       |WHERE rk <= 5""".stripMargin
 
-  /** LSH-bucketed variant of the same search (spec checks recall vs exact). */
+  /** LSH-bucketed variant of the same search (spec checks recall vs exact;
+    * oracle replays the exact bucket join below). */
   def annLshQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     annLsh(emb, emb.filter(col("vec_id") < 10), dim = 64, nBits = 8, k = 5)
   }
 
-  /** IVF variant (spec checks recall vs exact). */
+  /** DuckDB oracle for [[annLshQuery]]: the hyperplanes are deterministic
+    * literals, so the signature is SQL-expressible — bit b of the bucket is
+    * the sign of a sequential double dot product (`list_dot_product` folds
+    * left-to-right like the native expression; products are commutative
+    * bitwise, so the accumulation is bit-identical), MSB-first like
+    * [[graft.functions.HyperplaneSignature]]. Candidates = equal buckets;
+    * re-rank identical to [[annTopkSql]]. */
+  val annLshSql: String = {
+    val planes = hyperplanes(dim = 64, nBits = 8)
+    val sigExpr = planes.zipWithIndex.map { case (p, b) =>
+      val lit = p.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]")
+      val weight = 1L << (planes.length - 1 - b) // MSB-first
+      s"(CASE WHEN list_dot_product(emb, ${lit}::DOUBLE[]) >= 0 THEN ${weight} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH s AS (
+       |  SELECT vec_id, emb,
+       |    $sigExpr AS bucket
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings))
+       |SELECT q_id, rk, c_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    round(list_cosine_similarity(q.emb, c.emb), 6) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+       |                                c.vec_id) AS rk
+       |  FROM s q JOIN s c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10)
+       |WHERE rk <= 5""".stripMargin
+  }
+
+  /** IVF variant (spec checks recall vs exact; oracle replays the index
+    * build + routing below). */
   def annIvfQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     annIvf(emb, emb.filter(col("vec_id") < 10), nlist = 8, nprobe = 3, k = 5)
+  }
+
+  /** DuckDB oracle for [[annIvfQuery]]: the one-iteration k-means index is
+    * replayed exactly like [[graft.ml.KMeans.tsKmeansEmbedSql]] (init = 8
+    * lowest vec_ids, one argmin assignment with the strict-< tie rule, one
+    * round-6 mean refresh with empty cells keeping their previous
+    * centroid); corpus→cell assignment and query→nprobe-cell routing are
+    * the same argmin ranked by (distance, cell id) — NearestCentroid /
+    * NearestCells tie rules — and the re-rank is identical to
+    * [[annTopkSql]]. Each corpus vector lives in exactly one cell, so
+    * probing 3 cells yields disjoint candidates (no dedup needed). */
+  val annIvfSql: String = {
+    val dims = 64
+    def dist(v: String, c: String): String =
+      s"list_sum(list_transform(range($dims), i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1])))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+       |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+       |a1 AS (
+       |  SELECT vec_id, v, j AS cl FROM (
+       |    SELECT v.vec_id AS vec_id, v.v AS v, c.j AS j,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dist("v.v", "c.c")}, c.j) AS rn
+       |    FROM v, c0 c)
+       |  WHERE rn = 1),
+       |c1d AS (
+       |  SELECT cl AS j, i, round(avg(v[i+1]), 6) AS m
+       |  FROM a1, range($dims) t(i) GROUP BY cl, i),
+       |c1 AS (
+       |  SELECT p.j AS j,
+       |    CASE WHEN d.j IS NULL THEN p.c
+       |         ELSE (SELECT list(m ORDER BY i) FROM c1d x WHERE x.j = p.j)
+       |    END AS c
+       |  FROM c0 p
+       |  LEFT JOIN (SELECT DISTINCT j FROM c1d) d ON p.j = d.j),
+       |cells AS (
+       |  SELECT vec_id AS c_id, v AS c_emb, j AS cell FROM (
+       |    SELECT v.vec_id AS vec_id, v.v AS v, c.j AS j,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dist("v.v", "c.c")}, c.j) AS rn
+       |    FROM v, c1 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT v.vec_id AS q_id, v.v AS q_emb, c.j AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dist("v.v", "c.c")}, c.j) AS rn
+       |    FROM v, c1 c WHERE v.vec_id < 10)
+       |  WHERE rn <= 3)
+       |SELECT q_id, rk, c_id, cos FROM (
+       |  SELECT p.q_id AS q_id, s.c_id AS c_id,
+       |    round(list_cosine_similarity(p.q_emb, s.c_emb), 6) AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id
+       |                       ORDER BY round(list_cosine_similarity(p.q_emb, s.c_emb), 6) DESC,
+       |                                s.c_id) AS rk
+       |  FROM probes p JOIN cells s ON p.cell = s.cell
+       |  WHERE s.c_id != p.q_id)
+       |WHERE rk <= 5""".stripMargin
   }
 }

@@ -349,8 +349,16 @@ object TextOps {
     * per stratum). An RDD is used deliberately: the two-job
     * subtotal/re-map structure over one shared shuffle is genuine
     * per-partition imperative logic that the declarative layer cannot
-    * express. */
-  private[operators] def stratumPrefixSum(rows: DataFrame)
+    * express.
+    *
+    * LOW-CARDINALITY STRATA ONLY: the driver collects one subtotal row per
+    * (partition, stratum-in-partition) — bounded by P + #strata-spanning
+    * boundaries for real strata like language (dozens of values), but a
+    * high-cardinality stratum column (doc_id!) would collect O(|rows|) to
+    * the driver. `maxSubtotals` makes that misuse fail loudly instead of
+    * OOMing the driver. */
+  private[operators] def stratumPrefixSum(rows: DataFrame,
+      maxSubtotals: Int = 4 << 20)
       : (org.apache.spark.rdd.RDD[(String, Long, Long, Long)], Map[String, Long]) = {
     val sorted = rows.toDF("s", "o", "i", "v")
       .repartitionByRange(col("s"), col("o"), col("i"))
@@ -364,6 +372,10 @@ object TextOps {
       it.foreach { case (s, _, _, v) => m.update(s, m.getOrElse(s, 0L) + v) }
       m.iterator.map { case (s, t) => (pid, s, t) }
     }.collect()
+    require(subtotals.length <= maxSubtotals,
+      s"stratumPrefixSum collected ${subtotals.length} (partition, stratum) " +
+        s"subtotal rows (max $maxSubtotals): the stratum column must be " +
+        "low-cardinality (e.g. language). Do not key this on an id-like column.")
     val bases: Map[(Int, String), Long] = subtotals.groupBy(_._2).flatMap {
       case (s, arr) =>
         var acc = 0L

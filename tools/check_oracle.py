@@ -78,10 +78,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: dtype family mismatch {badty}"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        # non-float columns (ints/strings/timestamps) compared EXACTLY —
+        # a tolerant assert_frame_equal applies rtol to integer dtypes too
+        # under pandas 2.x, which would let a drifting int64 epoch/count/id
+        # pass here yet fail the driver's byte-sensitive hash
+        nonf = [c for c in got.columns
+                if not np.issubdtype(got[c].dtype, np.floating)]
         try:
-            # non-float columns (ints/strings/timestamps) exact
-            pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                          check_exact=False, rtol=1e-9, atol=1e-9)
+            if nonf:
+                pd.testing.assert_frame_equal(got[nonf], want[nonf],
+                                              check_dtype=False, check_exact=True)
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:500]}"); n_fail += 1; continue
         # float columns byte-exact (the driver hashes raw bytes; -0.0 != +0.0)
