@@ -122,6 +122,25 @@ class DedupTextSpec extends SparkSpec {
     assert(got(5L) == "de")
   }
 
+  test("componentLabels: chains, stars, singletons, empty graph") {
+    // chain 1-2-3-...-12 (worst case for plain propagation), star 20-(21..24),
+    // singletons 30,31; empty-graph case separately
+    val verts = ((1L to 12L) ++ (20L to 24L) ++ Seq(30L, 31L)).toDF("doc_id")
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    val star = (21L to 24L).map(i => (20L, i))
+    val pairs = (chain ++ star).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.componentLabels(verts, pairs)
+      .as[(Long, Long)].collect().toMap
+    (1L to 12L).foreach(v => assert(got(v) == 1L, s"chain vertex $v"))
+    (20L to 24L).foreach(v => assert(got(v) == 20L, s"star vertex $v"))
+    assert(got(30L) == 30L && got(31L) == 31L, "singletons keep their own id")
+    assert(got.size == 19)
+
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
+    val solo = Dedup.componentLabels(verts, empty).as[(Long, Long)].collect()
+    assert(solo.length == 19 && solo.forall { case (v, l) => v == l })
+  }
+
   test("fingerprints: identical docs identical, robust to small edits") {
     val fp = TextOps.fingerprint(docs, "text").collect()
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("fingerprints")).toMap
