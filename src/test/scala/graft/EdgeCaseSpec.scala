@@ -65,6 +65,29 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("normal_eq rejects empty vectors; fits diagnose empty input") {
+    // empty feature vector: silently ignoring it would let an all-empty
+    // input eval to null downstream — must be a hard, descriptive error
+    val e1 = intercept[Exception] {
+      Seq((Seq.empty[Double], 1.0)).toDF("x", "y")
+        .agg(graft.functions.NormalEq.normalEq(col("x"), lit(1.0), col("y")))
+        .head()
+    }
+    assert(e1.getMessage.contains("empty feature vector"))
+    // zero-row fit: descriptive require, not an NPE
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ml.LinearModel.fitRidge(
+        Seq((Seq(1.0, 2.0), 3.0)).toDF("f", "label").filter(lit(false)),
+        "f", "label", lambda = 1e-3)
+    }
+    assert(e2.getMessage.contains("empty input"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ml.LogisticRegression.fit(
+        Seq((Seq(1.0, 2.0), 1.0)).toDF("f", "y").filter(lit(false)), "f", "y")
+    }
+    assert(e3.getMessage.contains("empty input"))
+  }
+
   test("component labels converge on a long chain (pointer jumping)") {
     // a path graph 0-1-2-...-59: min-label needs 59 hops by neighbor
     // propagation alone; pointer jumping must close it within maxIters=20
