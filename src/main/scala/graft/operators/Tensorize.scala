@@ -54,11 +54,17 @@ object Tensorize {
     * (N, T, F) tensors with F = several sensor/setting columns
     * (turbofan.py: 3 settings + 21 sensors). Emits row-major flattened
     * `array<double>` of length T·F plus the capped RUL label. Each feature
-    * is max-scaled per trajectory then z-normed per window, mirroring
-    * scale_data + normalize_data. */
+    * is max-scaled per trajectory (scale_data, turbofan.py:261 — ALL
+    * columns), then per window (normalize_data, turbofan.py:236-246):
+    * SENSOR columns are z-normed (zero mean, population std, eps→1 guard)
+    * while `settingCols` (the three operating-condition columns, indices
+    * {0,1,2} in the reference) are divided by 100 instead — operating
+    * modes are discrete levels whose magnitude carries meaning, so
+    * per-window standardization would erase them. */
   def windowTensorizeMulti(df: DataFrame, key: String, order: Seq[String],
                            valueCols: Seq[String], t: Int, skip: Int,
-                           rulCap: Int): DataFrame = {
+                           rulCap: Int,
+                           settingCols: Set[String] = Set.empty): DataFrame = {
     val wKey = Window.partitionBy(col(key))
     val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
     val frame = w.rowsBetween(-(t - 1), 0)
@@ -73,17 +79,22 @@ object Tensorize {
       .filter(col("rn") >= t && (col("rn") - t) % skip === 0)
       .withColumn("widx", ((col("rn") - t) / skip).cast("long"))
       .withColumn("rul", least(lit(rulCap), col("n_all") - col("rn")))
-    // z-norm each feature's window, then interleave row-major (time, feature)
+    // normalize each feature's window (z-norm sensors, /100 settings),
+    // then interleave row-major (time, feature)
     val normed = valueCols.foldLeft(windowed) { (d, c) =>
       val arr = col(s"_w_$c")
-      val mean = aggregate(arr, lit(0.0), (acc, x) => acc + x) / lit(t)
-      d.withColumn(s"_m_$c", mean)
-        .withColumn(s"_sd_$c", {
-          val sd = sqrt(aggregate(arr, lit(0.0),
-            (acc, x) => acc + (x - col(s"_m_$c")) * (x - col(s"_m_$c"))) / lit(t))
-          when(sd <= lit(1e-12), lit(1.0)).otherwise(sd)
-        })
-        .withColumn(s"_z_$c", transform(arr, x => (x - col(s"_m_$c")) / col(s"_sd_$c")))
+      if (settingCols.contains(c))
+        d.withColumn(s"_z_$c", transform(arr, x => x / lit(100.0)))
+      else {
+        val mean = aggregate(arr, lit(0.0), (acc, x) => acc + x) / lit(t)
+        d.withColumn(s"_m_$c", mean)
+          .withColumn(s"_sd_$c", {
+            val sd = sqrt(aggregate(arr, lit(0.0),
+              (acc, x) => acc + (x - col(s"_m_$c")) * (x - col(s"_m_$c"))) / lit(t))
+            when(sd <= lit(1e-12), lit(1.0)).otherwise(sd)
+          })
+          .withColumn(s"_z_$c", transform(arr, x => (x - col(s"_m_$c")) / col(s"_sd_$c")))
+      }
     }
     val features = flatten(transform(sequence(lit(0), lit(t - 1)),
       i => array(valueCols.map(c => element_at(col(s"_z_$c"), i + 1)): _*)))

@@ -22,9 +22,10 @@ class PipelineSpec extends SparkSpec {
     pw.close()
 
     val raw = sources.TrajectoryCsv.read(spark, f.getAbsolutePath)
-    val featureCols = (1 to 3).map(i => s"setting_$i") ++ (1 to 4).map(i => s"sensor_$i")
+    val settings = (1 to 3).map(i => s"setting_$i")
+    val featureCols = settings ++ (1 to 4).map(i => s"sensor_$i")
     val tensors = Tensorize.windowTensorizeMulti(raw, "trajectory_id", Seq("t"),
-      featureCols, t = 10, skip = 5, rulCap = 15)
+      featureCols, t = 10, skip = 5, rulCap = 15, settingCols = settings.toSet)
     val rows = tensors.collect()
     // each trajectory: windows end at rows 10, 15, 20, 25, 30 → 5 windows
     assert(rows.length == 15)
@@ -34,9 +35,18 @@ class PipelineSpec extends SparkSpec {
     val byIdx = rows.map(r => (r.getInt(0), r.getLong(r.fieldIndex("widx"))) -> r.getLong(r.fieldIndex("rul"))).toMap
     assert(byIdx((1, 0L)) == 15L) // capped
     assert(byIdx((1, 4L)) == 0L)  // failure point
-    // z-normed per window: each feature's slice sums to ~0
-    val f0 = (0 until 10).map(t => feats(t * featureCols.length))
-    assert(math.abs(f0.sum) < 1e-9)
+    // sensors z-normed per window: each sensor slice sums to ~0
+    val s1 = (0 until 10).map(t => feats(t * featureCols.length + 3))
+    assert(math.abs(s1.sum) < 1e-9)
+    // settings NOT z-normed: max-scaled then /100 (turbofan normalize_data
+    // treats op-condition columns separately), so values sit in (0, 0.01]
+    val set1 = (0 until 10).map(t => feats(t * featureCols.length))
+    assert(set1.forall(v => v > 0.0 && v <= 0.01 + 1e-12), set1)
+    // the final window of trajectory 1 ends at the trajectory max → 1/100
+    val lastW = rows.find(r => r.getInt(0) == 1 &&
+      r.getLong(r.fieldIndex("widx")) == 4L).get
+      .getAs[scala.collection.Seq[Double]]("features")
+    assert(math.abs(lastW(9 * featureCols.length) - 0.01) < 1e-12)
 
     val split = TimeSeriesOps.ratioSplit(tensors, "trajectory_id", Seq("widx"), 0.8)
     val counts = split.groupBy("fold").count().as[(String, Long)].collect().toMap
