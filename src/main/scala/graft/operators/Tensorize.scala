@@ -163,6 +163,118 @@ object Tensorize {
       |  round((v - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_last
       |FROM f WHERE rn >= 20 AND (rn - 20) % 5 = 0""".stripMargin
 
+  /** Reference-complete variant of [[tsWindowTensorize]] — the train-path
+    * short-trajectory backfill of turbofan.py:133-138: a trajectory with
+    * fewer than T·skip observations is front-padded by repeating its FIRST
+    * (scaled) observation to exactly T·skip steps before striding, and the
+    * padded length feeds the RUL labels (`y = len_padded − T − i·skip`,
+    * exactly as numpy computes it — padded steps count as life).
+    *
+    * Scale shape: long trajectories take the plain one-shuffle
+    * [[windowTensorize]] path; the pad branch re-shuffles ONLY the short
+    * keys (a groupBy whose per-key state is bounded by T·skip values), so
+    * at corpus scale the extra cost is proportional to the short tail, not
+    * the table. */
+  def windowTensorizePadded(df: DataFrame, key: String, order: Seq[String],
+                            valueCol: String, t: Int, skip: Int,
+                            rulCap: Int): DataFrame = {
+    val padLen = t * skip
+    val wKey = Window.partitionBy(col(key))
+    val evN = df.withColumn("n_all", count(lit(1)).over(wKey))
+    val long = windowTensorize(evN.filter(col("n_all") >= padLen),
+        key, order, valueCol, t, skip, rulCap)
+      .select(col(key), col("widx"),
+        col("rul").cast("long").as("rul"),
+        (round(array_min(col("features")), 6) + lit(0.0)).as("z_min"),
+        (round(array_max(col("features")), 6) + lit(0.0)).as("z_max"),
+        (round(element_at(col("features"), -1), 6) + lit(0.0)).as("z_last"))
+    // short branch: scale (scale_data runs BEFORE padding in the
+    // reference, and padding repeats the scaled first observation), pad to
+    // T·skip, then stride windows map-side out of the bounded array
+    val short = evN.filter(col("n_all") < padLen)
+      .withColumn("_v", col(valueCol) / max(col(valueCol)).over(wKey))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(
+        struct(order.map(col) :+ col("_v"): _*))).as("pts"))
+      .withColumn("vals", transform(col("pts"), p => p("_v")))
+      .withColumn("padded", concat(
+        array_repeat(element_at(col("vals"), 1),
+          (lit(padLen) - size(col("vals"))).cast("int")),
+        col("vals")))
+      .select(col(key),
+        explode(sequence(lit(0), lit((padLen - t) / skip))).as("j"),
+        col("padded"))
+      .withColumn("win", slice(col("padded"), col("j") * skip + 1, lit(t)))
+      // same per-window z arithmetic (and fold order) as windowTensorize
+      .withColumn("m", aggregate(col("win"), lit(0.0), (a, x) => a + x) / lit(t))
+      .withColumn("sd0", sqrt(aggregate(col("win"), lit(0.0),
+        (a, x) => a + (x - col("m")) * (x - col("m"))) / lit(t)))
+      .withColumn("sd", when(col("sd0") <= lit(1e-12), lit(1.0)).otherwise(col("sd0")))
+      .select(col(key), col("j").cast("long").as("widx"),
+        least(lit(rulCap.toLong), lit((padLen - t).toLong) - col("j") * skip)
+          .cast("long").as("rul"),
+        (round((array_min(col("win")) - col("m")) / col("sd"), 6) + lit(0.0)).as("z_min"),
+        (round((array_max(col("win")) - col("m")) / col("sd"), 6) + lit(0.0)).as("z_max"),
+        (round((element_at(col("win"), -1) - col("m")) / col("sd"), 6) + lit(0.0)).as("z_last"))
+    long.unionByName(short)
+  }
+
+  def tsWindowTensorizePadded(spark: SparkSession, sfDir: String): DataFrame =
+    windowTensorizePadded(
+      Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", Seq("ts_us", "event_id"), "value", t = 20, skip = 5, rulCap = 130)
+
+  /** DuckDB oracle for [[tsWindowTensorizePadded]]: long trajectories reuse
+    * the [[tsWindowTensorizeSql]] frame formulation; short trajectories are
+    * materialized as an explicit padded 1..100 position series (position ≤
+    * pad → first observation) and run through the SAME frame — both
+    * engines accumulate each window in position order, so the float parity
+    * argument of the unpadded oracle carries over unchanged. */
+  val tsWindowTensorizePaddedSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    value / max(value) OVER (PARTITION BY user_id) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |longf AS (
+      |  SELECT user_id, rn, n, v,
+      |    avg(v) OVER fr AS m, stddev_pop(v) OVER fr AS sd,
+      |    min(v) OVER fr AS vmin, max(v) OVER fr AS vmax
+      |  FROM s WHERE n >= 100
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY rn
+      |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |padded AS (
+      |  SELECT su.user_id, t.p,
+      |    CASE WHEN t.p <= 100 - su.n THEN fi.v
+      |         ELSE so.v END AS v
+      |  FROM (SELECT DISTINCT user_id, n FROM s WHERE n < 100) su
+      |  CROSS JOIN (SELECT range + 1 AS p FROM range(100)) t
+      |  JOIN (SELECT user_id, v FROM s WHERE rn = 1) fi ON fi.user_id = su.user_id
+      |  LEFT JOIN s so ON so.user_id = su.user_id AND so.rn = t.p - (100 - su.n)),
+      |shortf AS (
+      |  SELECT user_id, p, v,
+      |    avg(v) OVER fr AS m, stddev_pop(v) OVER fr AS sd,
+      |    min(v) OVER fr AS vmin, max(v) OVER fr AS vmax
+      |  FROM padded
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY p
+      |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT user_id,
+      |  CAST((rn - 20) / 5 AS BIGINT) AS widx,
+      |  CAST(least(130, n - rn) AS BIGINT) AS rul,
+      |  round((vmin - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_min,
+      |  round((vmax - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_max,
+      |  round((v - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_last
+      |FROM longf WHERE rn >= 20 AND (rn - 20) % 5 = 0
+      |UNION ALL
+      |SELECT user_id,
+      |  CAST((p - 20) / 5 AS BIGINT) AS widx,
+      |  CAST(least(130, 100 - p) AS BIGINT) AS rul,
+      |  round((vmin - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_min,
+      |  round((vmax - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_max,
+      |  round((v - m) / (CASE WHEN sd <= 1e-12 THEN 1.0 ELSE sd END), 6) + 0.0 AS z_last
+      |FROM shortf WHERE p >= 20 AND (p - 20) % 5 = 0""".stripMargin
+
   /** SparkEntry glue: pad/left-truncate each user's series to 512 steps.
     * Digested to scalars (sum/first/last of the fixed-length sequence) for
     * the oracle gate; [[padTruncate]] keeps the array form. */

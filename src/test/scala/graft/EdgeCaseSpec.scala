@@ -65,6 +65,59 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("padded tensorize: short trajectories backfilled to T*skip, padded RUL") {
+    // reference semantics (turbofan.py:133-138): a 30-step trajectory with
+    // T=20, skip=5 is padded to 100 steps by repeating the first scaled
+    // observation; windows stride the padded series and RUL counts padded
+    // steps as life (y = 100 - 20 - 5j)
+    val sfTiny = "/root/testdata/sf0.001"
+    val out = operators.Tensorize.tsWindowTensorizePadded(spark, sfTiny)
+    val ev = Tables.events(spark, sfTiny)
+    val counts = ev.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val shortUsers = counts.filter(_._2 < 100)
+    assert(shortUsers.nonEmpty, "fixture assumption: sf0.001 has short users")
+    val rows = out.collect().map { r =>
+      (r.getLong(0), r.getLong(r.fieldIndex("widx"))) ->
+        (r.getLong(r.fieldIndex("rul")), r.getDouble(r.fieldIndex("z_min")),
+         r.getDouble(r.fieldIndex("z_max")))
+    }.toMap
+    val (su, sn) = shortUsers.head
+    // every short user yields exactly 17 windows, widx 0..16
+    val wids = rows.keys.filter(_._1 == su).map(_._2).toSet
+    assert(wids == (0L to 16L).toSet, s"user $su (n=$sn) windows: $wids")
+    // RUL ignores the true length and uses the padded one: 80 - 5j
+    (0L to 16L).foreach { j =>
+      assert(rows((su, j))._1 == 80L - 5L * j, s"rul at widx $j")
+    }
+    // a window fully inside the pad is constant -> sd-guard -> all-zero z
+    if (sn <= 80) {
+      val (_, zmin, zmax) = rows((su, 0L))
+      assert(zmin == 0.0 && zmax == 0.0)
+    }
+    // synthetic long + short mix: both union branches fire and agree with
+    // first principles (all gated users are short, so the long side of the
+    // union is only exercised here)
+    val mix = ((1 to 150).map(i => (1L, i.toLong, i.toLong, i.toDouble)) ++
+               (1 to 30).map(i => (2L, i.toLong, i.toLong, i.toDouble)))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val got = operators.Tensorize.windowTensorizePadded(
+        mix, "user_id", Seq("ts_us", "event_id"), "value",
+        t = 20, skip = 5, rulCap = 130)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(r.fieldIndex("widx"))) ->
+          r.getLong(r.fieldIndex("rul"))
+      }.toMap
+    // long user: strided windows of the raw series, rul = n - (t + 5j)
+    val longW = got.keys.filter(_._1 == 1L).map(_._2).toSet
+    assert(longW == (0L to 26L).toSet, s"long-user windows: $longW")
+    assert(got((1L, 0L)) == 130L) // min(130, 150-20)
+    assert(got((1L, 26L)) == 0L)
+    // short user: padded to 100, 17 windows, rul from the padded length
+    val shortW = got.keys.filter(_._1 == 2L).map(_._2).toSet
+    assert(shortW == (0L to 16L).toSet, s"short-user windows: $shortW")
+    assert(got((2L, 0L)) == 80L && got((2L, 16L)) == 0L)
+  }
+
   test("normal_eq rejects empty vectors; fits diagnose empty input") {
     // empty feature vector: silently ignoring it would let an all-empty
     // input eval to null downstream — must be a hard, descriptive error
