@@ -66,8 +66,14 @@ object Bench {
     // the JSON
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def cs(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // trailing zeros stripped ("0.50"->"0.5", "1.00"->"1") — still valid
+    // JSON numbers, and the saved chars keep the 88-query map inside the
+    // driver's ~2000-char archive window
+    def cs(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
@@ -80,7 +86,7 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries$failedPart,"sf":"$sfName"}"""
     // degrade gracefully: full detail -> headline + failures -> headline
     val candidates = Seq(line(qs, failedJson), line("{}", failedJson), line("{}", ""))
-    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
+    println(candidates.find(_.length <= 1980).getOrElse(candidates.last))
     spark.stop()
   }
 }
