@@ -274,6 +274,49 @@ object TextOps {
        |  JOIN exact e ON q.doc_id = e.doc_id
        |  JOIN clus c ON q.doc_id = c.doc_id)""".stripMargin
 
+  /** Quality-aware canonical selection: one row per near-dup cluster with
+    * the member a curation pass should KEEP — the highest-quality document
+    * (ties → lowest doc_id) rather than [[Dedup.dedupClusters]]' min-id
+    * canonical. This is the policy real corpus pipelines want: of N
+    * near-identical crawls, keep the cleanest, not the first-crawled.
+    *
+    * Shape: cluster labels join quality scores on doc_id (one shuffle),
+    * then one partial-aggregated groupBy(cluster) — `max_by` over the
+    * (quality, −doc_id) struct keeps ONE row of state per cluster, fully
+    * deterministic because doc_id makes the sort key unique. */
+  def dedupCanonicalBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val clus = Dedup.dedupClusters(docs, threshold = 0.5)
+      .select(col("doc_id"), col("cluster_id"))
+    val qual = qualityScore(docs, "text", EnStop)
+      .select(col("doc_id"), col("quality"))
+    clus.join(qual, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("quality"), (-col("doc_id")).as("nid"))).as("canonical_id"),
+        max(col("quality")).as("best_quality"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Oracle: the recursive-CTE cluster closure joined to the (already
+    * hash-matching) quality CTE; rank inside each cluster by
+    * (quality DESC, doc_id) — identical to max_by over (quality, −doc_id). */
+  val dedupCanonicalBestSql: String =
+    s"""${Dedup.clustersCtes},
+       |clus AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v),
+       |qual AS (
+       |${TextOps.textQualitySql}
+       |)
+       |SELECT cluster_id, canonical_id, best_quality, n_docs FROM (
+       |  SELECT c.cluster_id AS cluster_id, q.doc_id AS canonical_id,
+       |    q.quality AS best_quality,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |                       ORDER BY q.quality DESC, q.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+       |  FROM clus c JOIN qual q ON c.doc_id = q.doc_id)
+       |WHERE rn = 1""".stripMargin
+
   /** Per-document code-point entropy (bits/char) — native one-pass
     * expression; the oracle cross-checks it against the relational
     * explode-per-char formulation. */
