@@ -8,6 +8,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // belt-and-suspenders behind the operators' explicit unpersists: the
+      // ContextCleaner only reclaims dropped checkpoint/cache blocks after
+      // a JVM GC, and Spark's fallback periodic GC defaults to 30 min —
+      // longer than this whole bench. 1 min keeps any stragglers (e.g. the
+      // one surviving label checkpoint per componentLabels call) from
+      // accumulating across 89 queries × reps. Must be set HERE: the
+      // cleaner reads it at SparkContext construction, not from SQLConf.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Conf.applyTuned(spark)
@@ -15,6 +23,9 @@ object Bench {
     // measured query isn't charged for startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // side-file fixtures (external RUL labels) are generated here, once,
+    // so ts_rul_validation's timed reps are purely the read+join
+    Fixtures.ensureRulLabels(spark, sfDir)
     // steady-state measurement: one untimed pass over every query first, so
     // the timed pass reports throughput rather than one-off whole-stage
     // codegen (Janino) compile times — the cost a long-lived session or any
@@ -33,7 +44,10 @@ object Bench {
     // page-cache eviction, driver-box contention — can't move a per-query
     // number 3× between rounds. SPARK_GRAFT_BENCH_REPS=1 restores the old
     // single-pass behavior.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // malformed values degrade to the default instead of aborting the whole
+    // bench with a NumberFormatException before any query runs
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(3))
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

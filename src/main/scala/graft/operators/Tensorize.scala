@@ -337,41 +337,24 @@ object Tensorize {
       .withColumn("rul", least(lit(rulCap.toLong), col("rul_provided").cast("long")))
       .select(col(key), col("orig_len"), col("seq"), col("rul"))
 
-  /** Test-fixture glue simulating the reference's external RUL label files
-    * (`RUL_FD00x.txt`, turbofan.py:100-103): a space-separated side file
-    * with one `(trajectory_id, rul)` line per trajectory, regenerated
-    * deterministically from the trajectory ids (`(id·37 + 11) mod 200`) so
-    * the DuckDB oracle can recompute the same values without seeing the
-    * file. The bounded driver-side collect (ONE row per trajectory) is
-    * fixture generation, not the operator — a real deployment receives
-    * this file from outside; the operator path below only reads + joins. */
-  private def writeRulLabelFile(spark: SparkSession, sfDir: String): String = {
-    val sfName = new java.io.File(sfDir).getName
-    val dir = new java.io.File("target/graft-side")
-    dir.mkdirs()
-    val f = new java.io.File(dir, s"rul_labels_$sfName.txt")
-    val ids = Tables.events(spark, sfDir).select(col("user_id")).distinct()
-      .orderBy(col("user_id")).collect()
-      .map(_.get(0).asInstanceOf[Number].longValue())
-    val content = ids.map(id => s"$id ${(id * 37 + 11) % 200}")
-      .mkString("", "\n", "\n")
-    java.nio.file.Files.write(f.toPath,
-      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    f.getAbsolutePath
-  }
-
   /** SparkEntry glue: last-64-step validation window per trajectory, with
     * the per-trajectory RUL labels INGESTED from an external space-separated
     * side file (the `RUL_FD00x.txt` path of turbofan.py:100-103 — written
-    * by [[writeRulLabelFile]], read back through the same no-header CSV
-    * ingest as [[graft.sources.TrajectoryCsv]]), digested to scalars for
-    * the oracle gate like [[tsPadTruncate]]. */
+    * once per run by [[graft.Fixtures.ensureRulLabels]] in Verify/Bench
+    * SETUP, read back through the same no-header CSV ingest as
+    * [[graft.sources.TrajectoryCsv]]), digested to scalars for the oracle
+    * gate like [[tsPadTruncate]]. The query itself is a pure read +
+    * broadcast join — no driver collect, no file write, nothing but the
+    * operator in the timed path. */
   def tsRulValidation(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts")))
+    val path = graft.Fixtures.rulLabelPath(sfDir)
+    require(new java.io.File(path).isFile,
+      s"RUL label side file $path missing — run Fixtures.ensureRulLabels(spark, sfDir) in setup first")
     val labels = spark.read
       .option("sep", " ").option("header", "false")
       .schema("user_id LONG, rul_provided LONG")
-      .csv(writeRulLabelFile(spark, sfDir))
+      .csv(path)
     rulValidationWindow(ev, labels, "user_id", "ts_us", "value",
         t = 64, rulCap = 130)
       .select(col("user_id"),

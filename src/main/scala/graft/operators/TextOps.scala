@@ -238,7 +238,10 @@ object TextOps {
     val qual = qualityScore(docs, "text", EnStop)
       .select(col("doc_id"), col("n_chars"), col("quality"))
     val exact = Dedup.exactKeepFirst(docs, "text").select("doc_id", "is_dup")
-    val clus = Dedup.dedupClusters(docs, threshold = 0.5)
+    // cluster membership comes from the session-scoped index (built once
+    // per corpus snapshot, shared with dedup_clusters/dedup_canonical_best)
+    // — see Dedup.clusterIndex for the amortization rationale
+    val clus = Dedup.clusterIndex(spark, sfDir, threshold = 0.5)
       .select("doc_id", "is_canonical")
     qual.join(exact, "doc_id").join(clus, "doc_id")
       .withColumn("reason",
@@ -286,7 +289,8 @@ object TextOps {
     * deterministic because doc_id makes the sort key unique. */
   def dedupCanonicalBest(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val clus = Dedup.dedupClusters(docs, threshold = 0.5)
+    // shared session-scoped cluster index — see Dedup.clusterIndex
+    val clus = Dedup.clusterIndex(spark, sfDir, threshold = 0.5)
       .select(col("doc_id"), col("cluster_id"))
     val qual = qualityScore(docs, "text", EnStop)
       .select(col("doc_id"), col("quality"))

@@ -14,6 +14,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // side-file fixtures (external RUL labels) — generated once per JVM in
+    // setup, mirroring Verify/Bench, so query functions stay pure read+join
+    Fixtures.ensureRulLabels(s, sf)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
