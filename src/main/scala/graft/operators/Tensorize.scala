@@ -324,6 +324,19 @@ object Tensorize {
   def rulValidationWindow(df: DataFrame, labels: DataFrame, key: String,
                           tsOrderCol: String, valueCol: String, t: Int,
                           rulCap: Int): DataFrame =
+    inferenceWindow(df, key, tsOrderCol, valueCol, t)
+      .join(broadcast(labels), Seq(key))
+      .withColumn("rul", least(lit(rulCap.toLong), col("rul_provided").cast("long")))
+      .select(col(key), col("orig_len"), col("seq"), col("rul"))
+
+  /** Inference-only windowing for the UNLABELED challenge split — the
+    * reference's test-set construction (turbofan.py:106-113): trajectories
+    * with no RUL at all, reduced to their last T-step window (same
+    * first-observation front-backfill as the validation path) purely for
+    * model scoring. Identical window semantics to [[rulValidationWindow]]
+    * minus the label join. */
+  def inferenceWindow(df: DataFrame, key: String, tsOrderCol: String,
+                      valueCol: String, t: Int): DataFrame =
     df.groupBy(col(key))
       .agg(sort_array(collect_list(struct(col(tsOrderCol), col(valueCol)))).as("pts"))
       .withColumn("orig_len", size(col("pts")))
@@ -333,9 +346,7 @@ object Tensorize {
           .otherwise(concat(
             array_repeat(element_at(col("vals"), 1),
               (lit(t) - col("orig_len")).cast("int")), col("vals"))))
-      .join(broadcast(labels), Seq(key))
-      .withColumn("rul", least(lit(rulCap.toLong), col("rul_provided").cast("long")))
-      .select(col(key), col("orig_len"), col("seq"), col("rul"))
+      .select(col(key), col("orig_len"), col("seq"))
 
   /** SparkEntry glue: last-64-step validation window per trajectory, with
     * the per-trajectory RUL labels INGESTED from an external space-separated
@@ -380,6 +391,38 @@ object Tensorize {
       |  CAST(max(n) AS BIGINT) AS orig_len,
       |  CAST(greatest(0, 64 - max(n)) AS BIGINT) AS n_pad,
       |  CAST(least(130, (user_id * 37 + 11) % 200) AS BIGINT) AS rul,
+      |  round(sum(CASE WHEN rn > n - 64 THEN value ELSE 0.0 END)
+      |        + greatest(0, 64 - max(n))
+      |          * max(CASE WHEN rn = 1 THEN value END), 6) AS win_sum,
+      |  round(max(CASE WHEN rn = greatest(1, n - 63) THEN value END), 6) AS win_first,
+      |  round(max(CASE WHEN rn = n THEN value END), 6) AS win_last
+      |FROM o GROUP BY user_id""".stripMargin
+
+  /** SparkEntry glue for the unlabeled challenge split: last-64-step
+    * window per trajectory, NO label — digested to scalars like
+    * [[tsRulValidation]]. */
+  def tsRulInference(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).withColumn("ts_us", unix_micros(col("ts")))
+    inferenceWindow(ev, "user_id", "ts_us", "value", t = 64)
+      .select(col("user_id"),
+        col("orig_len").cast("long").as("orig_len"),
+        greatest(lit(0L), lit(64L) - col("orig_len")).as("n_pad"),
+        round(aggregate(col("seq"), lit(0.0), (acc, x) => acc + x), 6).as("win_sum"),
+        round(element_at(col("seq"), 1), 6).as("win_first"),
+        round(element_at(col("seq"), -1), 6).as("win_last"))
+  }
+
+  /** DuckDB oracle for [[tsRulInference]]: [[tsRulValidationSql]] minus
+    * the external-label column. */
+  val tsRulInferenceSql: String =
+    """WITH o AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(max(n) AS BIGINT) AS orig_len,
+      |  CAST(greatest(0, 64 - max(n)) AS BIGINT) AS n_pad,
       |  round(sum(CASE WHEN rn > n - 64 THEN value ELSE 0.0 END)
       |        + greatest(0, 64 - max(n))
       |          * max(CASE WHEN rn = 1 THEN value END), 6) AS win_sum,

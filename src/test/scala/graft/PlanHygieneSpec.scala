@@ -102,6 +102,24 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("cluster-index tail join rescans documents as a doc_id-only column chunk") {
+    // componentLabels' final singleton join deliberately scans `documents`
+    // a second time (the candidate generator's scan lives behind the edge
+    // checkpoint), but it must stay a ONE-column scan: at 100 TB the
+    // narrow doc_id chunk is cheap, dragging text/lang through the tail
+    // join is not. Every file scan left in the returned plan must read
+    // doc_id and nothing else.
+    val plan = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(schemas.nonEmpty, s"no file scan found:\n${plan.take(1500)}")
+    schemas.foreach { s =>
+      assert(s.matches("doc_id:\\w+"),
+        s"cluster tail join reads more than doc_id: struct<$s>")
+    }
+  }
+
   test("oracle-checked scans prune columns (no SELECT * scans of lineitem)") {
     val plan = operators.Relational.q1Agg(spark, sf)
       .queryExecution.executedPlan.toString

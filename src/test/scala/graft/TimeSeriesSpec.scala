@@ -116,6 +116,16 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2)._2 == 7L)
   }
 
+  test("inferenceWindow: unlabeled challenge split = validation windows minus the label") {
+    val df = mkSeries(Seq((1, 1L, 5.0), (1, 2L, 6.0), (2, 1L, 1.0), (2, 2L, 2.0),
+                          (2, 3L, 3.0), (2, 4L, 4.0)))
+    val got = Tensorize.inferenceWindow(df, "k", "t", "v", t = 3).collect()
+      .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]]("seq")).toMap
+    assert(got.size == 2) // exactly one window per trajectory, no label column
+    assert(got(1) == Seq(5.0, 5.0, 6.0)) // backfilled with traj[0], not 0.0
+    assert(got(2) == Seq(2.0, 3.0, 4.0)) // last T of a long trajectory
+  }
+
   test("addingProblem: y equals sum of the two masked positions, deterministic") {
     val df = Synthetic.addingProblem(spark, n = 50, t = 16)
     val rows = df.collect()
