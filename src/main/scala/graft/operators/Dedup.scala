@@ -369,6 +369,58 @@ object Dedup {
         (col("l") === col("v")).cast("int").as("is_canonical"))
   }
 
+  /** Incremental cluster assignment: label a NEW batch of documents
+    * against an EXISTING cluster index without re-running the corpus-wide
+    * fixpoint — the daily-increment shape of curation at scale, where
+    * re-deriving connected components over 100 TB because 0.1% new
+    * documents arrived is not viable.
+    *
+    * Inputs: `oldLabels` = the existing index (doc_id, cluster_id),
+    * immutable; `newNewPairs` = candidate near-dup pairs WITHIN the new
+    * batch; `newOldPairs` = candidate pairs from new docs (doc_id_a) to
+    * old docs (doc_id_b). Both pair sets come from the same bounded
+    * candidate generators used for the full build (at scale: the new
+    * batch's LSH band keys probed against the indexed corpus buckets —
+    * the batch is small, so the probe join broadcasts).
+    *
+    * Algorithm: (1) connected components over the new batch ONLY (the
+    * fixpoint runs on the increment, not the corpus); (2) each new doc
+    * pulls the min old cluster_id it matches; (3) each new COMPONENT takes
+    * the min attached old cluster over its members, so two new near-dups
+    * land in one cluster even when only one of them touches the old
+    * corpus; unattached components keep their own min-id label.
+    *
+    * Contract: old labels are FROZEN. A full rebuild could merge two old
+    * clusters through a new bridge document; the incremental pass instead
+    * attaches the bridge to the smaller cluster_id and leaves the old
+    * partition untouched — the standard tradeoff that keeps increments
+    * O(batch), with a periodic full rebuild reconciling bridges.
+    */
+  def incrementalLabels(newDocs: DataFrame, oldLabels: DataFrame,
+                        newNewPairs: DataFrame,
+                        newOldPairs: DataFrame): DataFrame = {
+    // (1) fixpoint over the increment only — all checkpoint hygiene of
+    // componentLabels applies
+    val comp = componentLabels(newDocs, newNewPairs)
+      .select(col("v").as("doc_id"), col("l").as("comp"))
+    // (2) per new doc, the smallest old cluster it matches (min-label
+    // semantics, consistent with the full build's canonical choice)
+    val attach = newOldPairs
+      .join(oldLabels.select(col("doc_id").as("doc_id_b"), col("cluster_id")),
+        Seq("doc_id_b"))
+      .groupBy(col("doc_id_a").as("doc_id"))
+      .agg(min(col("cluster_id")).as("old_cl"))
+    // (3) component-wide min old cluster; the attach side is O(new batch)
+    // so both joins broadcast at increment scale
+    val compOld = comp.join(attach, Seq("doc_id"), "left")
+      .groupBy(col("comp"))
+      .agg(min(col("old_cl")).as("comp_old"))
+    comp.join(compOld, Seq("comp"))
+      .select(col("doc_id"),
+        coalesce(col("comp_old"), col("comp")).as("cluster_id"),
+        col("comp_old").isNotNull.cast("int").as("attached_to_existing"))
+  }
+
   /** Session-scoped dedup-cluster INDEX over the documents table: the
     * connected-components fixpoint run once per (session, corpus snapshot,
     * threshold) and shared by every query that consumes cluster

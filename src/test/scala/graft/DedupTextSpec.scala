@@ -141,6 +141,27 @@ class DedupTextSpec extends SparkSpec {
     assert(solo.length == 19 && solo.forall { case (v, l) => v == l })
   }
 
+  test("incrementalLabels: new components attach via any member, old labels frozen") {
+    // existing index: cluster 1 = {1,2}, cluster 3 = {3}
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    // new batch: 10-11 are near-dups of each other, 11 also matches old doc
+    // 3; 12 matches old docs 2 and 3; 13 matches nothing
+    val newDocs = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    val nn = Seq((10L, 11L)).toDF("doc_id_a", "doc_id_b")
+    val no = Seq((11L, 3L), (12L, 2L), (12L, 3L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.incrementalLabels(newDocs, oldLabels, nn, no)
+      .as[(Long, Long, Int)].collect()
+      .map { case (d, c, a) => d -> ((c, a)) }.toMap
+    // the {10,11} component attaches through 11's match → BOTH get cluster 3
+    assert(got(10L) == ((3L, 1)) && got(11L) == ((3L, 1)))
+    // 12 matches clusters 1 and 3 → min old cluster (1); old labels frozen,
+    // clusters 1 and 3 are NOT merged by the bridge
+    assert(got(12L) == ((1L, 1)))
+    // unmatched new doc founds its own cluster
+    assert(got(13L) == ((13L, 0)))
+    assert(got.size == 4)
+  }
+
   test("fingerprints: identical docs identical, robust to small edits") {
     val fp = TextOps.fingerprint(docs, "text").collect()
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("fingerprints")).toMap
