@@ -83,14 +83,15 @@ object Bench {
     // trailing zeros stripped ("0.50"->"0.5", "1.00"->"1") — still valid
     // JSON numbers, and the saved chars keep the 88-query map inside the
     // driver's ~2000-char archive window
-    def cs(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def fixed(v: Double, dp: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + cs(v) }
+    def qmap(dp: Int): String = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fixed(v, dp) }
       .mkString("{", ",", "}")
+    val qs = qmap(2)
     val total = results.values.filter(_ > 0).sum
     val failedJson =
       if (failed.isEmpty) ""
@@ -98,8 +99,11 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     def line(queries: String, failedPart: String) =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries$failedPart,"sf":"$sfName"}"""
-    // degrade gracefully: full detail -> headline + failures -> headline
-    val candidates = Seq(line(qs, failedJson), line("{}", failedJson), line("{}", ""))
+    // degrade gracefully: centisecond detail -> decisecond detail (slow
+    // driver values must cost precision, not the whole per-query map) ->
+    // headline + failures -> headline
+    val candidates = Seq(line(qs, failedJson), line(qmap(1), failedJson),
+      line("{}", failedJson), line("{}", ""))
     println(candidates.find(_.length <= 1980).getOrElse(candidates.last))
     spark.stop()
   }
