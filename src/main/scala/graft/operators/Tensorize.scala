@@ -174,14 +174,24 @@ object Tensorize {
     * [[windowTensorize]] path; the pad branch re-shuffles ONLY the short
     * keys (a groupBy whose per-key state is bounded by T·skip values), so
     * at corpus scale the extra cost is proportional to the short tail, not
-    * the table. */
+    * the table.
+    *
+    * The long/short routing is a per-key COUNT AGGREGATE joined back (one
+    * row per trajectory — map-side partials, tiny shuffle; AQE broadcasts
+    * the join at any realistic trajectory cardinality), NOT a
+    * `count().over(key)` window: each branch consumes the routing
+    * predicate separately, so the window form paid a full shuffle+sort of
+    * the fact table PER BRANCH, while the join form's worst case (keys too
+    * big to broadcast) degrades to one hashpartitioning(key) exchange that
+    * the branch's own window/groupBy then reuses. */
   def windowTensorizePadded(df: DataFrame, key: String, order: Seq[String],
                             valueCol: String, t: Int, skip: Int,
                             rulCap: Int): DataFrame = {
     val padLen = t * skip
     val wKey = Window.partitionBy(col(key))
-    val evN = df.withColumn("n_all", count(lit(1)).over(wKey))
-    val long = windowTensorize(evN.filter(col("n_all") >= padLen),
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_all"))
+    val long = windowTensorize(
+        df.join(counts.filter(col("n_all") >= padLen).select(col(key)), Seq(key)),
         key, order, valueCol, t, skip, rulCap)
       .select(col(key), col("widx"),
         col("rul").cast("long").as("rul"),
@@ -191,7 +201,8 @@ object Tensorize {
     // short branch: scale (scale_data runs BEFORE padding in the
     // reference, and padding repeats the scaled first observation), pad to
     // T·skip, then stride windows map-side out of the bounded array
-    val short = evN.filter(col("n_all") < padLen)
+    val short = df
+      .join(counts.filter(col("n_all") < padLen).select(col(key)), Seq(key))
       .withColumn("_v", col(valueCol) / max(col(valueCol)).over(wKey))
       .groupBy(col(key))
       .agg(sort_array(collect_list(
