@@ -53,6 +53,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.filter(col("is_canonical") =!= 1).count() == 0)
   }
 
+  test("incrementalLabels with no candidate pairs founds all-singleton clusters") {
+    val oldLabels = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+    val newDocs = Seq(10L, 11L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.incrementalLabels(newDocs, oldLabels, none, none)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(got.toSeq == Seq((10L, 10L, 0), (11L, 11L, 0)))
+  }
+
+  test("componentLabels matches a driver-side union-find on random graphs") {
+    // the fixpoint has been the hardest operator two rounds running; pin
+    // its semantics against an independent oracle over arbitrary shapes,
+    // not just the fixed chain/star cases
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { trial =>
+      val nV = 30 + rnd.nextInt(40)
+      val verts = (1L to nV.toLong).toDF("doc_id")
+      val edges = (1 to nV).flatMap { _ =>
+        val a = 1L + rnd.nextInt(nV)
+        val b = 1L + rnd.nextInt(nV)
+        if (a == b) None else Some((math.min(a, b), math.max(a, b)))
+      }.distinct
+      val parent = Array.tabulate(nV + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id per component via a second pass (union by min above keeps
+      // the root the min already, but re-derive defensively)
+      val want = (1 to nV).map(v => v.toLong -> find(v).toLong).toMap
+      val got = Dedup.componentLabels(verts, edges.toDF("doc_id_a", "doc_id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial (n=$nV, e=${edges.size}) diverged")
+    }
+  }
+
   test("vector_sum on ragged arrays is partition-order independent, spans max length") {
     val rows = Seq((1, Seq(1.0, 2.0, 3.0)), (1, Seq(10.0, 20.0, 30.0, 40.0, 50.0)),
       (1, Seq(100.0)))
