@@ -160,6 +160,58 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(handle)
   }
 
+  case class LastWinState(first: Double, buf: Vector[Double], n: Long)
+  case class LastWinOut(user_id: Long, event_id: Long, n_seen: Long,
+                        window: Seq[Double])
+
+  /** Online inference windows as a streaming state machine — the
+    * incremental twin of [[graft.operators.Tensorize.inferenceWindow]]
+    * (the reference's test-time feature construction): per trajectory,
+    * maintain the LAST `t` observations and emit, on every event, the
+    * current window front-backfilled with the trajectory's first
+    * observation while fewer than `t` have been seen. This is the feature
+    * server an online RUL model scores against — each emission is exactly
+    * the tensor the batch path would build if the stream stopped at that
+    * event.
+    *
+    * Scale: state per key is strictly bounded at `t` doubles + one long
+    * (no growth with stream length), keyed on the same trajectory id the
+    * batch operators shuffle on. Batch-order caveats as sessionizeStream.
+    */
+  def lastWindowStream(events: Dataset[Ev], t: Int)(
+      implicit enc1: org.apache.spark.sql.Encoder[Long],
+      enc2: org.apache.spark.sql.Encoder[LastWinState],
+      enc3: org.apache.spark.sql.Encoder[LastWinOut]): Dataset[LastWinOut] = {
+
+    def handle(userId: Long, evs: Iterator[Ev],
+               state: GroupState[LastWinState]): Iterator[LastWinOut] = {
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[LastWinOut]
+      // (ts, value) ordering — the batch inferenceWindow sorts
+      // struct(tsOrder, value), so ts-ties must break by value for the
+      // replay to reproduce the batch windows bit-for-bit; event_id only
+      // disambiguates full duplicates (same window content either way)
+      evs.toSeq.sortBy(e => (e.ts_us, e.value, e.event_id)).foreach { e =>
+        val s = cur match {
+          case Some(p) => LastWinState(p.first,
+            (p.buf :+ e.value).takeRight(t), p.n + 1)
+          case None => LastWinState(e.value, Vector(e.value), 1L)
+        }
+        cur = Some(s)
+        val padded =
+          if (s.buf.length >= t) s.buf
+          else Vector.fill(t - s.buf.length)(s.first) ++ s.buf
+        out += LastWinOut(userId, e.event_id, s.n, padded)
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+  }
+
   case class FunnelEv(event_id: Long, ts_us: Long, user_id: Long,
                       event_type: String)
   /** -1 = stage not reached yet. */

@@ -132,6 +132,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0)
   }
 
+  test("streaming last-window features equal the batch inference windows at stream end") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"))
+      .as[StreamingOps.Ev]
+    val q = StreamingOps.lastWindowStream(stream, t = 64).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("stream_lastwin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one emission per event; each user's LAST emission is the window the
+    // batch inference path builds over the whole trajectory
+    val got = spark.table("stream_lastwin")
+      .groupBy(col("user_id"))
+      .agg(max_by(col("window"), col("n_seen")).as("window"),
+           max(col("n_seen")).as("n_seen"))
+    val ev = Tables.events(spark, sf).withColumn("ts_us", unix_micros(col("ts")))
+    val want = operators.Tensorize.inferenceWindow(ev, "user_id", "ts_us", "value", t = 64)
+    assert(got.count() == want.count(), "per-user row counts differ")
+    val joined = want.join(got, Seq("user_id"))
+    assert(joined.count() == want.count())
+    assert(joined.filter(col("n_seen") =!= col("orig_len")).count() == 0,
+      "event counts diverge from trajectory lengths")
+    assert(joined.filter(col("seq") =!= col("window")).count() == 0,
+      "streaming end-state windows differ from batch inference windows")
+  }
+
   test("streaming dedup: watermarked dropDuplicates removes replayed events") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     // duplicate the stream against itself (union) → every event twice
