@@ -31,6 +31,39 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("cluster index persists bucketed by doc_id and joins consumers shuffle-free") {
+    // the durable form of Dedup.clusterIndex: a restartable 100 TB
+    // pipeline builds the cluster labels once, persists them bucketed by
+    // doc_id, and every later curation job joins them back to the corpus
+    // (itself bucketed the same way at ingest) with ZERO exchange on the
+    // index side — the fixpoint cost is paid once per snapshot, not per
+    // consuming job OR per session
+    val tmp = java.nio.file.Files.createTempDirectory("clusidx").toString
+    val docs = Tables.documents(spark, sf)
+    val idx = operators.Dedup.dedupClusters(docs, threshold = 0.5)
+    Bucketing.writeBucketed(idx, s"$tmp/idx", "clus_idx", "doc_id", 4)
+    Bucketing.writeBucketed(docs.select("doc_id", "lang", "n_chars"),
+      s"$tmp/docs", "docs_bucketed", "doc_id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = Bucketing.readTable(spark, "docs_bucketed")
+        .join(Bucketing.readTable(spark, "clus_idx"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed index join must not shuffle; plan:\n${plan.take(1500)}")
+      // round-trip fidelity: the persisted labels are the computed labels
+      assert(joined.count() == idx.count())
+      val diff = Bucketing.readTable(spark, "clus_idx")
+        .exceptAll(operators.Dedup.dedupClusters(docs, threshold = 0.5)).count()
+      assert(diff == 0, "persisted index diverges from a fresh build")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS clus_idx")
+      spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+    }
+  }
+
   test("date-partitioned writes get partition pruning on read") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString
     val ev = Tables.events(spark, sf)
