@@ -22,9 +22,13 @@ class PlanHygieneSpec extends SparkSpec {
     // q_funnel's budget is 3: one shuffle shared by all three window
     // frames + the partial/final pair of the closing count-distinct
     // aggregation (which moves per-user stage rows, not the table).
+    // ts_rul_validation/inference: the single groupBy(user_id) shuffle;
+    // the external label side must stay a BROADCAST join (regressing to a
+    // shuffle join would re-exchange the windowed table per label join)
     val budget = Map("ts_rolling_agg" -> 1, "ts_zscore_norm" -> 1,
       "ts_lag_features" -> 1, "ts_ffill" -> 1, "ts_diff" -> 1,
-      "q_window_dedup" -> 1, "q_funnel" -> 3)
+      "q_window_dedup" -> 1, "q_funnel" -> 3,
+      "ts_rul_validation" -> 1, "ts_rul_inference" -> 1)
     budget.foreach { case (name, maxEx) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
