@@ -13,7 +13,7 @@ object Bench {
       // a JVM GC, and Spark's fallback periodic GC defaults to 30 min —
       // longer than this whole bench. 1 min keeps any stragglers (e.g. the
       // one surviving label checkpoint per componentLabels call) from
-      // accumulating across 89 queries × reps. Must be set HERE: the
+      // accumulating across 90 queries × reps. Must be set HERE: the
       // cleaner reads it at SparkContext construction, not from SQLConf.
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()

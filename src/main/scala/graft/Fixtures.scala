@@ -25,10 +25,20 @@ object Fixtures {
   }
 
   /** Absolute path of the per-sf RUL label side file (may not exist yet —
-    * [[ensureRulLabels]] creates it). */
-  def rulLabelPath(sfDir: String): String =
-    baseDir.resolve(s"rul_labels_${new java.io.File(sfDir).getName}.txt")
+    * [[ensureRulLabels]] creates it). Keyed by the sf basename PLUS a
+    * digest of the canonical path: two workspaces whose sf dirs share a
+    * basename (or regenerated data under the same name) must not clobber
+    * each other's label sets — a stale file would silently drop rows from
+    * the inner label join while the oracle recomputes from its own
+    * events. */
+  def rulLabelPath(sfDir: String): String = {
+    val f = new java.io.File(sfDir)
+    val canonical = scala.util.Try(f.getCanonicalPath).getOrElse(f.getAbsolutePath)
+    val digest = (scala.util.hashing.MurmurHash3.stringHash(canonical)
+      & 0xFFFFFFFFL).toHexString
+    baseDir.resolve(s"rul_labels_${f.getName}_$digest.txt")
       .toAbsolutePath.toString
+  }
 
   // one write per (resolved path) per JVM — specs and mains can all call
   // ensure without re-collecting or re-writing
@@ -45,7 +55,10 @@ object Fixtures {
     * write wins; readers never observe a partial file). */
   def ensureRulLabels(spark: SparkSession, sfDir: String): String = {
     val target = rulLabelPath(sfDir)
-    if (written.add(target)) {
+    // memoize only AFTER the atomic move succeeds: marking up front would
+    // let one failed write (unwritable base dir, full disk) poison every
+    // later setup call in the JVM into a silent no-op
+    if (!written.contains(target)) {
       Files.createDirectories(baseDir)
       val ids = Tables.events(spark, sfDir).select(col("user_id")).distinct()
         .orderBy(col("user_id")).collect()
@@ -53,9 +66,15 @@ object Fixtures {
       val content = ids.map(id => s"$id ${(id * 37 + 11) % 200}")
         .mkString("", "\n", "\n")
       val tmp = Files.createTempFile(baseDir, "rul_labels_", ".tmp")
-      Files.write(tmp, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp, java.nio.file.Paths.get(target),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      try {
+        Files.write(tmp, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.move(tmp, java.nio.file.Paths.get(target),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      } catch { case t: Throwable =>
+        scala.util.Try(Files.deleteIfExists(tmp))
+        throw t
+      }
+      written.add(target)
     }
     target
   }

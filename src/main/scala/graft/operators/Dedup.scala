@@ -216,17 +216,20 @@ object Dedup {
     * internal RDD the returned Dataset wraps — unpersisting the Dataset is
     * a silent no-op and every round's blocks survive until a periodic GC
     * lets the ContextCleaner reclaim them (DedupHygieneSpec pins this).
-    * The handle is recovered through the public `getPersistentRDDs`
-    * registry by diffing ids around the (eager) checkpoint call — the
-    * checkpoint registers exactly one new persisted RDD. The fixpoint is
-    * driver-orchestrated and sequential, so the diff is race-free. */
+    * The handle is the checkpointed Dataset's own LogicalRDD leaf,
+    * recovered reflectively (LogicalRDD is private[sql]; its case-class
+    * `rdd` accessor is public bytecode) — exact even when other threads
+    * persist RDDs concurrently, unlike a getPersistentRDDs id-diff. If
+    * Spark's internals ever rename the leaf, the Try degrades to None and
+    * the blocks fall back to ContextCleaner reclamation instead of
+    * failing the operator. */
   private def checkpointWithHandle(
       df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val cp = df.localCheckpoint()
-    val handle = (sc.getPersistentRDDs.keySet -- before).toSeq.sorted
-      .lastOption.flatMap(sc.getPersistentRDDs.get)
+    val plan = cp.queryExecution.analyzed
+    val handle = scala.util.Try(
+      plan.getClass.getMethod("rdd").invoke(plan)
+        .asInstanceOf[org.apache.spark.rdd.RDD[_]]).toOption
     (cp, handle)
   }
 
@@ -279,6 +282,11 @@ object Dedup {
     def labelSum(df: DataFrame): BigDecimal =
       BigDecimal(df.agg(coalesce(sum(col("l").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0))
+    // The error path must free too: a non-converging graph or a failed
+    // mid-loop job would otherwise strand the edge + current-label (+ the
+    // caller's pair) blocks — exactly the leak class the eager frees
+    // exist to prevent, surviving in sessions that catch and retry.
+    try {
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
@@ -325,6 +333,9 @@ object Dedup {
     // cluster invariant downstream (dedupClusters, pipeline_curation)
     require(converged,
       s"componentLabels did not converge within $maxIters rounds")
+    } catch { case t: Throwable =>
+      free(labelsH); free(edgesH); throw t
+    }
     // The fixpoint is done and `labels` is checkpointed (its evaluation no
     // longer re-runs lineage), so the edge blocks are dead too.
     free(edgesH)
@@ -363,8 +374,9 @@ object Dedup {
     // by the time it returns the pair blocks are dead — the returned frame
     // references only the final label checkpoint. Free them before the
     // caller ever executes the result.
-    val out = componentLabels(docs, pairs)
-    free(pairsH)
+    val out =
+      try componentLabels(docs, pairs)
+      finally free(pairsH) // on failure too — see componentLabels' catch
     out.select(col("v").as("doc_id"), col("l").as("cluster_id"),
         (col("l") === col("v")).cast("int").as("is_canonical"))
   }
@@ -444,13 +456,18 @@ object Dedup {
     * want an uncached one-shot run.
     */
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Double), DataFrame]()
+    (String, String, Double), (SparkSession, DataFrame)]()
 
   def clusterIndex(spark: SparkSession, sfDir: String,
-                   threshold: Double): DataFrame =
+                   threshold: Double): DataFrame = {
+    // entries of stopped contexts can never be hit again (appId key) —
+    // drop them so a JVM that cycles sessions doesn't pin dead object
+    // graphs for its lifetime
+    indexCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
     indexCache.computeIfAbsent(
       (spark.sparkContext.applicationId, sfDir, threshold),
-      _ => dedupClusters(Tables.documents(spark, sfDir), threshold))
+      _ => (spark, dedupClusters(Tables.documents(spark, sfDir), threshold)))._2
+  }
 
   // ---------- SparkEntry glue ----------
 

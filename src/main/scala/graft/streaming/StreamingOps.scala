@@ -170,13 +170,19 @@ object StreamingOps {
     * maintain the LAST `t` observations and emit, on every event, the
     * current window front-backfilled with the trajectory's first
     * observation while fewer than `t` have been seen. This is the feature
-    * server an online RUL model scores against — each emission is exactly
-    * the tensor the batch path would build if the stream stopped at that
-    * event.
+    * server an online RUL model scores against: on an IN-ORDER stream
+    * (each key's events arrive in (ts, value) order across micro-batches —
+    * e.g. a per-device sequenced source), each emission is exactly the
+    * tensor the batch path would build if the stream stopped at that
+    * event; the spec pins the one-batch replay. Under cross-batch
+    * DISORDER the buffer keeps arrival order (a late event appends at the
+    * end, and a late global minimum does not rewrite the backfill value) —
+    * sources that can be late need a watermark + re-sort upstream, the
+    * same caveat as sessionizeStream but load-bearing here.
     *
     * Scale: state per key is strictly bounded at `t` doubles + one long
     * (no growth with stream length), keyed on the same trajectory id the
-    * batch operators shuffle on. Batch-order caveats as sessionizeStream.
+    * batch operators shuffle on.
     */
   def lastWindowStream(events: Dataset[Ev], t: Int)(
       implicit enc1: org.apache.spark.sql.Encoder[Long],
