@@ -35,4 +35,22 @@ class DedupHygieneSpec extends SparkSpec {
       s"three dedupClusters runs left ${leaked3.size} persistent RDDs " +
         "(expected ≤3) — the fixpoint is leaking loop-internal checkpoints again")
   }
+
+  test("componentLabels frees every block set on the non-convergence error path") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val verts = (1L to 10L).toDF("doc_id")
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    // maxIters = 0 forces the convergence require to fire with the seed
+    // labels + edges checkpointed — a catch-and-retry session must not
+    // accumulate those blocks
+    intercept[IllegalArgumentException] {
+      Dedup.componentLabels(verts, pairs, maxIters = 0)
+    }
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"error path left ${leaked.size} persistent RDDs behind")
+  }
 }
