@@ -117,6 +117,20 @@ object Tensorize {
             array_repeat(lit(0.0), (lit(t) - col("orig_len")).cast("int")), col("vals"))))
       .select(col(key), col("orig_len"), col("seq"))
 
+  /** Teacher-forcing next-step pairs — the music-forecasting train/test
+    * construction (music.py:22-28): every trajectory is brought to exactly
+    * `t`+1 steps through the same zero-front-pad / keep-last rule as
+    * [[padTruncate]] (music.py:37-45 `_change_to_seq_len`), then
+    * X = window[0:t] and y = window[1:t+1] — the one-step-shifted target
+    * a sequence forecaster trains against. Same single-shuffle shape as
+    * padTruncate; the shift is two map-side slices of the bounded array. */
+  def teacherForcingPairs(df: DataFrame, key: String, tsOrderCol: String,
+                          valueCol: String, t: Int): DataFrame =
+    padTruncate(df, key, tsOrderCol, valueCol, t + 1)
+      .select(col(key), col("orig_len"),
+        slice(col("seq"), 1, t).as("x"),
+        slice(col("seq"), 2, t).as("y"))
+
   /** SparkEntry glue: tensorize events (T=20, skip=5, cap=130).
     *
     * The driver-facing projection digests the `array<double>` feature

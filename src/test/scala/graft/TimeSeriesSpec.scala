@@ -101,6 +101,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2) == Seq(2.0, 3.0, 4.0))
   }
 
+  test("teacherForcingPairs: y is x shifted by one step over the padded window") {
+    val df = mkSeries(Seq((1, 1L, 1.0), (1, 2L, 2.0), (2, 1L, 1.0), (2, 2L, 2.0),
+                          (2, 3L, 3.0), (2, 4L, 4.0)))
+    val got = Tensorize.teacherForcingPairs(df, "k", "t", "v", t = 3).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getAs[scala.collection.Seq[Double]]("x"),
+          r.getAs[scala.collection.Seq[Double]]("y")))).toMap
+    // key 1: padded to [0,0,1,2] (zero front-pad) → x=[0,0,1], y=[0,1,2]
+    assert(got(1) == ((Seq(0.0, 0.0, 1.0), Seq(0.0, 1.0, 2.0))))
+    // key 2: last 4 of [1,2,3,4] → x=[1,2,3], y=[2,3,4]
+    assert(got(2) == ((Seq(1.0, 2.0, 3.0), Seq(2.0, 3.0, 4.0))))
+    // y is exactly x shifted left by one with the next observation appended
+    got.values.foreach { case (x, y) => assert(x.tail == y.init) }
+  }
+
   test("rulValidationWindow: last window only, first-row backfill, clipped external label") {
     val df = mkSeries(Seq((1, 1L, 5.0), (1, 2L, 6.0), (2, 1L, 1.0), (2, 2L, 2.0),
                           (2, 3L, 3.0), (2, 4L, 4.0)))
