@@ -311,7 +311,11 @@ object Dedup {
           .join(neighbor.select(col("v").as("lv"), col("l").as("ll")),
             col("l") === col("lv"))
           .select(col("v"), least(col("l"), col("ll")).as("l")))
-      val s = labelSum(next)
+      // a labelSum failure lands in the outer catch BEFORE labelsH is
+      // reassigned — free the freshly materialized round here or it leaks
+      val s = try labelSum(next) catch { case t: Throwable =>
+        free(nextH); throw t
+      }
       converged = s == prevSum
       prevSum = s
       // `next` is already materialized (eager localCheckpoint + the sum
@@ -412,9 +416,15 @@ object Dedup {
                         newNewPairs: DataFrame,
                         newOldPairs: DataFrame): DataFrame = {
     // (1) fixpoint over the increment only — all checkpoint hygiene of
-    // componentLabels applies
-    val comp = componentLabels(newDocs, newNewPairs)
-      .select(col("v").as("doc_id"), col("l").as("comp"))
+    // componentLabels applies. The component frame feeds TWO plan
+    // branches (the attach aggregation and the final join), so it is
+    // checkpointed once here; without it the vertices-tail join would
+    // execute twice per action. Like componentLabels' final labels, the
+    // one block set (O(batch)) is reclaimed by the ContextCleaner when
+    // the returned frame is dropped.
+    val (comp, _) = checkpointWithHandle(
+      componentLabels(newDocs, newNewPairs)
+        .select(col("v").as("doc_id"), col("l").as("comp")))
     // (2) per new doc, the smallest old cluster it matches (min-label
     // semantics, consistent with the full build's canonical choice)
     val attach = newOldPairs
@@ -460,13 +470,26 @@ object Dedup {
 
   def clusterIndex(spark: SparkSession, sfDir: String,
                    threshold: Double): DataFrame = {
+    // cold-measurement escape hatch: with SPARK_GRAFT_COLD=1 the bench
+    // wants every rep to pay true per-query cost, so the memo is bypassed
+    // (otherwise the first consumer would hide the build from the others)
+    if (sys.env.get("SPARK_GRAFT_COLD").contains("1"))
+      return dedupClusters(Tables.documents(spark, sfDir), threshold)
     // entries of stopped contexts can never be hit again (appId key) —
     // drop them so a JVM that cycles sessions doesn't pin dead object
     // graphs for its lifetime
     indexCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
-    indexCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir, threshold),
-      _ => (spark, dedupClusters(Tables.documents(spark, sfDir), threshold)))._2
+    // build-then-putIfAbsent rather than computeIfAbsent: the build runs
+    // multi-minute Spark jobs and must not hold a map bin lock for their
+    // duration (a concurrent same-bin caller would stall). A lost race
+    // means one duplicate build whose final checkpoint the ContextCleaner
+    // reclaims — benign.
+    val k = (spark.sparkContext.applicationId, sfDir, threshold)
+    Option(indexCache.get(k)).map(_._2).getOrElse {
+      val built = (spark, dedupClusters(Tables.documents(spark, sfDir), threshold))
+      val prev = indexCache.putIfAbsent(k, built)
+      (if (prev != null) prev else built)._2
+    }
   }
 
   // ---------- SparkEntry glue ----------

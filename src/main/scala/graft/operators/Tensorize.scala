@@ -197,7 +197,10 @@ object Tensorize {
     * predicate separately, so the window form paid a full shuffle+sort of
     * the fact table PER BRANCH, while the join form's worst case (keys too
     * big to broadcast) degrades to one hashpartitioning(key) exchange that
-    * the branch's own window/groupBy then reuses. */
+    * the branch's own window/groupBy then reuses. Requires a NON-NULL
+    * trajectory key (true of every source this library ingests): the
+    * equi-join routing drops null-key rows, where the old window form kept
+    * them as their own partition. */
   def windowTensorizePadded(df: DataFrame, key: String, order: Seq[String],
                             valueCol: String, t: Int, skip: Int,
                             rulCap: Int): DataFrame = {
