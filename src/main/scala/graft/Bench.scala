@@ -10,12 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // belt-and-suspenders behind the operators' explicit unpersists: the
       // ContextCleaner only reclaims dropped checkpoint/cache blocks after
-      // a JVM GC, and Spark's fallback periodic GC defaults to 30 min —
-      // longer than this whole bench. 1 min keeps any stragglers (e.g. the
-      // one surviving label checkpoint per componentLabels call) from
-      // accumulating across 90 queries × reps. Must be set HERE: the
-      // cleaner reads it at SparkContext construction, not from SQLConf.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // a JVM GC. The r6 bench set this to 1min and paid for it — the
+      // scheduled System.gc() full collections could land INSIDE a timed
+      // rep and bill a multi-second pause to whatever query was running
+      // (the prime suspect for three 6-15× driver spikes on untouched
+      // code). The bench now triggers an explicit System.gc() in the
+      // untimed gap before every query's rep loop instead — reclamation
+      // still happens deterministically within the session, just never
+      // inside measured time — and the periodic interval is only a 10min
+      // backstop for non-bench sessions of this builder. Must be set HERE:
+      // the cleaner reads it at SparkContext construction, not SQLConf.
+      .config("spark.cleaner.periodicGC.interval", "10min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Conf.applyTuned(spark)
@@ -26,6 +31,29 @@ object Bench {
     // side-file fixtures (external RUL labels) are generated here, once,
     // so ts_rul_validation's timed reps are purely the read+join
     Fixtures.ensureRulLabels(spark, sfDir)
+    // cumulative stop-the-world collection time across all collectors —
+    // the per-rep delta separates "the query was slow" from "a GC pause
+    // landed inside the rep", which medians alone cannot distinguish
+    // (the r6 forensic gap: three unexplained driver spikes)
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) t += math.max(0L, it.next().getCollectionTime)
+      t
+    }
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    // The session-scoped cluster index is built once and shared by
+    // dedup_clusters / dedup_canonical_best / pipeline_curation, so their
+    // timed reps measure the cached-label read, not the fixpoint. Pay the
+    // build HERE, visibly, so the amortized cost stays on the record
+    // (under SPARK_GRAFT_COLD=1 the memo is bypassed and every rep pays
+    // the true per-query cost instead — no pre-build).
+    if (!cold) {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.clusterIndex(spark, sfDir, threshold = 0.5).count()
+      System.err.println(f"[bench] cluster-index build ${(System.nanoTime() - t0) / 1e9}%.3f s (amortized across dedup_clusters/dedup_canonical_best/pipeline_curation)")
+    }
     // steady-state measurement: one untimed pass over every query first, so
     // the timed pass reports throughput rather than one-off whole-stage
     // codegen (Janino) compile times — the cost a long-lived session or any
@@ -33,7 +61,7 @@ object Bench {
     // NonFatal only: an OOM/VM error must crash the bench, not be absorbed.
     // Warm-pass failures are named too — a query that fails only cold must
     // not silently report a flattered steady-state number.
-    if (!sys.env.get("SPARK_GRAFT_COLD").contains("1"))
+    if (!cold)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(e) =>
@@ -50,7 +78,14 @@ object Bench {
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(3))
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // drain pending collections in the UNTIMED gap: the ContextCleaner
+      // reclaims any checkpoint/cache blocks dropped by earlier queries
+      // now, and the heap starts each query compacted — so a full GC can
+      // never be billed to the rep that happened to be running when a
+      // periodic timer fired (the r6 spike hypothesis)
+      System.gc()
+      val times = (1 to reps).map { rep =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -58,6 +93,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // per-rep forensics: wall time + GC time that landed inside the
+        // rep. A spike with gc≈dt·1000 is a collection pause, not the
+        // query; a spike with gc≈0 is genuine work or box contention.
+        System.err.println(f"[bench] $name rep$rep ${dt}%.3f s gc=${gcMillis() - gc0} ms${if (ok) "" else " FAILED"}")
         if (ok) dt else -dt
       }
       // failures are recorded as negative so they can't pose as wall time;
