@@ -236,6 +236,32 @@ object Dedup {
   private def free(h: Option[org.apache.spark.rdd.RDD[_]]): Unit =
     h.foreach(_.unpersist(blocking = true))
 
+  /** Caller-facing handle to a checkpoint's block set. Operators that
+    * return a frame still referencing a checkpoint hand one of these back
+    * so the CALLER can free the blocks eagerly the moment it has consumed
+    * the result — the same hygiene [[componentLabels]] applies internally.
+    * Without it the block set strands until a periodic GC lets the
+    * ContextCleaner reclaim it; a session looping daily increments would
+    * accumulate one per call. `close()` is safe to call more than once and
+    * after the backing session is gone (RDD.unpersist is idempotent). */
+  final class CheckpointHandle private[operators] (
+      h: Option[org.apache.spark.rdd.RDD[_]]) extends AutoCloseable {
+    override def close(): Unit = free(h)
+  }
+
+  /** Persisted RDDs backing the checkpoint leaves of `df`'s analyzed plan
+    * — the same reflective recovery as [[checkpointWithHandle]], applied
+    * to every LogicalRDD leaf. Lets an operator free a nested fixpoint's
+    * surviving checkpoint once a downstream materialization has made it
+    * dead, instead of leaving it to the ContextCleaner. Best-effort like
+    * the single-handle path: unrecoverable leaves degrade to cleaner
+    * reclamation. */
+  private def persistedLeafRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().flatMap(l =>
+      scala.util.Try(l.getClass.getMethod("rdd").invoke(l)
+        .asInstanceOf[org.apache.spark.rdd.RDD[_]]).toOption)
+      .filter(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+
   /** Connected components over a near-dup candidate-pair graph: every doc
     * is labeled with the smallest doc_id reachable through candidate edges
     * (its cluster id); `is_canonical` marks the one doc per cluster a
@@ -394,10 +420,10 @@ object Dedup {
     * Inputs: `oldLabels` = the existing index (doc_id, cluster_id),
     * immutable; `newNewPairs` = candidate near-dup pairs WITHIN the new
     * batch; `newOldPairs` = candidate pairs from new docs (doc_id_a) to
-    * old docs (doc_id_b). Both pair sets come from the same bounded
-    * candidate generators used for the full build (at scale: the new
-    * batch's LSH band keys probed against the indexed corpus buckets —
-    * the batch is small, so the probe join broadcasts).
+    * old docs (doc_id_b). [[incrementalCandidatePairs]] produces both from
+    * the same MinHash/LSH machinery as the full build — the new batch's
+    * band keys probed against the indexed corpus buckets, batch side
+    * broadcast.
     *
     * Algorithm: (1) connected components over the new batch ONLY (the
     * fixpoint runs on the increment, not the corpus); (2) each new doc
@@ -411,20 +437,35 @@ object Dedup {
     * attaches the bridge to the smaller cluster_id and leaves the old
     * partition untouched — the standard tradeoff that keeps increments
     * O(batch), with a periodic full rebuild reconciling bridges.
+    *
+    * Returns the label frame plus a [[CheckpointHandle]]: the frame
+    * references one checkpointed block set (the increment's component
+    * labels), and a caller that has consumed the result should `close()`
+    * the handle to free it eagerly — a session looping daily increments
+    * otherwise strands one block set per call until a periodic GC.
     */
   def incrementalLabels(newDocs: DataFrame, oldLabels: DataFrame,
                         newNewPairs: DataFrame,
-                        newOldPairs: DataFrame): DataFrame = {
+                        newOldPairs: DataFrame): (DataFrame, CheckpointHandle) = {
     // (1) fixpoint over the increment only — all checkpoint hygiene of
     // componentLabels applies. The component frame feeds TWO plan
     // branches (the attach aggregation and the final join), so it is
     // checkpointed once here; without it the vertices-tail join would
-    // execute twice per action. Like componentLabels' final labels, the
-    // one block set (O(batch)) is reclaimed by the ContextCleaner when
-    // the returned frame is dropped.
-    val (comp, _) = checkpointWithHandle(
-      componentLabels(newDocs, newNewPairs)
-        .select(col("v").as("doc_id"), col("l").as("comp")))
+    // execute twice per action. The one block set (O(batch)) is freed by
+    // the caller via the returned handle, or by the ContextCleaner when
+    // the frame is dropped.
+    val inner = componentLabels(newDocs, newNewPairs)
+      .select(col("v").as("doc_id"), col("l").as("comp"))
+    val (comp, compH) = checkpointWithHandle(inner)
+    // `comp` is materialized, so the inner fixpoint's own surviving label
+    // checkpoint (the one block set componentLabels leaves per build) is
+    // dead — free it now rather than stranding it until a periodic GC.
+    // Leaves owned by the CALLER's inputs (a checkpointed newDocs/pair
+    // frame) are excluded: freeing those is the caller's decision.
+    val callerOwned = (persistedLeafRdds(newDocs) ++
+      persistedLeafRdds(newNewPairs)).map(_.id).toSet
+    persistedLeafRdds(inner).filterNot(r => callerOwned(r.id))
+      .foreach(_.unpersist(blocking = true))
     // (2) per new doc, the smallest old cluster it matches (min-label
     // semantics, consistent with the full build's canonical choice)
     val attach = newOldPairs
@@ -437,10 +478,59 @@ object Dedup {
     val compOld = comp.join(attach, Seq("doc_id"), "left")
       .groupBy(col("comp"))
       .agg(min(col("old_cl")).as("comp_old"))
-    comp.join(compOld, Seq("comp"))
+    val out = comp.join(compOld, Seq("comp"))
       .select(col("doc_id"),
         coalesce(col("comp_old"), col("comp")).as("cluster_id"),
         col("comp_old").isNotNull.cast("int").as("attached_to_existing"))
+    (out, new CheckpointHandle(compH))
+  }
+
+  /** Candidate generation for [[incrementalLabels]]: the new batch's
+    * MinHash/LSH band keys probed against the indexed corpus buckets.
+    * Returns `(newNewPairs, newOldPairs)` — verified near-dup pairs
+    * (jaccard >= threshold) within the batch, and from batch docs
+    * (doc_id_a) to corpus docs (doc_id_b) — shaped for direct use as
+    * incrementalLabels' pair inputs.
+    *
+    * Scale shape: band keys and shingle sets are per-document and
+    * map-side, identical to the full build's ([[minhashPairs]]) — so a
+    * pair the full build would find via a band collision is found here by
+    * construction, either within the batch or through the probe. The
+    * batch side is explicitly `broadcast()`: the corpus bucket frame —
+    * at production scale a PERSISTED index table bucketed by (band, bh),
+    * modeled here by deriving it from the corpus frame — is scanned
+    * map-side and never shuffles, which is the whole point of an
+    * incremental path: O(batch) work plus one corpus scan, no corpus
+    * shuffle, no corpus-wide fixpoint. */
+  def incrementalCandidatePairs(newDocs: DataFrame, oldDocs: DataFrame,
+      textCol: String = "text", k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.7): (DataFrame, DataFrame) = {
+    val rowsPerBand = numHashes / bands
+    def buckets(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        graft.functions.ShingleHashSet(lower(trim(col(textCol))), k).as("sh"))
+      .withColumn("sig", graft.functions.MinHashSig(col("sh"), numHashes))
+      .select(col("doc_id"), col("sh"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bh")))
+    // within-batch pairs: the full generator at batch scale
+    val nn = minhashPairs(newDocs, textCol, k, numHashes, bands, threshold)
+    // probe join: batch buckets broadcast against the corpus buckets;
+    // exact Jaccard verification only on bucket collisions
+    val no = broadcast(buckets(newDocs).select(col("band"), col("bh"),
+        col("doc_id").as("doc_id_a"), col("sh").as("sh_a")))
+      .join(buckets(oldDocs).select(col("band"), col("bh"),
+        col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("band", "bh"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("common",
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+    (nn, no)
   }
 
   /** Session-scoped dedup-cluster INDEX over the documents table: the

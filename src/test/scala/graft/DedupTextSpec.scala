@@ -149,9 +149,10 @@ class DedupTextSpec extends SparkSpec {
     val newDocs = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
     val nn = Seq((10L, 11L)).toDF("doc_id_a", "doc_id_b")
     val no = Seq((11L, 3L), (12L, 2L), (12L, 3L)).toDF("doc_id_a", "doc_id_b")
-    val got = Dedup.incrementalLabels(newDocs, oldLabels, nn, no)
-      .as[(Long, Long, Int)].collect()
+    val (labels, handle) = Dedup.incrementalLabels(newDocs, oldLabels, nn, no)
+    val got = labels.as[(Long, Long, Int)].collect()
       .map { case (d, c, a) => d -> ((c, a)) }.toMap
+    handle.close() // caller-side eager free of the component checkpoint
     // the {10,11} component attaches through 11's match → BOTH get cluster 3
     assert(got(10L) == ((3L, 1)) && got(11L) == ((3L, 1)))
     // 12 matches clusters 1 and 3 → min old cluster (1); old labels frozen,

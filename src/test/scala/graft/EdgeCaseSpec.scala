@@ -57,8 +57,9 @@ class EdgeCaseSpec extends SparkSpec {
     val oldLabels = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     val newDocs = Seq(10L, 11L).toDF("doc_id")
     val none = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
-    val got = Dedup.incrementalLabels(newDocs, oldLabels, none, none)
-      .as[(Long, Long, Int)].collect().sorted
+    val (labels, handle) = Dedup.incrementalLabels(newDocs, oldLabels, none, none)
+    val got = labels.as[(Long, Long, Int)].collect().sorted
+    handle.close()
     assert(got.toSeq == Seq((10L, 10L, 0), (11L, 11L, 0)))
   }
 

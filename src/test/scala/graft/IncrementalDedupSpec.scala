@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** End-to-end contract for the incremental dedup-index path:
+  * [[Dedup.incrementalCandidatePairs]] (the new batch's MinHash/LSH band
+  * keys probed against the indexed corpus buckets) composed with
+  * [[Dedup.incrementalLabels]] must equal a full `dedupClusters` rebuild
+  * on bridge-free graphs — the correctness statement that makes the
+  * O(batch) daily-increment shape trustworthy at corpus scale.
+  *
+  * Fixture: seeded random word-soup corpus with exact-duplicate groups.
+  * Exact copies are found by BOTH generators by construction (identical
+  * signatures collide in every LSH band; identical length/lang passes the
+  * n-gram banding), and unrelated random texts verify far below the
+  * jaccard threshold — so the full build's edge set and the incremental
+  * edge set coincide and label equality is exact, not approximate.
+  * Bridge-freedom and old-ids < new-ids hold by construction (each doc
+  * belongs to exactly one text-equality group; ids are assigned in batch
+  * order), which are precisely the documented conditions under which the
+  * frozen-old-labels contract reproduces the full rebuild.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private val rnd = new scala.util.Random(20260814L)
+  private def text(): String =
+    Seq.fill(20)("w" + rnd.nextInt(200)).mkString(" ")
+
+  // 8 duplicate groups: 0-2 old-only, 3-5 spanning old+new (attach path),
+  // 6-7 new-only (founding path); plus singletons in both batches
+  private val base = Vector.fill(8)(text())
+  private val oldRows = {
+    val b = Seq.newBuilder[(Long, String)]
+    var id = 1L
+    for (g <- 0 until 6; _ <- 0 until (2 + g % 2)) { b += ((id, base(g))); id += 1 }
+    while (id <= 40L) { b += ((id, text())); id += 1 }
+    b.result()
+  }
+  private val newRows = {
+    val b = Seq.newBuilder[(Long, String)]
+    var id = 101L
+    for (g <- 3 until 8; _ <- 0 until (1 + g % 2)) { b += ((id, base(g))); id += 1 }
+    while (id <= 115L) { b += ((id, text())); id += 1 }
+    b.result()
+  }
+
+  private def toDocs(rows: Seq[(Long, String)]): DataFrame = {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    rows.map { case (id, t) => (id, t, "en", t.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  test("incrementalLabels ∘ incrementalCandidatePairs == full dedupClusters rebuild") {
+    val oldDocs = toDocs(oldRows)
+    val newDocs = toDocs(newRows)
+    val full = Dedup.dedupClusters(oldDocs.unionByName(newDocs), threshold = 0.5)
+      .select("doc_id", "cluster_id")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+
+    val oldLabels = Dedup.dedupClusters(oldDocs, threshold = 0.5)
+      .select("doc_id", "cluster_id")
+    val (nn, no) =
+      Dedup.incrementalCandidatePairs(newDocs, oldDocs, threshold = 0.5)
+    val (labels, handle) = Dedup.incrementalLabels(newDocs, oldLabels, nn, no)
+    val inc = labels.select("doc_id", "cluster_id")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    handle.close()
+
+    // old labels are frozen AND equal the full rebuild's (no bridges, no
+    // new doc can lower an old cluster's min id)
+    val oldMap = oldLabels
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    oldRows.foreach { case (id, _) =>
+      assert(oldMap(id) == full(id), s"old doc $id: index ${oldMap(id)} != full ${full(id)}")
+    }
+    // every new doc's incremental label equals the full rebuild's
+    assert(inc.keySet == newRows.map(_._1).toSet)
+    newRows.foreach { case (id, _) =>
+      assert(inc(id) == full(id), s"new doc $id: incremental ${inc(id)} != full ${full(id)}")
+    }
+    // sanity on the fixture itself: attach, founding, and singleton paths
+    // were all actually exercised
+    assert(newRows.count { case (id, _) => inc(id) <= 40L } >= 3,
+      "no new doc attached to an old cluster — fixture degenerated")
+    assert(newRows.exists { case (id, t) => inc(id) >= 101L && inc(id) != id },
+      "no new-only multi-doc cluster founded — fixture degenerated")
+    assert(newRows.exists { case (id, _) => inc(id) == id },
+      "no new singleton — fixture degenerated")
+  }
+
+  test("probe join broadcasts the batch side; handle.close() frees every block") {
+    val sc = spark.sparkContext
+    val oldDocs = toDocs(oldRows)
+    val newDocs = toDocs(newRows)
+    val (nn, no) =
+      Dedup.incrementalCandidatePairs(newDocs, oldDocs, threshold = 0.5)
+    // the corpus-side bucket frame must never shuffle: the batch side is
+    // hinted broadcast, so the probe is a BroadcastHashJoin — a
+    // SortMergeJoin here means the corpus got exchanged, the exact cost
+    // the incremental path exists to avoid
+    val plan = no.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join is not broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe join degraded to a sort-merge join:\n${plan.take(1500)}")
+
+    val before = sc.getPersistentRDDs.keySet
+    val oldLabels = Dedup.dedupClusters(oldDocs, threshold = 0.5)
+      .select("doc_id", "cluster_id").localCheckpoint()
+    val baseline = sc.getPersistentRDDs.keySet
+    val (labels, handle) = Dedup.incrementalLabels(newDocs, oldLabels, nn, no)
+    labels.count()
+    handle.close()
+    // the increment leaves NOTHING behind once the caller closes the
+    // handle: the inner fixpoint's checkpoint is freed by the operator,
+    // the component checkpoint by the handle. (The caller-owned oldLabels
+    // checkpoint above must survive — the operator may not free inputs.)
+    val leaked = sc.getPersistentRDDs.keySet -- baseline
+    assert(leaked.isEmpty,
+      s"incremental labeling left ${leaked.size} persistent RDD(s) after close()")
+    assert((baseline -- before).subsetOf(sc.getPersistentRDDs.keySet),
+      "operator freed a caller-owned input checkpoint")
+  }
+}
