@@ -16,7 +16,6 @@ class RelationalSpec extends SparkSpec {
     // spec-only queries are allowed (driver does rows-only check) but must be
     // intentional — keep this list in sync with SURVEY.md §2.
     val specOnly = Set(
-      "ts_adding_problem",
       "ts_autoregressive_gen", "dedup_minhash", "dedup_simhash", "ann_lsh",
       "text_langid", "text_fingerprint", "mm_binary_features", "mm_frame_sample",
       "ts_kmeans_embed", "ts_logreg_embed", "q_approx_sketch",
