@@ -198,17 +198,24 @@ object Tensorize {
     * the fact table PER BRANCH, while the join form's worst case (keys too
     * big to broadcast) degrades to one hashpartitioning(key) exchange that
     * the branch's own window/groupBy then reuses. Requires a NON-NULL
-    * trajectory key (true of every source this library ingests): the
-    * equi-join routing drops null-key rows, where the old window form kept
-    * them as their own partition. */
+    * trajectory key (true of every source this library ingests); the
+    * exclusion of null-key rows is ENFORCED by an explicit filter below
+    * (and pinned by spec), not left to the equi-join's drop semantics —
+    * the old window form kept such rows as their own partition, and a
+    * silent behavior change on a future null-key source is worse than a
+    * visible contract. */
   def windowTensorizePadded(df: DataFrame, key: String, order: Seq[String],
                             valueCol: String, t: Int, skip: Int,
                             rulCap: Int): DataFrame = {
     val padLen = t * skip
+    // the documented non-null-key contract, made load-bearing: null keys
+    // are dropped HERE, deliberately and visibly (the predicate pushes to
+    // the scan), so the routing join below never decides their fate
+    val in = df.filter(col(key).isNotNull)
     val wKey = Window.partitionBy(col(key))
-    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_all"))
+    val counts = in.groupBy(col(key)).agg(count(lit(1)).as("n_all"))
     val long = windowTensorize(
-        df.join(counts.filter(col("n_all") >= padLen).select(col(key)), Seq(key)),
+        in.join(counts.filter(col("n_all") >= padLen).select(col(key)), Seq(key)),
         key, order, valueCol, t, skip, rulCap)
       .select(col(key), col("widx"),
         col("rul").cast("long").as("rul"),
@@ -218,7 +225,7 @@ object Tensorize {
     // short branch: scale (scale_data runs BEFORE padding in the
     // reference, and padding repeats the scaled first observation), pad to
     // T·skip, then stride windows map-side out of the bounded array
-    val short = df
+    val short = in
       .join(counts.filter(col("n_all") < padLen).select(col(key)), Seq(key))
       .withColumn("_v", col(valueCol) / max(col(valueCol)).over(wKey))
       .groupBy(col(key))

@@ -156,6 +156,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got((2L, 0L)) == 80L && got((2L, 16L)) == 0L)
   }
 
+  test("padded tensorize: null-key rows are excluded by contract, rest unchanged") {
+    // the non-null-key contract is an explicit filter, not an accident of
+    // join semantics: adding null-key rows must change NOTHING about the
+    // output (and in particular must not resurrect the old window form's
+    // null-partition behavior)
+    val clean = (1 to 30).map(i => (2L, i.toLong, i.toLong, i.toDouble))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val withNulls = clean.unionByName(
+      (1 to 25).map(i => (null.asInstanceOf[java.lang.Long], 1000L + i,
+          1000L + i, i.toDouble))
+        .toDF("user_id", "ts_us", "event_id", "value"))
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      operators.Tensorize.windowTensorizePadded(
+          df, "user_id", Seq("ts_us", "event_id"), "value",
+          t = 20, skip = 5, rulCap = 130)
+        .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSet
+    val a = digest(clean)
+    val b = digest(withNulls)
+    assert(a == b, "null-key rows altered the output")
+    assert(!b.exists(_._1 == null), "a null-key window leaked into the output")
+  }
+
   test("normal_eq rejects empty vectors; fits diagnose empty input") {
     // empty feature vector: silently ignoring it would let an all-empty
     // input eval to null downstream — must be a hard, descriptive error

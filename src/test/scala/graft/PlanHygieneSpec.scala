@@ -124,6 +124,28 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("padded tensorize routes through broadcast count joins within an exchange budget") {
+    // windowTensorizePadded's long/short routing is a per-key count
+    // aggregate joined back — the count side must BROADCAST into each
+    // branch (it is one row per trajectory), and the whole query stays at
+    // 4 hash exchanges: one count aggregate + one key-partitioned
+    // window/groupBy per branch. A regression to the old count().over(key)
+    // window form loses the broadcast joins (and re-sorts the fact table
+    // per branch); a routing join degrading to sort-merge re-exchanges the
+    // fact table per branch.
+    val plan = SparkEntry.queries("ts_window_tensorize_padded")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 2,
+      s"routing counts not broadcast into both branches ($nBroadcast joins):\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"routing join degraded to sort-merge:\n${plan.take(1500)}")
+    val nExchanges = "(?<!Broadcast)Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(nExchanges <= 4,
+      s"ts_window_tensorize_padded plans $nExchanges hash exchanges (budget 4):\n${plan.take(1500)}")
+  }
+
   test("oracle-checked scans prune columns (no SELECT * scans of lineitem)") {
     val plan = operators.Relational.q1Agg(spark, sf)
       .queryExecution.executedPlan.toString
