@@ -42,7 +42,7 @@ object Bench {
       while (it.hasNext) t += math.max(0L, it.next().getCollectionTime)
       t
     }
-    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    val cold = graft.operators.Dedup.coldMode
     // The session-scoped cluster index is built once and shared by
     // dedup_clusters / dedup_canonical_best / pipeline_curation, so their
     // timed reps measure the cached-label read, not the fixpoint. Pay the

@@ -558,12 +558,20 @@ object Dedup {
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Double), (SparkSession, DataFrame)]()
 
+  /** Cold-measurement toggle: true when the bench (or a spec) wants every
+    * consumer to pay the true per-query cost instead of reading the
+    * session index. Env var for the bench harness; the system property
+    * exists so an in-JVM spec can exercise the bypass path (env cannot be
+    * set after JVM start). */
+  def coldMode: Boolean =
+    sys.props.get("graft.cold").orElse(sys.env.get("SPARK_GRAFT_COLD"))
+      .contains("1")
+
   def clusterIndex(spark: SparkSession, sfDir: String,
                    threshold: Double): DataFrame = {
-    // cold-measurement escape hatch: with SPARK_GRAFT_COLD=1 the bench
-    // wants every rep to pay true per-query cost, so the memo is bypassed
-    // (otherwise the first consumer would hide the build from the others)
-    if (sys.env.get("SPARK_GRAFT_COLD").contains("1"))
+    // cold-measurement escape hatch: the memo is bypassed so the first
+    // consumer cannot hide the build cost from the others
+    if (coldMode)
       return dedupClusters(Tables.documents(spark, sfDir), threshold)
     // entries of stopped contexts can never be hit again (appId key) —
     // drop them so a JVM that cycles sessions doesn't pin dead object

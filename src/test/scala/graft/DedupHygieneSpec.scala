@@ -36,6 +36,27 @@ class DedupHygieneSpec extends SparkSpec {
         "(expected ≤3) — the fixpoint is leaking loop-internal checkpoints again")
   }
 
+  test("cold mode bypasses the cluster-index memo and still matches the cached result") {
+    // the SPARK_GRAFT_COLD bench toggle (injected here via the graft.cold
+    // system property — env cannot change after JVM start) must actually
+    // rebuild instead of reading the session index, and the rebuild must
+    // agree with the memoized labels exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val warm1 = Dedup.clusterIndex(spark, sf, threshold = 0.5)
+    val warm2 = Dedup.clusterIndex(spark, sf, threshold = 0.5)
+    assert(warm1 eq warm2, "warm calls must return the memoized frame")
+    val warmRows = rows(warm1)
+    sys.props("graft.cold") = "1"
+    try {
+      val cold = Dedup.clusterIndex(spark, sf, threshold = 0.5)
+      assert(!(cold eq warm1), "cold mode must bypass the memo")
+      assert(rows(cold) == warmRows, "cold rebuild diverged from the cached index")
+    } finally sys.props.remove("graft.cold")
+    // and the memo is intact afterwards
+    assert(Dedup.clusterIndex(spark, sf, threshold = 0.5) eq warm1)
+  }
+
   test("componentLabels frees every block set on the non-convergence error path") {
     val ss = TestSpark.spark
     import ss.implicits._
