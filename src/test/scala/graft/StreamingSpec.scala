@@ -9,7 +9,16 @@ class StreamingSpec extends SparkSpec {
   import ss.implicits._
 
   /** File streaming sources need a directory: stage the single events
-    * parquet file into a temp dir once. */
+    * parquet file into a temp dir once.
+    *
+    * LOAD-BEARING for the batch-equivalence tests below: ONE file and no
+    * maxFilesPerTrigger means Trigger.AvailableNow processes the whole
+    * fixture as a SINGLE micro-batch, so every key's events are sorted
+    * together by the per-batch sort inside the stateful operators
+    * (lastWindowStream, funnel, sessionize). Splitting the fixture across
+    * files could split a key's events across batches in file order, which
+    * the operators' documented in-order contract does not cover — add
+    * files here and the equivalence assertions stop being guaranteed. */
   private lazy val eventsDir: String = {
     val d = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
@@ -133,6 +142,10 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming last-window features equal the batch inference windows at stream end") {
+    // bit-for-bit equivalence with the batch inferenceWindow relies on the
+    // single-file fixture above replaying as ONE micro-batch (see
+    // eventsDir): within a batch the handler sorts each key's events, so
+    // the stream fold visits them in exactly the batch sort order
     val stream = StreamingOps.readEvents(spark, eventsDir)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("value"))
