@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Int8 embedding quantization: error bounds and search quality. */
+class QuantizationSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  test("quantization error is bounded by q_scale/2 per element; zero vectors safe") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (1L to 50L).map(id =>
+      (id, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)) :+
+      (99L, Seq.fill(16)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.quantizeEmbeddings(df).collect()
+    got.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val q = r.getAs[scala.collection.Seq[Byte]]("q_emb")
+      val s = r.getAs[Double]("q_scale")
+      assert(q.length == v.length)
+      if (s == 0.0) {
+        assert(v.forall(_ == 0.0f) && q.forall(_ == 0))
+      } else {
+        assert(q.forall(b => b >= -127 && b <= 127))
+        v.zip(q).foreach { case (x, b) =>
+          assert(math.abs(x - b * s) <= s / 2 + 1e-9,
+            s"vec ${r.getLong(0)}: |$x - $b*$s| > scale/2")
+        }
+      }
+      // q_norm matches the integer L2 norm of the quantized vector
+      val n = math.sqrt(q.map(b => b.toLong * b.toLong).sum.toDouble)
+      assert(math.abs(r.getAs[Double]("q_norm") - n) < 1e-12)
+    }
+  }
+
+  test("quantized cosine tracks exact cosine; quantized top-k recall vs exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 5
+    val exact = Similarity.annTopK(emb, queries, k)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qc = Similarity.quantizeEmbeddings(emb)
+    val approx = Similarity.annTopKQuantized(qc, qc.filter(col("vec_id") < 10), k)
+    // per-pair cosine agreement: join quantized scores to exact scores
+    val qcos = approx.select(col("q_id"), col("c_id"), col("cos").as("qcos"))
+    val ecos = Similarity.annTopK(emb, queries, k)
+      .select(col("q_id"), col("c_id"), col("cos").as("ecos"))
+    val drift = qcos.join(ecos, Seq("q_id", "c_id"))
+      .select(max(abs(col("qcos") - col("ecos")))).head.getDouble(0)
+    assert(drift <= 0.02, s"quantized cosine drifts $drift > 0.02 from exact")
+    // recall of the quantized top-k against the exact top-k
+    val got = approx.select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, want) =>
+      (got.getOrElse(qid, Set.empty) & want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"quantized recall $recall < 0.8")
+  }
+}
