@@ -160,6 +160,45 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(handle)
   }
 
+  case class DebEv(event_id: Long, ts_us: Long, user_id: Long,
+                   event_type: String)
+  case class DebounceState(last_us: Long)
+  case class DebounceOut(user_id: Long, event_type: String, event_id: Long,
+                         us: Long)
+
+  /** Debounce dedup as a streaming state machine — the incremental twin of
+    * [[graft.operators.Relational.qWindowDedup]] (the idempotency /
+    * double-fire filter of an event pipeline): an event is emitted iff it
+    * is its (user, type) key's first or arrives more than `gapUs` after
+    * the PREVIOUS event of that key — kept or suppressed, exactly the
+    * batch lag() formulation, which is why the state is ONE long per key
+    * (the last seen event time) rather than the last EMITTED time.
+    * Replaying a static directory in one batch reproduces the batch
+    * output exactly (spec-pinned); cross-batch ordering caveats are the
+    * same as sessionizeStream. */
+  def debounceStream(events: Dataset[DebEv], gapUs: Long = 600000000L)(
+      implicit enc1: org.apache.spark.sql.Encoder[(Long, String)],
+      enc2: org.apache.spark.sql.Encoder[DebounceState],
+      enc3: org.apache.spark.sql.Encoder[DebounceOut]): Dataset[DebounceOut] = {
+
+    def handle(key: (Long, String), evs: Iterator[DebEv],
+               state: GroupState[DebounceState]): Iterator[DebounceOut] = {
+      var last = state.getOption.map(_.last_us)
+      val out = scala.collection.mutable.ArrayBuffer.empty[DebounceOut]
+      evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (last.forall(l => e.ts_us - l > gapUs))
+          out += DebounceOut(key._1, key._2, e.event_id, e.ts_us)
+        last = Some(e.ts_us)
+      }
+      last.foreach(l => state.update(DebounceState(l)))
+      out.iterator
+    }
+
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+  }
+
   case class LastWinState(first: Double, buf: Vector[Double], n: Long)
   case class LastWinOut(user_id: Long, event_id: Long, n_seen: Long,
                         window: Seq[Double])

@@ -171,6 +171,26 @@ class StreamingSpec extends SparkSpec {
       "streaming end-state windows differ from batch inference windows")
   }
 
+  test("streaming debounce dedup equals the batch window dedup on one-batch replay") {
+    // single-file fixture ⇒ one micro-batch ⇒ the per-key sort covers the
+    // whole stream (see eventsDir) — the condition under which the
+    // debounce machine reproduces the batch lag() formulation exactly
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+      .as[StreamingOps.DebEv]
+    val q = StreamingOps.debounceStream(stream).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("stream_deb")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("stream_deb")
+      .select("user_id", "event_type", "event_id", "us")
+    val want = operators.Relational.qWindowDedup(spark, sf)
+    assert(got.count() == want.count(), "row counts differ from batch dedup")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming debounce diverges from batch q_window_dedup")
+  }
+
   test("streaming dedup: watermarked dropDuplicates removes replayed events") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     // duplicate the stream against itself (union) → every event twice
