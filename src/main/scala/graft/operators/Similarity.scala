@@ -195,6 +195,115 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ---------- product quantization (PQ) ----------
+
+  /** Per-subspace PQ codebooks: the `dim`-dim space is split into `m`
+    * contiguous subspaces of dim/m and each gets a `ks`-centroid codebook
+    * from the deterministic Lloyd fit (centroids pinned at 6 dp — same
+    * reproducibility rule as IVF). Codebook size is m·ks·(dim/m) doubles —
+    * driver-resident, broadcast implicitly as expression literals. */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int, ks: Int,
+                  iters: Int = 2): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      graft.ml.KMeans.fitWithCentroids(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        ks, iters, roundDp = Some(6))._2
+    }.toArray
+  }
+
+  /** PQ encoding: each vector becomes `m` bytes (one codebook id per
+    * subspace) — 32× smaller than float32 at dim 64 / m 8. Map-side argmin
+    * against the driver-resident codebooks via the same native
+    * NearestCentroid kernel the IVF router uses; no shuffle. */
+  def pqEncode(corpus: DataFrame, dim: Int,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    corpus.select(col("vec_id"), array((0 until m).map(s =>
+      graft.ml.KMeans.assign(slice(col("embedding"), s * sub + 1, sub),
+        codebooks(s)).cast("tinyint")): _*).as("pq_code"))
+  }
+
+  /** PQ ANN with asymmetric-distance scoring (ADC): the query stays
+    * full-precision; per query a lookup table of squared distances to
+    * every (subspace, codeword) pair — m·ks doubles — is computed once on
+    * the driver and broadcast, and each corpus CODE is scored by m table
+    * lookups summed in a codegen'd higher-order fold. The FAISS-style
+    * scale shape: the corpus contributes only its m-byte codes to the
+    * scan, the quantization error is absorbed into the index (encode once
+    * per corpus snapshot, amortized like the IVF cells), and the exact
+    * re-rank of the returned shortlist is the caller's choice. Top-k =
+    * smallest approximate distance, ties by c_id, through the bounded
+    * -state smallest_k aggregate. */
+  def annPq(codes: DataFrame, queries: DataFrame,
+            codebooks: Array[Array[Array[Double]]], dim: Int,
+            k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val ks = codebooks(0).length
+    val sub = dim / m
+    val qRows = queries
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .collect()
+    val luts = qRows.map { r =>
+      val v = r.getSeq[Double](r.fieldIndex("v"))
+      val lut = Array.tabulate(m * ks) { i =>
+        val s = i / ks; val c = i % ks
+        var d = 0.0; var j = 0
+        while (j < sub) {
+          val diff = v(s * sub + j) - codebooks(s)(c)(j); d += diff * diff
+          j += 1
+        }
+        d
+      }
+      (r.getLong(0), lut.toSeq)
+    }.toSeq.toDF("q_id", "lut")
+    val scored = codes.select(col("vec_id").as("c_id"), col("pq_code"))
+      .join(broadcast(luts), col("q_id") =!= col("c_id"))
+      .withColumn("adist", round(aggregate(
+        zip_with(col("pq_code"), sequence(lit(0), lit(m - 1)),
+          (c, s) => element_at(col("lut"), s * ks + c.cast("int") + 1)),
+        lit(0.0), (a, x) => a + x), 6))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.SmallestK.smallestK(
+        struct(col("adist"), col("c_id")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.c_id").as("c_id"), col("t.adist").as("adist"))
+  }
+
+  /** PQ search as production runs it: ADC over the m-byte codes produces
+    * a SHORTLIST (`shortlist` candidates per query), then only those rows
+    * are re-ranked with exact full-precision distances. The shortlist —
+    * shortlist·|queries| ids — is broadcast against the corpus, so the
+    * expensive full vectors are touched for candidates only and the
+    * corpus still never shuffles. ADC's quantization error then only has
+    * to keep the true neighbors inside the shortlist, not rank them —
+    * which is why a compressed index works at recall people accept. */
+  def annPqRefined(corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+                   codebooks: Array[Array[Array[Double]]], dim: Int,
+                   k: Int, shortlist: Int): DataFrame = {
+    val cand = annPq(codes, queries, codebooks, dim, shortlist)
+      .select(col("q_id"), col("c_id"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      VectorOps.toDouble(col("embedding")).as("q_emb"))
+    val scored = c.join(broadcast(cand), Seq("c_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("d", round(VectorOps.distSq(
+        VectorOps.toDouble(col("c_emb")), col("q_emb")), 6))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.SmallestK.smallestK(
+        struct(col("d"), col("c_id")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.c_id").as("c_id"), col("t.d").as("dist"))
+  }
+
   // ---------- SparkEntry glue ----------
 
   /** Queries = vec_id < 10; top-5 exact cosine neighbors each. */
