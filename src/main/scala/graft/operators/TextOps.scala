@@ -676,4 +676,68 @@ object TextOps {
       |  SELECT len(string_split_regex(lower(trim(text)), '\s+')) // 10 * 10 AS bucket_lo,
       |    count(*) AS n_docs
       |  FROM documents GROUP BY 1)""".stripMargin
+
+  // ---------- BM25 ranked retrieval ----------
+
+  /** Okapi BM25 scoring of every document against a small query-term set —
+    * the ranked-retrieval primitive of a corpus search/relevance pipeline.
+    *
+    * Scale shape: one explode of the corpus into (doc, term) counts (the
+    * same tokenization as text_tokens), aggregated per doc-term map-side;
+    * document frequencies for the QUERY TERMS ONLY are a k-row aggregate
+    * (k = |query|), collected and folded into the scoring expression with
+    * N and avgdl as literals — so the scoring pass is a single map-side
+    * scan of the per-doc term counts with no join at all, and nothing
+    * corpus-sized ever shuffles except the (doc, query-term) count rows,
+    * which are pre-filtered to the query vocabulary. Returns one row per
+    * document containing at least one query term, scored and ranked via
+    * the bounded-state smallest_k (top `k` docs).
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, queryTerms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK requires at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val spark = docs.sparkSession
+    // corpus statistics: N and average document length (one tiny agg)
+    val stats = docs.select(count(lit(1)).as("n"),
+        avg(size(wsTokens(col(textCol)))).as("avgdl")).head
+    val n = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    // per-doc length + per-(doc, query-term) frequencies; the filter to
+    // the query vocabulary happens BEFORE the aggregation shuffle
+    val toks = docs.select(col("doc_id"),
+        size(wsTokens(col(textCol))).as("dl"),
+        explode(wsTokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    // document frequency per query term: k rows, driver-resident
+    // tf is already one row per (doc, term), so df = plain row count
+    val dfMap = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      t -> math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }.toMap
+    // fold idf into the expression as a literal map lookup; score is pure
+    // arithmetic over (tf, dl) — map-side, no join
+    val idfCol = element_at(
+      map(idf.flatMap { case (t, w) => Seq(lit(t), lit(w)) }.toSeq: _*),
+      col("term"))
+    val scored = tf
+      .withColumn("s", idfCol * (col("tf") * (lit(k1) + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).as("n_terms"))
+    scored
+      .groupBy()
+      .agg(graft.functions.SmallestK.smallestK(
+        struct((-col("score") + lit(0.0)).as("ns"), col("doc_id"),
+          col("score"), col("n_terms")), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("t.doc_id").as("doc_id"), col("t.score").as("score"),
+        col("t.n_terms").as("n_terms"))
+  }
 }
