@@ -40,4 +40,33 @@ object Skew {
     saltedAgg(df, key, salts, Seq(
       ("v_sum", (c: Column) => sum(c), (c: Column) => sum(c)),
       ("v_n", (c: Column) => count(c), (c: Column) => sum(c))), valueCol)
+
+  /** Key-distribution skew profile — the diagnostic run BEFORE choosing a
+    * mitigation (salting, broadcast, AQE skew-join) for a join/agg key at
+    * scale. One row out:
+    *  - exact cardinality stats from a per-key count (partial aggregation
+    *    makes even the hot key's count map-side safe),
+    *  - approximate p50/p90/p99 of per-key frequencies,
+    *  - `skew_ratio` = max/avg per-key count (1 ≈ uniform; the number
+    *    that says whether the biggest reducer is the stage),
+    *  - the top-k hot keys via the Misra-Gries heavy_hitters sketch —
+    *    identified WITHOUT shuffling by key (k counters, map-side). */
+  def keyProfile(df: DataFrame, key: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val summary = counts.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_n"),
+      round(avg(col("n")), 2).as("avg_n"),
+      expr("percentile_approx(n, array(0.5D, 0.9D, 0.99D), 10000)").as("pcts"))
+    val hot = df.agg(graft.functions.HeavyHitters.heavyHitters(
+      col(key).cast("string"), k).as("hot_keys"))
+    summary.crossJoin(hot) // both sides are single rows
+      .select(col("n_rows"), col("n_keys"), col("max_n"), col("avg_n"),
+        element_at(col("pcts"), 1).as("p50_n"),
+        element_at(col("pcts"), 2).as("p90_n"),
+        element_at(col("pcts"), 3).as("p99_n"),
+        round(col("max_n") / col("avg_n"), 2).as("skew_ratio"),
+        col("hot_keys"))
+  }
 }

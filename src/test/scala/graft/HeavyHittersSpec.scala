@@ -50,6 +50,27 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("keyProfile: exact cardinality stats, hot keys surfaced, skew ratio") {
+    // one mega-key (10k rows) over a uniform tail of 100 keys x 10 rows
+    val rows = Seq.fill(10000)("hot") ++
+      (0 until 100).flatMap(i => Seq.fill(10)("k" + i))
+    val prof = operators.Skew.keyProfile(
+      new scala.util.Random(3L).shuffle(rows).toDF("w").repartition(5), "w")
+      .head
+    assert(prof.getAs[Long]("n_rows") == 11000L)
+    assert(prof.getAs[Long]("n_keys") == 101L)
+    assert(prof.getAs[Long]("max_n") == 10000L)
+    val ratio = prof.getAs[Double]("skew_ratio")
+    assert(ratio > 50.0, s"skew ratio $ratio should flag the mega-key")
+    assert(prof.getAs[Long]("p50_n") == 10L)
+    val hot = prof.getAs[scala.collection.Seq[Row]]("hot_keys")
+    assert(hot.head.getString(0) == "hot",
+      s"mega-key not the top heavy hitter: ${hot.take(3)}")
+    // MG bound: est within [true - n/(k+1), true]
+    val est = hot.head.getLong(1)
+    assert(est <= 10000L && est >= 10000L - 11000L / 11)
+  }
+
   test("per-group sketches and map-side partials on the documents table") {
     // group by lang, sketch the length-bucket distribution — exercises the
     // aggregate through a real grouped plan with partial aggregation
