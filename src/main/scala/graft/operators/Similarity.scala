@@ -286,9 +286,17 @@ object Similarity {
     * which is why a compressed index works at recall people accept. */
   def annPqRefined(corpus: DataFrame, codes: DataFrame, queries: DataFrame,
                    codebooks: Array[Array[Array[Double]]], dim: Int,
-                   k: Int, shortlist: Int): DataFrame = {
-    val cand = annPq(codes, queries, codebooks, dim, shortlist)
-      .select(col("q_id"), col("c_id"))
+                   k: Int, shortlist: Int): DataFrame =
+    exactReRank(corpus, queries,
+      annPq(codes, queries, codebooks, dim, shortlist)
+        .select(col("q_id"), col("c_id")), k)
+
+  /** Exact full-precision L2 re-rank of a (q_id, c_id) candidate
+    * shortlist: the shortlist is broadcast against the corpus, so full
+    * vectors are touched for candidates only and the corpus never
+    * shuffles. */
+  private def exactReRank(corpus: DataFrame, queries: DataFrame,
+                          cand: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val q = queries.select(col("vec_id").as("q_id"),
       VectorOps.toDouble(col("embedding")).as("q_emb"))
@@ -302,6 +310,85 @@ object Similarity {
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
         col("t.c_id").as("c_id"), col("t.d").as("dist"))
+  }
+
+  /** IVF+PQ — the full FAISS-style composition: a coarse quantizer routes
+    * vectors to `nlist` cells, each vector's RESIDUAL (v − its cell
+    * centroid) is PQ-encoded to m bytes, and a query probes only its
+    * `nprobe` nearest cells with a per-(query, cell) residual-space ADC
+    * table. Residual encoding is what makes PQ codebooks spend their 16
+    * codewords on local structure instead of global position — the
+    * standard production trick.
+    *
+    * Scale shape: the corpus contributes (cell, m-byte code) to the
+    * probe scan; the LUT table is |queries|·nprobe rows broadcast; the
+    * shortlist re-rank touches candidate full vectors only. Index build
+    * (coarse fit + residual codebooks + encoding) is per corpus snapshot,
+    * amortized like the IVF and cluster indexes. */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, dim: Int,
+               nlist: Int, nprobe: Int, m: Int, ks: Int,
+               k: Int, shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val (_, coarse) = graft.ml.KMeans.fitWithCentroids(corpus, nlist,
+      iters = 1, roundDp = Some(6))
+    val centDf = coarse.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+      .toSeq.toDF("cell", "cent")
+    // residual per corpus vector: map-side cell assignment + a broadcast
+    // join against the nlist-row centroid table
+    val withCell = corpus.select(col("vec_id").as("c_id"),
+        VectorOps.toDouble(col("embedding")).as("v"),
+        graft.ml.KMeans.assign(col("embedding"), coarse).cast("long").as("cell"))
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("resid", zip_with(col("v"), col("cent"), (a, b) => a - b))
+    val residFrame = withCell.select(col("c_id").as("vec_id"),
+      col("resid").as("embedding"))
+    val books = pqCodebooks(residFrame, dim, m, ks)
+    // encode inline so the cell column rides along (a join-back by id
+    // would shuffle the corpus)
+    val codes = withCell.select(col("c_id"), col("cell"),
+      array((0 until m).map(s =>
+        graft.ml.KMeans.assign(slice(col("resid"), s * sub + 1, sub),
+          books(s)).cast("tinyint")): _*).as("pq_code"))
+    // per-(query, probed cell) residual-space lookup tables, driver-built
+    // from the driver-resident centroids/codebooks, broadcast
+    val qRows = queries
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .collect()
+    val luts = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Double](r.fieldIndex("v")).toArray
+      val probed = coarse.indices.map { j =>
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - coarse(j)(i); d += t * t; i += 1 }
+        (d, j)
+      }.sorted.take(nprobe).map(_._2)
+      probed.map { j =>
+        val lut = Array.tabulate(m * ks) { i =>
+          val s = i / ks; val c = i % ks
+          var d = 0.0; var t = 0
+          while (t < sub) {
+            val diff = (v(s * sub + t) - coarse(j)(s * sub + t)) - books(s)(c)(t)
+            d += diff * diff; t += 1
+          }
+          d
+        }
+        (qid, j.toLong, lut.toSeq)
+      }
+    }.toSeq.toDF("q_id", "cell", "lut")
+    val shortlisted = codes.join(broadcast(luts), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("adist", aggregate(
+        zip_with(col("pq_code"), sequence(lit(0), lit(m - 1)),
+          (c, s) => element_at(col("lut"), s * ks + c.cast("int") + 1)),
+        lit(0.0), (a, x) => a + x))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.SmallestK.smallestK(
+        struct(col("adist"), col("c_id")), shortlist).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.c_id").as("c_id"))
+    exactReRank(corpus, queries, shortlisted, k)
   }
 
   // ---------- SparkEntry glue ----------

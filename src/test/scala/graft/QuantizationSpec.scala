@@ -124,4 +124,35 @@ class QuantizationSpec extends SparkSpec {
     assert(refRecall >= 0.75, s"refined PQ recall@$k $refRecall < 0.75")
     assert(refRecall > recall, "re-rank did not improve over raw ADC")
   }
+
+  test("IVF+PQ: residual codes scored per probed cell, refined recall vs exact L2") {
+    val emb = Tables.embeddings(spark, sf)
+    val dim = 64; val k = 10
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = Similarity.annIvfPq(emb, queries, dim, nlist = 8, nprobe = 3,
+      m = 8, ks = 16, k = k, shortlist = 10 * k)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"IVF+PQ shuffled the corpus through a join:\n${plan.take(1500)}")
+    val got = out.select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val all = emb.select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val byId = all.toMap
+    val recalls = (0L until 10L).map { qid =>
+      val qv = byId(qid)
+      val want = all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val t = qv(i) - v(i); d += t * t; i += 1 }
+          (d, id)
+        }.sorted.take(k).map(_._2).toSet
+      (got.getOrElse(qid, Set.empty) & want).size.toDouble / k
+    }
+    val recall = recalls.sum / recalls.size
+    // ceiling is IVF cell recall (nprobe 3 of 8); the residual-PQ
+    // shortlist + exact re-rank must preserve most of it
+    assert(recall >= 0.5, s"IVF+PQ refined recall@$k $recall < 0.5")
+  }
 }
