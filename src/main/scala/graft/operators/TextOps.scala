@@ -677,6 +677,34 @@ object TextOps {
       |    count(*) AS n_docs
       |  FROM documents GROUP BY 1)""".stripMargin
 
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): per stratum, keep the `n` rows with the largest
+    * ln(u)/w — equivalently u^(1/w) — where u ∈ (0, 1] is the row id's
+    * md5-derived uniform. Selection probability rises with weight, the
+    * draw is reproducible on any cluster/partitioning (no RNG state),
+    * and rows with w <= 0 are excluded. The curation use: quality-
+    * weighted document selection whose sample is stable run-over-run —
+    * the weighted sibling of [[stratifiedSample]]'s uniform draw.
+    *
+    * One shuffle: (stratum, key, id) through the bounded-state
+    * smallest_k — n rows of state per stratum, map-side partials, never
+    * a per-stratum sort of the table. */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     weightCol: String, n: Int): DataFrame = {
+    // u in (0,1]: +1 keeps ln defined at the 2^-60 corner
+    val u = (graft.functions.Deterministic.md5Priority(col(idCol))
+      .cast("double") + 1.0) / math.pow(2.0, 60)
+    val aes = -log(u) / col(weightCol) // >= 0; smallest = largest A-ES key
+    df.filter(col(weightCol) > 0.0)
+      .withColumn("_aes", aes)
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.SmallestK.smallestK(
+        struct(col("_aes"), col(idCol)), n).as("top"))
+      .select(col(stratumCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(stratumCol), (col("pos") + 1).cast("int").as("rk"),
+        col("t").getField(idCol).as(idCol), col("t._aes").as("aes_key"))
+  }
+
   // ---------- BM25 ranked retrieval ----------
 
   /** Okapi BM25 scoring of every document against a small query-term set —
