@@ -158,6 +158,33 @@ class TimeSeriesSpec extends SparkSpec {
            rows.map(r => r.getLong(0) -> r.getAs[Double]("y")).toMap)
   }
 
+  test("Synthetic.mix equals an exact mod-2^64 big-integer replay") {
+    // the ts_adding_problem oracle replays mix() in DuckDB HUGEINT
+    // arithmetic; this pins the property that replay depends on — JVM
+    // wrapping Long semantics == exact arithmetic mod 2^64 — and catches
+    // a future constant edit that overflows the signed-128-bit replay
+    // (multipliers must stay < 2^62: 2^64 · 2^62 < 2^127)
+    val M = BigInt(1) << 64
+    val A1 = BigInt("2685821657736338717")
+    val C = BigInt("11400714819323198485")
+    val A2 = BigInt("2862933555777941757")
+    assert(A1 < (BigInt(1) << 62) && A2 < (BigInt(1) << 62),
+      "replay multipliers must stay below 2^62 for the HUGEINT oracle")
+    def replay(a: Long): Long = {
+      var z = (BigInt(a) * A1 + C).mod(M)
+      z = (z + z / (BigInt(1) << 29)).mod(M)
+      z = (z * A2).mod(M)
+      z = (z + z / (BigInt(1) << 32)).mod(M)
+      // back to signed 64-bit
+      (if (z >= (BigInt(1) << 63)) z - M else z).toLong
+    }
+    val rnd = new scala.util.Random(17L)
+    val samples = (0L to 200L) ++ Seq.fill(200)(rnd.nextLong().abs)
+    samples.foreach { a =>
+      assert(Synthetic.mix(a) == replay(a), s"mix($a) diverges from exact replay")
+    }
+  }
+
   test("autoregressive generate follows x_{t+1} = a*x_t + b") {
     // exact AR(1): x_t = 0.5*x_{t-1} + 1, x0=2 → 2,2,1.5+... build series
     val series = Iterator.iterate(10.0)(x => 0.5 * x + 1.0).take(20).toSeq
