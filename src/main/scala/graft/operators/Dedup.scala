@@ -134,6 +134,35 @@ object Dedup {
       .withColumn("band3", shiftright(col("simhash"), 48).bitwiseAND(0xFFFFL))
   }
 
+  /** Near-dup candidate pairs from the 64-bit SimHash sketch: two docs
+    * are candidates iff they collide on ANY of the four 16-bit bands —
+    * pigeonhole-complete for hamming distance <= 3 (4 bands, ≤3 differing
+    * bits ⇒ at least one band untouched) — then verified by the exact
+    * popcount of the sketch XOR.
+    *
+    * Scale shape: sketches and bands are map-side ([[simhash]]); the only
+    * shuffle is the ×4-exploded (band, band-value) equi-join, and the
+    * verification touches an 8-byte sketch per side — the text never
+    * moves. The SimHash analog of [[minhashPairs]]' LSH banding. */
+  def simhashPairs(docs: DataFrame, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sk = simhash(docs, textCol)
+    val bands = sk.select(col("doc_id"), col("simhash"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("b", "bv")))
+    val a = bands.select(col("b"), col("bv"),
+      col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
+    val bb = bands.select(col("b"), col("bv"),
+      col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"))
+    a.join(bb, Seq("b", "bv"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_a", "doc_id_b", "hamming")
+  }
+
   // ---------- n-gram Jaccard (exact, bounded candidates) ----------
 
   /** Word 3-gram multiset → distinct set per doc. */

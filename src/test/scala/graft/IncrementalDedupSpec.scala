@@ -94,6 +94,32 @@ class IncrementalDedupSpec extends SparkSpec {
       "no new singleton — fixture degenerated")
   }
 
+  test("simhashPairs: identical docs at hamming 0, near-dups found, unrelated excluded") {
+    // long docs: with ~300 distinct-ish tokens each sketch bit has a wide
+    // vote margin, so a one-token edit flips few bits (hamming stays <= 3);
+    // short word-soup docs would flip many near-boundary bits
+    val longRnd = new scala.util.Random(5L)
+    def longText(): String =
+      (0 until 300).map(_ => "t" + longRnd.nextInt(400)).mkString(" ")
+    val base = longText()
+    val nearTokens = base.split(" ").toVector.updated(10, "CHANGED").mkString(" ")
+    val docs = toDocs(Seq(
+      (1L, base), (2L, base),        // identical pair
+      (3L, nearTokens),              // one token changed
+      (4L, longText()), (5L, longText())))  // unrelated long docs
+    val got = Dedup.simhashPairs(docs, "text")
+      .as[(Long, Long, Int)](org.apache.spark.sql.Encoders.product[(Long, Long, Int)])
+      .collect().map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(got((1L, 2L)) == 0, "identical docs must pair at hamming 0")
+    // one changed token out of 21 moves few sketch bits — the near pair
+    // must be found through some colliding band (pigeonhole at <=3)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 3,
+      s"near-dup pair missing or too far: $got")
+    // unrelated word-soup docs sit ~32 bits apart — never candidates
+    assert(!got.keys.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty },
+      s"unrelated docs paired: $got")
+  }
+
   test("probe join broadcasts the batch side; handle.close() frees every block") {
     val sc = spark.sparkContext
     val oldDocs = toDocs(oldRows)
