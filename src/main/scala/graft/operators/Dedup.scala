@@ -146,6 +146,11 @@ object Dedup {
     * moves. The SimHash analog of [[minhashPairs]]' LSH banding. */
   def simhashPairs(docs: DataFrame, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // the 4-band generation only guarantees a colliding band for pairs
+    // within hamming 3; a larger threshold would silently return an
+    // INCOMPLETE pair set (4 differing bits can straddle all 4 bands)
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs is pigeonhole-complete only for maxHamming <= 3, got $maxHamming")
     val sk = simhash(docs, textCol)
     val bands = sk.select(col("doc_id"), col("simhash"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
@@ -522,9 +527,19 @@ object Dedup {
     * incrementalLabels' pair inputs.
     *
     * Scale shape: band keys and shingle sets are per-document and
-    * map-side, identical to the full build's ([[minhashPairs]]) — so a
-    * pair the full build would find via a band collision is found here by
-    * construction, either within the batch or through the probe. The
+    * map-side, identical to [[minhashPairs]] — so any pair the FULL LSH
+    * BUILD (minhashPairs over old ∪ new) would find via a band collision
+    * is found here by construction, either within the batch or through
+    * the probe. Note the candidate model: this is the LSH generator, the
+    * at-scale path — [[dedupClusters]]' small-scale n-gram generator is
+    * deterministic where LSH is probabilistic, so for borderline
+    * near-dups (jaccard just above threshold) an incremental pass can
+    * miss a pair a full n-gram rebuild would catch; exact duplicates and
+    * high-jaccard pairs collide in every band and agree under both.
+    * Production pipelines run the SAME LSH generator for both the full
+    * build and the increment, which restores the exact-equivalence
+    * guarantee (the spec verifies it on text where both generators
+    * coincide). The
     * batch side is explicitly `broadcast()`: the corpus bucket frame —
     * at production scale a PERSISTED index table bucketed by (band, bh),
     * modeled here by deriving it from the corpus frame — is scanned

@@ -46,27 +46,38 @@ object Skew {
     * scale. One row out:
     *  - exact cardinality stats from a per-key count (partial aggregation
     *    makes even the hot key's count map-side safe),
+    *  - `n_null` — NULL keys counted explicitly (the classic join-skew
+    *    cause; they group like any other key and must not be invisible),
     *  - approximate p50/p90/p99 of per-key frequencies,
     *  - `skew_ratio` = max/avg per-key count (1 ≈ uniform; the number
     *    that says whether the biggest reducer is the stage),
-    *  - the top-k hot keys via the Misra-Gries heavy_hitters sketch —
-    *    identified WITHOUT shuffling by key (k counters, map-side). */
+    *  - the top-k hot keys with their EXACT counts.
+    * Everything derives from the ONE per-key count aggregate — df is
+    * scanned once, and the top-k comes from the bounded-state smallest_k
+    * over the (already tiny) counts frame, exact rather than a sketch.
+    * ([[graft.functions.HeavyHitters]] remains the right tool when even
+    * one count-by-key shuffle is unaffordable — e.g. sketching inside an
+    * existing aggregation over an unbounded key domain.) A NULL hot key
+    * appears in `hot_keys` with a null item. */
   def keyProfile(df: DataFrame, key: String, k: Int = 10): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-    val summary = counts.agg(
+    counts.agg(
       sum(col("n")).as("n_rows"),
       count(lit(1)).as("n_keys"),
+      coalesce(sum(when(col(key).isNull, col("n"))), lit(0L)).as("n_null"),
       max(col("n")).as("max_n"),
       round(avg(col("n")), 2).as("avg_n"),
-      expr("percentile_approx(n, array(0.5D, 0.9D, 0.99D), 10000)").as("pcts"))
-    val hot = df.agg(graft.functions.HeavyHitters.heavyHitters(
-      col(key).cast("string"), k).as("hot_keys"))
-    summary.crossJoin(hot) // both sides are single rows
-      .select(col("n_rows"), col("n_keys"), col("max_n"), col("avg_n"),
+      expr("percentile_approx(n, array(0.5D, 0.9D, 0.99D), 10000)").as("pcts"),
+      graft.functions.SmallestK.smallestK(
+        struct((-col("n")).as("nn"), col(key).cast("string").as("item"),
+          col("n")), k).as("topk"))
+      .select(col("n_rows"), col("n_keys"), col("n_null"), col("max_n"),
+        col("avg_n"),
         element_at(col("pcts"), 1).as("p50_n"),
         element_at(col("pcts"), 2).as("p90_n"),
         element_at(col("pcts"), 3).as("p99_n"),
         round(col("max_n") / col("avg_n"), 2).as("skew_ratio"),
-        col("hot_keys"))
+        transform(col("topk"),
+          t => struct(t("item").as("item"), t("n").as("n"))).as("hot_keys"))
   }
 }

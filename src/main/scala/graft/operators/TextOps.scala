@@ -737,35 +737,46 @@ object TextOps {
         size(wsTokens(col(textCol))).as("dl"),
         explode(wsTokens(col(textCol))).as("term"))
       .filter(col("term").isin(terms: _*))
+    // tf feeds TWO consumers (the df-per-term collect and the scoring
+    // pass) and Catalyst does not share subplans across actions, so it is
+    // cached for the duration of this call: ONE tokenize+explode+shuffle
+    // of the corpus instead of two. The k-row result is materialized and
+    // the cache dropped blocking BEFORE returning — the ml-fit pattern
+    // (LinearModel/LogisticRegression) — so the operator leaves no blocks
+    // behind and the returned frame is a driver-local k-row relation.
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
-    // document frequency per query term: k rows, driver-resident
-    // tf is already one row per (doc, term), so df = plain row count
-    val dfMap = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = terms.map { t =>
-      val df = dfMap.getOrElse(t, 0L).toDouble
-      t -> math.log((n - df + 0.5) / (df + 0.5) + 1.0)
-    }.toMap
-    // fold idf into the expression as a literal map lookup; score is pure
-    // arithmetic over (tf, dl) — map-side, no join
-    val idfCol = element_at(
-      map(idf.flatMap { case (t, w) => Seq(lit(t), lit(w)) }.toSeq: _*),
-      col("term"))
-    val scored = tf
-      .withColumn("s", idfCol * (col("tf") * (lit(k1) + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).as("n_terms"))
-    scored
-      .groupBy()
-      .agg(graft.functions.SmallestK.smallestK(
-        struct((-col("score") + lit(0.0)).as("ns"), col("doc_id"),
-          col("score"), col("n_terms")), k).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "t")))
-      .select((col("pos") + 1).cast("int").as("rk"),
-        col("t.doc_id").as("doc_id"), col("t.score").as("score"),
-        col("t.n_terms").as("n_terms"))
+      .cache()
+    try {
+      // document frequency per query term: k rows, driver-resident
+      // tf is already one row per (doc, term), so df = plain row count
+      val dfMap = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idf = terms.map { t =>
+        val df = dfMap.getOrElse(t, 0L).toDouble
+        t -> math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      }.toMap
+      // fold idf into the expression as a literal map lookup; score is
+      // pure arithmetic over (tf, dl) — map-side, no join
+      val idfCol = element_at(
+        map(idf.flatMap { case (t, w) => Seq(lit(t), lit(w)) }.toSeq: _*),
+        col("term"))
+      val out = tf
+        .withColumn("s", idfCol * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("s")), 6).as("score"), count(lit(1)).as("n_terms"))
+        .groupBy()
+        .agg(graft.functions.SmallestK.smallestK(
+          struct((-col("score") + lit(0.0)).as("ns"), col("doc_id"),
+            col("score"), col("n_terms")), k).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select((col("pos") + 1).cast("int").as("rk"),
+          col("t.doc_id").as("doc_id"), col("t.score").as("score"),
+          col("t.n_terms").as("n_terms"))
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally tf.unpersist(blocking = true)
   }
 }

@@ -39,9 +39,18 @@ class Bm25Spec extends SparkSpec {
     assert(got(1L)._1 == 1)
   }
 
-  test("bm25 over the documents table: bounded output, no full-table shuffle of text") {
+  test("bm25 over the documents table: bounded output, eager, leaves no blocks") {
     val docs = Tables.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = TextOps.bm25TopK(docs, "text", Seq("the", "data"), k = 10)
+    // the operator is EAGER (ml-fit pattern): it caches tf for exactly
+    // one corpus tokenize+shuffle, materializes the k-row result, and
+    // drops the cache blocking before returning a driver-local relation
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"bm25 left ${leaked.size} persistent RDD(s)")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"bm25 result should be a driver-local relation:\n${plan.take(600)}")
     val rows = out.collect()
     assert(rows.length <= 10 && rows.nonEmpty)
     // ranked by score descending, ranks contiguous from 1
@@ -49,10 +58,5 @@ class Bm25Spec extends SparkSpec {
     assert(byRank.map(_.getInt(0)).toSeq == (1 to rows.length))
     assert(byRank.map(_.getDouble(2)).toSeq.reverse.sorted.reverse ==
            byRank.map(_.getDouble(2)).toSeq)
-    // scoring plan: the corpus contributes (doc_id, dl, term) rows only —
-    // no join (idf folded as literals) and no Window
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), s"bm25 scoring plans a join:\n${plan.take(1200)}")
-    assert(!plan.contains("Window"), s"bm25 plans a window:\n${plan.take(1200)}")
   }
 }

@@ -47,12 +47,21 @@ class DedupHygieneSpec extends SparkSpec {
     val warm2 = Dedup.clusterIndex(spark, sf, threshold = 0.5)
     assert(warm1 eq warm2, "warm calls must return the memoized frame")
     val warmRows = rows(warm1)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     sys.props("graft.cold") = "1"
     try {
       val cold = Dedup.clusterIndex(spark, sf, threshold = 0.5)
       assert(!(cold eq warm1), "cold mode must bypass the memo")
       assert(rows(cold) == warmRows, "cold rebuild diverged from the cached index")
-    } finally sys.props.remove("graft.cold")
+    } finally {
+      sys.props.remove("graft.cold")
+      // the cold rebuild's final label checkpoint is not memoized and has
+      // no consumer after this test — free it instead of stranding a
+      // block set in the shared session (the leak class this suite polices)
+      (sc.getPersistentRDDs.keySet -- before)
+        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+    }
     // and the memo is intact afterwards
     assert(Dedup.clusterIndex(spark, sf, threshold = 0.5) eq warm1)
   }

@@ -50,25 +50,27 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
-  test("keyProfile: exact cardinality stats, hot keys surfaced, skew ratio") {
-    // one mega-key (10k rows) over a uniform tail of 100 keys x 10 rows
-    val rows = Seq.fill(10000)("hot") ++
+  test("keyProfile: exact stats and hot keys, null keys counted and surfaced") {
+    // one mega-key (10k rows) + 2k NULL keys over a tail of 100 keys x 10
+    val rows: Seq[String] = Seq.fill(10000)("hot") ++
+      Seq.fill[String](2000)(null) ++
       (0 until 100).flatMap(i => Seq.fill(10)("k" + i))
     val prof = operators.Skew.keyProfile(
       new scala.util.Random(3L).shuffle(rows).toDF("w").repartition(5), "w")
       .head
-    assert(prof.getAs[Long]("n_rows") == 11000L)
-    assert(prof.getAs[Long]("n_keys") == 101L)
+    assert(prof.getAs[Long]("n_rows") == 13000L)
+    assert(prof.getAs[Long]("n_keys") == 102L) // null group counts as a key
+    assert(prof.getAs[Long]("n_null") == 2000L)
     assert(prof.getAs[Long]("max_n") == 10000L)
     val ratio = prof.getAs[Double]("skew_ratio")
     assert(ratio > 50.0, s"skew ratio $ratio should flag the mega-key")
     assert(prof.getAs[Long]("p50_n") == 10L)
+    // hot keys are EXACT and include the null group at its true rank
     val hot = prof.getAs[scala.collection.Seq[Row]]("hot_keys")
-    assert(hot.head.getString(0) == "hot",
-      s"mega-key not the top heavy hitter: ${hot.take(3)}")
-    // MG bound: est within [true - n/(k+1), true]
-    val est = hot.head.getLong(1)
-    assert(est <= 10000L && est >= 10000L - 11000L / 11)
+    assert(hot.head.getString(0) == "hot" && hot.head.getLong(1) == 10000L,
+      s"mega-key not first with exact count: ${hot.take(3)}")
+    assert(hot(1).isNullAt(0) && hot(1).getLong(1) == 2000L,
+      s"null key group not surfaced second: ${hot.take(3)}")
   }
 
   test("per-group sketches and map-side partials on the documents table") {
