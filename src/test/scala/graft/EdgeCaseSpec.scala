@@ -178,6 +178,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!b.exists(_._1 == null), "a null-key window leaked into the output")
   }
 
+  test("round-7 op guardrails fail loudly on misuse") {
+    val docs = (1 to 5).map(i => (i.toLong, "some text here", "en", 14))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val emb = Seq((1L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    // PQ: dim must split evenly into subspaces
+    intercept[IllegalArgumentException] {
+      operators.Similarity.pqCodebooks(emb, dim = 64, m = 7, ks = 16)
+    }
+    // BM25: an empty query is a caller bug, not an empty result
+    intercept[IllegalArgumentException] {
+      operators.TextOps.bm25TopK(docs, "text", Seq.empty, k = 5)
+    }
+    // SimHash banding is pigeonhole-complete only to hamming 3
+    intercept[IllegalArgumentException] {
+      operators.Dedup.simhashPairs(docs, "text", maxHamming = 4)
+    }
+    // adding problem: position tags live at offsets 100/101
+    intercept[IllegalArgumentException] {
+      operators.Synthetic.addingProblem(spark, n = 10, t = 101)
+    }
+    // weighted sampling: all-nonpositive weights select nothing
+    val zeroW = (1 to 6).map(i => (i.toLong, "s", 0.0)).toDF("doc_id", "st", "w")
+    assert(operators.TextOps.weightedSample(zeroW, "st", "doc_id", "w", 3).count() == 0)
+  }
+
   test("normal_eq rejects empty vectors; fits diagnose empty input") {
     // empty feature vector: silently ignoring it would let an all-empty
     // input eval to null downstream — must be a hard, descriptive error
