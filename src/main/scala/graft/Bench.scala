@@ -1,6 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The one-line JSON the driver parses, with its degrade ladder:
+    * centisecond per-query detail → decisecond (slow values cost precision,
+    * not the map) → headline + failures → bare headline. The driver
+    * archives only ~2000 output chars and parses the LAST line, so the
+    * chosen candidate must fit 1980 chars or the archiver would cut off
+    * the head of the JSON. Factored out of main so the budget is
+    * unit-testable against a worst-case 90-query map (LineBudgetSpec)
+    * instead of discovered in production the round it overflows. */
+  def formatLine(results: Map[String, Double], failed: List[String],
+                 sfName: String): String = {
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // trailing zeros stripped ("0.50"->"0.5", "1.00"->"1") — still valid
+    // JSON numbers, and the saved chars keep the 90-query map inside the
+    // driver's archive window
+    def fixed(v: Double, dp: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    def qmap(dp: Int): String = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fixed(v, dp) }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ > 0).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    def line(queries: String, failedPart: String) =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries$failedPart,"sf":"$sfName"}"""
+    val candidates = Seq(line(qmap(2), failedJson), line(qmap(1), failedJson),
+      line("{}", failedJson), line("{}", ""))
+    candidates.find(_.length <= 1980).getOrElse(candidates.last)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,6 +59,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Conf.applyTuned(spark)
+    // every [bench] line goes to stderr AND the per-round forensics file —
+    // the r7 lesson: the driver's ~2000-char archive window kept the
+    // per-rep GC evidence for exactly one query, so the record, not the
+    // instrument, was the gap
+    val tee = new Forensics.Tee(Some(Forensics.benchFile()))
+    val taskTimes = new Forensics.TaskTimeListener
+    spark.sparkContext.addSparkListener(taskTimes)
+    tee.log(s"[bench] start ${java.time.Instant.now()} sf=$sfDir cpus=$cpus " +
+      s"cold=${graft.operators.Dedup.coldMode} " +
+      s"reps_env=${sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "")}")
     // warm the session (codegen, file-listing, shuffle infra) so the first
     // measured query isn't charged for startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -55,9 +100,9 @@ object Bench {
     if (!cold) try {
       val t0 = System.nanoTime()
       graft.operators.Dedup.clusterIndex(spark, sfDir, threshold = 0.5).count()
-      System.err.println(f"[bench] cluster-index build ${(System.nanoTime() - t0) / 1e9}%.3f s (amortized across dedup_clusters/dedup_canonical_best/pipeline_curation)")
+      tee.log(f"[bench] cluster-index build ${(System.nanoTime() - t0) / 1e9}%.3f s (amortized across dedup_clusters/dedup_canonical_best/pipeline_curation)")
     } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] cluster-index build FAILED: $e")
+      tee.log(s"[bench] cluster-index build FAILED: $e")
     }
     // steady-state measurement: one untimed pass over every query first, so
     // the timed pass reports throughput rather than one-off whole-stage
@@ -70,7 +115,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] warm pass $name FAILED: $e")
+          tee.log(s"[bench] warm pass $name FAILED: $e")
         }
       }
     // median-of-N timed passes (default 3) so one noisy run — GC pause, OS
@@ -89,21 +134,29 @@ object Bench {
       // never be billed to the rep that happened to be running when a
       // periodic timer fired (the r6 spike hypothesis)
       System.gc()
-      val times = (1 to reps).map { rep =>
+      val repStats = (1 to reps).map { rep =>
+        Forensics.drainListenerBus(spark, taskTimes)
+        val task0 = taskTimes.snapshot()
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] $name FAILED: $e"); false
+            tee.log(s"[bench] $name FAILED: $e"); false
           }
+        // wall stops HERE — the bus drain below is bookkeeping, not query
         val dt = (System.nanoTime() - t0) / 1e9
-        // per-rep forensics: wall time + GC time that landed inside the
-        // rep. A spike with gc≈dt·1000 is a collection pause, not the
-        // query; a spike with gc≈0 is genuine work or box contention.
-        System.err.println(f"[bench] $name rep$rep ${dt}%.3f s gc=${gcMillis() - gc0} ms${if (ok) "" else " FAILED"}")
-        if (ok) dt else -dt
+        val gcd = gcMillis() - gc0
+        Forensics.drainListenerBus(spark, taskTimes)
+        val task = taskTimes.snapshot() - task0
+        // per-rep forensics: wall + driver-GC landed inside the rep +
+        // executor task time. wall↑ gc≈wall·1000 → driver collection
+        // pause; wall↑ task↑ → the cluster genuinely did more work;
+        // wall↑ gc≈0 task≈flat → box contention / scheduler stall.
+        tee.log(f"[bench] $name rep$rep ${dt}%.3f s gc=${gcd} ms $task${if (ok) "" else " FAILED"}")
+        (if (ok) dt else -dt, gcd, task)
       }
+      val times = repStats.map(_._1)
       // failures are recorded as negative so they can't pose as wall time;
       // any failing rep fails the query
       val v =
@@ -113,42 +166,20 @@ object Bench {
           if (reps % 2 == 1) s(reps / 2)
           else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
         }
+      // the compact per-query roll-up the verdict asked for: worst rep,
+      // worst in-rep GC, median executor task time — greppable one-liners
+      tee.log(f"[bench] $name summary med=${math.abs(v)}%.3f s " +
+        f"max_rep=${times.map(math.abs).max}%.3f s " +
+        f"gc_max=${repStats.map(_._2).max} ms " +
+        f"task_med=${repStats.map(_._3.runMs).sorted.apply(reps / 2)} ms " +
+        f"sched_max=${repStats.map(_._3.schedMs).max} ms")
       name -> v
     }.toMap
-    // the driver archives only the last ~2000 output chars and parses the
-    // final line as JSON — centisecond per-query precision (plenty for a
-    // wall-clock bench) keeps the full line inside that window; "failed"
-    // is emitted only when nonempty for the same reason, and if the line
-    // still would not fit (many failures, very long times) the per-query
-    // map is dropped rather than letting the archiver cut off the head of
-    // the JSON
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // trailing zeros stripped ("0.50"->"0.5", "1.00"->"1") — still valid
-    // JSON numbers, and the saved chars keep the 88-query map inside the
-    // driver's ~2000-char archive window
-    def fixed(v: Double, dp: Int): String = {
-      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      else s
-    }
-    def qmap(dp: Int): String = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + fixed(v, dp) }
-      .mkString("{", ",", "}")
-    val qs = qmap(2)
-    val total = results.values.filter(_ > 0).sum
-    val failedJson =
-      if (failed.isEmpty) ""
-      else failed.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val sfName = new java.io.File(sfDir).getName
-    def line(queries: String, failedPart: String) =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries$failedPart,"sf":"$sfName"}"""
-    // degrade gracefully: centisecond detail -> decisecond detail (slow
-    // driver values must cost precision, not the whole per-query map) ->
-    // headline + failures -> headline
-    val candidates = Seq(line(qs, failedJson), line(qmap(1), failedJson),
-      line("{}", failedJson), line("{}", ""))
-    println(candidates.find(_.length <= 1980).getOrElse(candidates.last))
+    val out = formatLine(results, failed, sfName)
+    tee.log(s"[bench] done ${java.time.Instant.now()} total=${results.values.filter(_ > 0).sum}")
+    tee.close()
+    println(out)
     spark.stop()
   }
 }

@@ -21,12 +21,38 @@ object Verify {
     // side-file fixtures (external RUL labels) are generated in setup so
     // the gated query functions themselves stay pure read+join
     Fixtures.ensureRulLabels(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // per-query wall time on the correctness path, machine-readable: the
+    // ~5.7 s cluster-index build was only visible as prose in r7; a
+    // committed VERIFY_TIMINGS_r{N}.json lets future rounds diff
+    // correctness-path drift the same way BENCH_r{N}.json diffs the bench
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val tIdx0 = System.nanoTime()
+    // the shared cluster index builds lazily inside the first dedup query;
+    // pre-build it here so its cost is its own timing line, not silently
+    // folded into whichever dedup query runs first
+    try graft.operators.Dedup.clusterIndex(spark, sfDir, threshold = 0.5).count()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] cluster-index build failed: ${e.getMessage}")
+    }
+    timings += "_cluster_index_build" -> (System.nanoTime() - tIdx0) / 1e9
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      timings += name -> (System.nanoTime() - t0) / 1e9
+    }
+    val timingsJson = timings.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    // both homes: next to the parquet dump for the driver, and per-round
+    // under the repo root so it is committed with the round's artifacts
+    Files.writeString(Paths.get(s"$outDir/timings.json"), timingsJson)
+    try Files.writeString(Paths.get(Forensics.verifyTimingsFile()), timingsJson)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] timings side-copy failed: ${e.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -205,6 +205,7 @@ object Similarity {
   def pqCodebooks(corpus: DataFrame, dim: Int, m: Int, ks: Int,
                   iters: Int = 2): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    requireKs(ks)
     val sub = dim / m
     (0 until m).map { s =>
       graft.ml.KMeans.fitWithCentroids(
@@ -214,6 +215,16 @@ object Similarity {
     }.toArray
   }
 
+  /** Codes are stored as tinyint, so codeword ids must fit a SIGNED byte:
+    * ks ≥ 128 would wrap ids negative and the ADC `element_at(lut, …)`
+    * would silently index from the END of the table (element_at's
+    * negative-index semantics) — wrong distances, no error. 127 is the
+    * hard ceiling until codes widen to smallint. */
+  private def requireKs(ks: Int): Unit =
+    require(ks >= 1 && ks <= 127,
+      s"ks must be in [1, 127] (tinyint code space; ks=$ks would wrap " +
+        "negative and silently mis-index the ADC lookup table)")
+
   /** PQ encoding: each vector becomes `m` bytes (one codebook id per
     * subspace) — 32× smaller than float32 at dim 64 / m 8. Map-side argmin
     * against the driver-resident codebooks via the same native
@@ -221,6 +232,7 @@ object Similarity {
   def pqEncode(corpus: DataFrame, dim: Int,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
+    codebooks.foreach(b => requireKs(b.length))
     val sub = dim / m
     corpus.select(col("vec_id"), array((0 until m).map(s =>
       graft.ml.KMeans.assign(slice(col("embedding"), s * sub + 1, sub),
@@ -245,6 +257,7 @@ object Similarity {
     import spark.implicits._
     val m = codebooks.length
     val ks = codebooks(0).length
+    requireKs(ks)
     val sub = dim / m
     val qRows = queries
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
@@ -262,6 +275,10 @@ object Similarity {
       }
       (r.getLong(0), lut.toSeq)
     }.toSeq.toDF("q_id", "lut")
+    // deliberately NOT a bucket join: ADC scores every code against every
+    // query's LUT, so the only condition is the self-pair guard — the
+    // |codes|×|queries| fan-out is the operator's contract (queries are a
+    // bounded set; the broadcast keeps the codes side map-local)
     val scored = codes.select(col("vec_id").as("c_id"), col("pq_code"))
       .join(broadcast(luts), col("q_id") =!= col("c_id"))
       .withColumn("adist", round(aggregate(
@@ -344,7 +361,16 @@ object Similarity {
       .withColumn("resid", zip_with(col("v"), col("cent"), (a, b) => a - b))
     val residFrame = withCell.select(col("c_id").as("vec_id"),
       col("resid").as("embedding"))
-    val books = pqCodebooks(residFrame, dim, m, ks)
+    // the m per-subspace codebook fits each materialize residFrame — cache
+    // the shared assignment+residual pass underneath them (the r7 shape
+    // recomputed it per fit: m+1 corpus scans), then free the blocks with
+    // a blocking unpersist INSIDE this call so the block-hygiene gate
+    // stays at baseline. The lazy encode scan below recomputes withCell
+    // exactly once at execution time — by then the codebooks are literals.
+    withCell.persist()
+    val books =
+      try pqCodebooks(residFrame, dim, m, ks)
+      finally withCell.unpersist(blocking = true)
     // encode inline so the cell column rides along (a join-back by id
     // would shuffle the corpus)
     val codes = withCell.select(col("c_id"), col("cell"),

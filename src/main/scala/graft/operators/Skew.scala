@@ -58,7 +58,12 @@ object Skew {
     * ([[graft.functions.HeavyHitters]] remains the right tool when even
     * one count-by-key shuffle is unaffordable — e.g. sketching inside an
     * existing aggregation over an unbounded key domain.) A NULL hot key
-    * appears in `hot_keys` with a null item. */
+    * appears in `hot_keys` with a null item.
+    *
+    * `hot_keys.item` is the key CAST TO STRING so one diagnostic schema
+    * fits every key type — the typed identity is lost (e.g. 1L and "1"
+    * render identically). Join the reported items back by value through
+    * the same cast if a typed lookup is needed. */
   def keyProfile(df: DataFrame, key: String, k: Int = 10): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
     counts.agg(
@@ -66,17 +71,21 @@ object Skew {
       count(lit(1)).as("n_keys"),
       coalesce(sum(when(col(key).isNull, col("n"))), lit(0L)).as("n_null"),
       max(col("n")).as("max_n"),
-      round(avg(col("n")), 2).as("avg_n"),
+      // unrounded: skew_ratio divides by this, and pre-rounded input would
+      // bake avoidable error into the ratio (true avg 1.004 vs 1.0 is a
+      // visible shift when max_n is large); display rounding happens in
+      // the select below
+      avg(col("n")).as("avg_raw"),
       expr("percentile_approx(n, array(0.5D, 0.9D, 0.99D), 10000)").as("pcts"),
       graft.functions.SmallestK.smallestK(
         struct((-col("n")).as("nn"), col(key).cast("string").as("item"),
           col("n")), k).as("topk"))
       .select(col("n_rows"), col("n_keys"), col("n_null"), col("max_n"),
-        col("avg_n"),
+        round(col("avg_raw"), 2).as("avg_n"),
         element_at(col("pcts"), 1).as("p50_n"),
         element_at(col("pcts"), 2).as("p90_n"),
         element_at(col("pcts"), 3).as("p99_n"),
-        round(col("max_n") / col("avg_n"), 2).as("skew_ratio"),
+        round(col("max_n") / col("avg_raw"), 2).as("skew_ratio"),
         transform(col("topk"),
           t => struct(t("item").as("item"), t("n").as("n"))).as("hot_keys"))
   }

@@ -186,6 +186,19 @@ class EdgeCaseSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       operators.Similarity.pqCodebooks(emb, dim = 64, m = 7, ks = 16)
     }
+    // PQ: codes are tinyint — ks = 256 (the standard FAISS default) would
+    // wrap ids negative and element_at would read the LUT from the END,
+    // silently wrong distances; must be a hard error at every entry point
+    intercept[IllegalArgumentException] {
+      operators.Similarity.pqCodebooks(emb, dim = 64, m = 8, ks = 256)
+    }
+    val wideBooks = Array.fill(8)(Array.fill(128)(Array.fill(8)(0.0)))
+    intercept[IllegalArgumentException] {
+      operators.Similarity.pqEncode(emb, dim = 64, codebooks = wideBooks)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Similarity.annPq(emb, emb, wideBooks, dim = 64, k = 1)
+    }
     // BM25: an empty query is a caller bug, not an empty result
     intercept[IllegalArgumentException] {
       operators.TextOps.bm25TopK(docs, "text", Seq.empty, k = 5)

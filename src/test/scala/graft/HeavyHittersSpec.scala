@@ -71,6 +71,14 @@ class HeavyHittersSpec extends SparkSpec {
       s"mega-key not first with exact count: ${hot.take(3)}")
     assert(hot(1).isNullAt(0) && hot(1).getLong(1) == 2000L,
       s"null key group not surfaced second: ${hot.take(3)}")
+    // skew_ratio divides by the UNROUNDED average (r7 advice): 249 keys ×1
+    // + 1 key ×2 → avg 1.004, ratio 2/1.004 = 1.99 — the pre-rounded avg
+    // of 1.0 would report exactly 2.0
+    val near = ((0 until 249).map(i => "u" + i) ++ Seq("v", "v")).toDF("w")
+    val r2 = operators.Skew.keyProfile(near, "w").head
+    assert(r2.getAs[Double]("skew_ratio") == 1.99,
+      s"ratio ${r2.getAs[Double]("skew_ratio")} inherited display rounding")
+    assert(r2.getAs[Double]("avg_n") == 1.0) // display value stays rounded
   }
 
   test("per-group sketches and map-side partials on the documents table") {

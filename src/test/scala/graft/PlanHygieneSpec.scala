@@ -146,6 +146,48 @@ class PlanHygieneSpec extends SparkSpec {
       s"ts_window_tensorize_padded plans $nExchanges hash exchanges (budget 4):\n${plan.take(1500)}")
   }
 
+  test("ANN compression paths keep the corpus/codes side map-local (broadcast-only joins)") {
+    // the int8/PQ scans' whole scale story is that the corpus contributes
+    // only compressed payloads to a MAP-LOCAL probe scan — queries/LUTs/
+    // shortlists are the broadcast side. With the broadcast threshold
+    // disabled, the explicit broadcast() hints are the ONLY thing keeping
+    // these plans off CartesianProduct/SortMergeJoin, so removing a hint
+    // fails this spec rather than silently reshuffling the corpus at scale
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val emb = Tables.embeddings(spark, sf)
+      val queries = emb.filter(col("vec_id") < 10)
+      val qc = Similarity.quantizeEmbeddings(emb)
+      val books = Similarity.pqCodebooks(emb, dim = 64, m = 8, ks = 16)
+      val codes = Similarity.pqEncode(emb, dim = 64, books)
+      // exchange budgets: the per-query top-k aggregation is the ONE
+      // allowed hash exchange (it moves k·|queries| rows, not the corpus);
+      // refined adds the re-rank's own top-k aggregation
+      val cases = Seq(
+        ("annTopKQuantized",
+          Similarity.annTopKQuantized(qc, qc.filter(col("vec_id") < 10), 5), 1),
+        ("annPq", Similarity.annPq(codes, queries, books, dim = 64, k = 5), 1),
+        ("annPqRefined",
+          Similarity.annPqRefined(emb, codes, queries, books, dim = 64,
+            k = 5, shortlist = 50), 2))
+      cases.foreach { case (name, df, maxEx) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin"),
+          s"$name shuffles through a sort-merge join:\n${plan.take(1500)}")
+        assert(!plan.contains("CartesianProduct"),
+          s"$name lost its broadcast hint (cartesian):\n${plan.take(1500)}")
+        assert(plan.contains("Broadcast"),
+          s"$name plans no broadcast join at all:\n${plan.take(1500)}")
+        val nEx = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(plan).size
+        assert(nEx <= maxEx,
+          s"$name plans $nEx hash exchanges (budget $maxEx):\n${plan.take(1500)}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("oracle-checked scans prune columns (no SELECT * scans of lineitem)") {
     val plan = operators.Relational.q1Agg(spark, sf)
       .queryExecution.executedPlan.toString
