@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, XxHash64}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 import graft.functions._
 
 /** Session extension entry point: makes graft's native expressions
@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(i: Int, IntegerType) => i
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(d: Double, DoubleType) => d
+    case Literal(i: Int, IntegerType) => i.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -54,6 +61,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Seq("graft_heavy_hitters", "heavy_hitters").foreach(n =>
       inject(n, exprs => HeavyHittersAgg(exprs(0), litInt(exprs(1), "k"))
         .toAggregateExpression()))
+    // mergeable membership sketch + probe; values are xxhash64'd here so
+    // SQL users pass raw keys, exactly like the Column API
+    inject("graft_bloom_filter", exprs => {
+      val (nWords, nHashes) = BloomUtil.sizeFor(
+        litInt(exprs(1), "expectedItems").toLong, litDouble(exprs(2), "fpp"))
+      BloomFilterAgg(XxHash64(Seq(exprs(0)), 42L), nWords, nHashes)
+        .toAggregateExpression()
+    })
+    inject("graft_might_contain",
+      exprs => BloomMightContain(exprs(0), XxHash64(Seq(exprs(1)), 42L)))
     inject("graft_vector_avg",
       exprs => VectorSumAgg(exprs(0), avg = true).toAggregateExpression())
     inject("graft_vector_sum",

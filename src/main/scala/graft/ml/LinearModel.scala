@@ -85,27 +85,34 @@ object LinearModel {
   /** The reference's full TurboFan workflow: tensorize → time split →
     * ridge-fit RUL on the train fold → MSE on both folds.
     *
-    * The tensorized corpus is cached only across the fit + eval passes;
-    * the 2-row result is materialized and the cache dropped (blocking)
-    * before returning, so repeated invocations (bench warm + timed pass)
-    * neither recompute the pipeline on the caller's action nor leave
-    * storage pressure behind. */
+    * The fit and eval passes each RECOMPUTE the window pipeline from the
+    * parquet scan — deliberately uncached. The r4-r7 version cached the
+    * tensorized fold across the two passes, and the r8 task-time
+    * forensics showed why that was backwards for an array<double>
+    * column: building Spark's in-memory COLUMNAR cache from array rows
+    * cost ~15.7 s of executor time and even reading it back cost 5× the
+    * parquet recompute (3.9 s vs 0.7 s per pass) — a hidden 24 s task
+    * load that every contended-box bench run surfaced as a wall-clock
+    * "spike on untouched code" (9.95 s r6, 4.72 s r7). Two cheap scans
+    * beat one expensive materialization; at 100 TB the same logic holds,
+    * except there the tensors would be persisted to PARQUET (columnar at
+    * rest, streamed scan) — never the row-to-columnar memory cache.
+    * The 2-row result is still collected, so the returned frame costs
+    * callers nothing to re-count. */
   def rulPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val events = Tables.events(spark, sfDir)
       .withColumn("ts_us", unix_micros(col("ts")))
     val tensors = Tensorize.windowTensorize(events, "user_id",
       Seq("ts_us", "event_id"), "value", t = 20, skip = 5, rulCap = 130)
     val split = TimeSeriesOps.ratioSplit(tensors, "user_id", Seq("widx"), 0.8)
-      .withColumn("label", col("rul").cast("double")).cache()
-    try {
-      val w = fitRidge(split.filter(col("fold") === "train"), "features", "label",
-        lambda = 1e-3)
-      val out = split.withColumn("pred", predict(col("features"), w))
-        .groupBy(col("fold"))
-        .agg(round(avg(pow(col("pred") - col("label"), 2)), 4).as("mse"),
-             count(lit(1)).as("n"))
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally split.unpersist(blocking = true)
+      .withColumn("label", col("rul").cast("double"))
+    val w = fitRidge(split.filter(col("fold") === "train"), "features", "label",
+      lambda = 1e-3)
+    val out = split.withColumn("pred", predict(col("features"), w))
+      .groupBy(col("fold"))
+      .agg(round(avg(pow(col("pred") - col("label"), 2)), 4).as("mse"),
+           count(lit(1)).as("n"))
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 }
