@@ -83,22 +83,24 @@ object LinearModel {
       concat(featCol, array(lit(1.0))), typedLit(w.toSeq))
 
   /** The reference's full TurboFan workflow: tensorize → time split →
-    * ridge-fit RUL on the train fold → MSE on both folds.
+    * ridge-fit RUL on the train fold → MSE on both folds — in ONE
+    * distributed pass.
     *
-    * The fit and eval passes each RECOMPUTE the window pipeline from the
-    * parquet scan — deliberately uncached. The r4-r7 version cached the
-    * tensorized fold across the two passes, and the r8 task-time
-    * forensics showed why that was backwards for an array<double>
-    * column: building Spark's in-memory COLUMNAR cache from array rows
-    * cost ~15.7 s of executor time and even reading it back cost 5× the
-    * parquet recompute (3.9 s vs 0.7 s per pass) — a hidden 24 s task
-    * load that every contended-box bench run surfaced as a wall-clock
-    * "spike on untouched code" (9.95 s r6, 4.72 s r7). Two cheap scans
-    * beat one expensive materialization; at 100 TB the same logic holds,
-    * except there the tensors would be persisted to PARQUET (columnar at
-    * rest, streamed scan) — never the row-to-columnar memory cache.
-    * The 2-row result is still collected, so the returned frame costs
-    * callers nothing to re-count. */
+    * Both the fit AND the evaluation come from the same per-fold
+    * sufficient statistics: with A = XᵀX, b = Xᵀy, s = Σy² accumulated
+    * per fold (d²+d+1 doubles of state each, map-side partials), the
+    * train fold's (A, b) solve for w and every fold's MSE follows in
+    * closed form, MSE = (wᵀAw − 2wᵀb + s)/n — no second pass scoring
+    * rows against the fitted weights. One scan of any corpus size.
+    *
+    * History: r4-r7 cached the tensorized fold across separate fit and
+    * eval passes, and the r8 task-time forensics showed the in-memory
+    * COLUMNAR cache of the array<double> feature column cost ~15.7 s of
+    * executor time to build and 5× the parquet recompute to read — a
+    * hidden ~24 s task load that surfaced as the r6/r7 driver-bench
+    * "spikes on untouched code" (9.95/4.72 s) whenever the box was
+    * contended. The sufficient-statistics form removes the second pass
+    * entirely, so there is nothing left to cache. */
   def rulPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val events = Tables.events(spark, sfDir)
       .withColumn("ts_us", unix_micros(col("ts")))
@@ -106,13 +108,49 @@ object LinearModel {
       Seq("ts_us", "event_id"), "value", t = 20, skip = 5, rulCap = 130)
     val split = TimeSeriesOps.ratioSplit(tensors, "user_id", Seq("widx"), 0.8)
       .withColumn("label", col("rul").cast("double"))
-    val w = fitRidge(split.filter(col("fold") === "train"), "features", "label",
-      lambda = 1e-3)
-    val out = split.withColumn("pred", predict(col("features"), w))
+    val stats = split.select(col("fold"),
+        concat(col("features"), array(lit(1.0))).as("x"),
+        col("label").as("y"))
       .groupBy(col("fold"))
-      .agg(round(avg(pow(col("pred") - col("label"), 2)), 4).as("mse"),
+      .agg(graft.functions.NormalEq.normalEq(col("x"), lit(1.0), col("y")).as("s"),
+           sum(col("y") * col("y")).as("yy"),
            count(lit(1)).as("n"))
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      .collect()
+    val byFold = stats.map { r =>
+      r.getString(0) -> (r.getSeq[Double](1), r.getDouble(2), r.getLong(3))
+    }.toMap
+    require(byFold.contains("train"), "rulPipeline: empty train fold")
+    val (trainFlat, _, _) = byFold("train")
+    val d = graft.functions.NormalEq.dimOf(trainFlat.length)
+    val lambda = 1e-3
+    val xtx = Array.tabulate(d, d)((i, j) => trainFlat(i * d + j))
+    val xty = Array.tabulate(d)(i => trainFlat(d * d + i))
+    (0 until d - 1).foreach(i => xtx(i)(i) += lambda) // no penalty on bias
+    val w = solve(xtx, xty)
+    // MSE = (wᵀAw − 2wᵀb + Σy²)/n per fold, from the UNregularized A
+    val rows = byFold.toSeq.sortBy(_._1).map { case (fold, (flat, yy, n)) =>
+      var quad = 0.0
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { quad += w(i) * flat(i * d + j) * w(j); j += 1 }
+        quad -= 2.0 * w(i) * flat(d * d + i)
+        i += 1
+      }
+      org.apache.spark.sql.Row(fold,
+        BigDecimal((quad + yy) / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        n)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fold",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("mse",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }
