@@ -2,6 +2,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Full-evaluation bench consumption: the noop v2 sink materializes
+    * EVERY output column of every row, writing nothing. The `count()` it
+    * replaced (rounds 1-7) let Catalyst prune any work that doesn't
+    * change cardinality — final projections, window columns, whole
+    * map-only queries — so a projection-heavy query timed as a parquet
+    * row-count: text_fingerprint benched 0.12 s at sf0.1 while the Verify
+    * path (which writes the rows) measured 26 s of real work at a TENTH
+    * the data. At 100 TB the map-side curation ops are the dominant cost;
+    * a bench that optimizes them away grades the wrong engine. Pinned by
+    * BenchConsumptionSpec (count leaves a projection unevaluated, this
+    * doesn't); per-query `countwall=` continuity lines in the forensics
+    * file keep r8 numbers attributable against r7's. */
+  def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   /** The one-line JSON the driver parses, with its degrade ladder:
     * centisecond per-query detail → decisecond (slow values cost precision,
     * not the map) → headline + failures → bare headline. The driver
@@ -113,7 +128,7 @@ object Bench {
     // not silently report a flattered steady-state number.
     if (!cold)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try fn(spark, sfDir).count()
+        try evaluate(fn(spark, sfDir))
         catch { case scala.util.control.NonFatal(e) =>
           tee.log(s"[bench] warm pass $name FAILED: $e")
         }
@@ -140,7 +155,7 @@ object Bench {
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { evaluate(fn(spark, sfDir)); true }
           catch { case scala.util.control.NonFatal(e) =>
             tee.log(s"[bench] $name FAILED: $e"); false
           }
@@ -173,6 +188,16 @@ object Bench {
         f"gc_max=${repStats.map(_._2).max} ms " +
         f"task_med=${repStats.map(_._3.runMs).sorted.apply(reps / 2)} ms " +
         f"sched_max=${repStats.map(_._3.schedMs).max} ms")
+      // r7→r8 continuity: one count()-consumed wall time per query, the
+      // consumption every round before r8 used. Forensics-only — it lets
+      // a reader attribute a per-query r8/r7 delta to the consumption
+      // change (count let Catalyst prune cardinality-neutral work) rather
+      // than to the query, without polluting the recorded numbers.
+      val tc0 = System.nanoTime()
+      val cOk = try { fn(spark, sfDir).count(); true }
+                catch { case scala.util.control.NonFatal(_) => false }
+      tee.log(f"[bench] $name countwall=${(System.nanoTime() - tc0) / 1e9}%.3f s" +
+        (if (cOk) "" else " FAILED"))
       name -> v
     }.toMap
     val sfName = new java.io.File(sfDir).getName

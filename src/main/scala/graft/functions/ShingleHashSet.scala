@@ -42,13 +42,7 @@ case class ShingleHashSet(child: Expression, n: Int)
         s"shingle_hash_set expects string, got ${other.catalogString}")
     }
 
-  // 64-bit mix fold over token hashes (splitmix-style finalizer per step)
-  private def mix(acc: Long, h: Long): Long = {
-    var z = acc ^ h
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    (z ^ (z >>> 31)) + 0x9e3779b97f4a7c15L
-  }
+  import ShingleHashSet.mix
 
   override def nullSafeEval(input: Any): Any = {
     // tokenization = exact split("\\s+") parity, shared with SimHash64
@@ -90,4 +84,13 @@ case class ShingleHashSet(child: Expression, n: Int)
 object ShingleHashSet {
   def apply(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(text), n))
+
+  /** 64-bit mix fold over token hashes (splitmix-style finalizer per
+    * step); shared gram-hash scheme with [[WinnowFingerprint]]. */
+  private[functions] def mix(acc: Long, h: Long): Long = {
+    var z = acc ^ h
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) + 0x9e3779b97f4a7c15L
+  }
 }
