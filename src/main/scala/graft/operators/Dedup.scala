@@ -74,21 +74,32 @@ object Dedup {
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = docs
-      .select(col("doc_id"),
-        graft.functions.ShingleHashSet(lower(trim(col(textCol))), k).as("sh"))
+    // The band self-join and the candidate dedup move IDS ONLY — the
+    // shingle-hash arrays are attached to the deduped pair set afterwards
+    // by two doc_id joins. The previous shape carried both arrays through
+    // the (band, bh) shuffle (one copy per band — 8× per doc) and again
+    // through the dropDuplicates exchange; at corpus scale the band join's
+    // payload must stay O(ids), with each doc's set shuffled once per
+    // attach side. The set column is recomputed per consumer (scan +
+    // one native pass) rather than carried — recompute is cheaper than
+    // materializing array rows, the ts_rul_pipeline lesson.
+    val withSh = docs.select(col("doc_id"),
+      graft.functions.ShingleHashSet(lower(trim(col(textCol))), k).as("sh"))
+    val buckets = withSh
       .withColumn("sig", graft.functions.MinHashSig(col("sh"), numHashes))
-      .withColumn("bandkeys", lshBands(col("sig"), bands, rowsPerBand))
-    val buckets = withSig.select(col("doc_id"), col("sh"),
-      posexplode(col("bandkeys")).as(Seq("band", "bh")))
-    val a = buckets.select(col("band"), col("bh"),
-      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("bh"),
-      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_id"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bh")))
+    val ids = buckets
+      .join(buckets.withColumnRenamed("doc_id", "doc_id_b"), Seq("band", "bh"))
+      .filter(col("doc_id") < col("doc_id_b"))
+      .select(col("doc_id").as("doc_id_a"), col("doc_id_b"))
       .dropDuplicates("doc_id_a", "doc_id_b")
+    ids
+      .join(withSh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+        Seq("doc_id_a"))
+      .join(withSh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+        Seq("doc_id_b"))
       .withColumn("common",
         graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
@@ -185,7 +196,7 @@ object Dedup {
     * unchanged (64-bit shingle hashing is collision-free at corpus scale,
     * and the DuckDB oracle's string-set jaccard hash-matches). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, lenTol: Int = 2): DataFrame = {
-    val withG = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+    val withG = docs.select(col("doc_id"),
       graft.functions.ShingleHashSet(lower(trim(col("text"))), n).as("g"))
     // Banded equi-join on (lang, n_chars): the a-side is exploded to its
     // 2·lenTol+1 admissible lengths and joined on the exact length — each
@@ -193,14 +204,22 @@ object Dedup {
     // needed. A plain same-lang join with an |nc_a - nc_b| <= tol
     // post-filter is quadratic per language and concentrates the largest
     // language in one shuffle partition; the banded key spreads it and
-    // produces only qualifying pairs.
-    val a = withG.select(col("lang"), col("doc_id").as("doc_id_a"),
-        col("g").as("g_a"),
+    // produces only qualifying pairs. The banded join moves IDS ONLY (the
+    // a-side explosion would otherwise shuffle 2·lenTol+1 copies of each
+    // shingle set); the sets attach to the qualifying pairs afterwards by
+    // two doc_id joins, one array copy per doc per side.
+    val meta = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val a = meta.select(col("lang"), col("doc_id").as("doc_id_a"),
         explode(sequence(col("n_chars") - lenTol, col("n_chars") + lenTol))
           .as("nc_key"))
-    a.join(withG.select(col("lang"), col("doc_id").as("doc_id_b"),
-        col("n_chars").as("nc_key"), col("g").as("g_b")), Seq("lang", "nc_key"))
+    a.join(meta.select(col("lang"), col("doc_id").as("doc_id_b"),
+        col("n_chars").as("nc_key")), Seq("lang", "nc_key"))
       .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("lang"), col("doc_id_a"), col("doc_id_b"))
+      .join(withG.select(col("doc_id").as("doc_id_a"), col("g").as("g_a")),
+        Seq("doc_id_a"))
+      .join(withG.select(col("doc_id").as("doc_id_b"), col("g").as("g_b")),
+        Seq("doc_id_b"))
       .withColumn("common",
         graft.functions.SortedIntersectCount(col("g_a"), col("g_b")))
       .withColumn("jaccard",

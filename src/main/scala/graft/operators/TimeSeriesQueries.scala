@@ -278,16 +278,30 @@ object TimeSeriesQueries {
       .withColumn("bucket_us", col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
     val hourly = d.groupBy(col("user_id"), col("bucket_us"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("v_avg"))
-    val grid = d.groupBy(col("user_id"))
-      .agg(min(col("bucket_us")).as("b0"), max(col("bucket_us")).as("b1"))
-      .select(col("user_id"),
-        explode(sequence(col("b0"), col("b1"), lit(hourUs))).as("bucket_us"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(hourly, Seq("user_id", "bucket_us"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
-      .withColumn("v_filled", last(col("v_avg"), ignoreNulls = true).over(w))
-      .select("user_id", "bucket_us", "n", "v_avg", "v_filled")
+    // Fill is resolved on the HOURLY level (one row per present hour),
+    // then each present hour explodes map-side into its run of grid
+    // cells — [bucket, next present bucket) — with the fill value already
+    // attached. The previous shape exploded a (user_id, hour) grid first
+    // and then joined + ran last(ignoreNulls) over it; the grid is ~10×
+    // the event count here (sum of per-user spans) and unbounded at
+    // sparse-series scale, so the join exchange and the window sort paid
+    // O(grid) where this pays O(present hours). Output is identical:
+    // `fill` at a present hour is its own v_avg when non-null, else the
+    // previous non-null — exactly last(ignoreNulls) over the dense grid.
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
+    val runs = hourly
+      .withColumn("fill", last(col("v_avg"), ignoreNulls = true)
+        .over(wRun.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_b", lead(col("bucket_us"), 1).over(wRun))
+    runs.select(col("user_id"), col("n"), col("v_avg"), col("fill"),
+        col("bucket_us").as("b"),
+        explode(sequence(col("bucket_us"),
+          coalesce(col("next_b") - hourUs, col("bucket_us")),
+          lit(hourUs))).as("bucket_us"))
+      .select(col("user_id"), col("bucket_us"),
+        when(col("bucket_us") === col("b"), col("n")).otherwise(0L).as("n"),
+        when(col("bucket_us") === col("b"), col("v_avg")).as("v_avg"),
+        col("fill").as("v_filled"))
   }
 
   val tsGapFillSql: String =
