@@ -307,4 +307,20 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(handle)
   }
+
+  /** Streaming heavy hitters: the Misra-Gries TypedImperativeAggregate
+    * ([[graft.functions.HeavyHitters]]) used directly as a streaming
+    * global aggregation — its serialized agg buffer IS the state-store
+    * entry, its partial-merge IS the batch-over-batch state update, so
+    * the mergeability the batch property suite pins (400 seeded cases,
+    * serialization boundary included) is exactly what makes it
+    * streaming-ready. Complete-mode output: one row per trigger with the
+    * current top-k candidates. State is O(k) per group — here one global
+    * group; add keys to `groupBy` for per-key sketches at the same cost.
+    * Exact (== batch counts) when distinct items <= k; otherwise the
+    * n/(k+1) survival bound applies to the stream prefix seen so far. */
+  def heavyHittersStream(events: DataFrame, k: Int): DataFrame =
+    events.groupBy()
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("event_type"), k)
+        .as("top"))
 }

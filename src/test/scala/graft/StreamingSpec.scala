@@ -239,6 +239,72 @@ class StreamingSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("streaming heavy hitters equals batch counts in the exact regime") {
+    // k >= distinct event types -> Misra-Gries degenerates to exact
+    // counting, so stream == batch bit-for-bit regardless of order
+    val k = 16
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.heavyHittersStream(stream, k).writeStream
+      .outputMode("complete").format("memory").queryName("stream_hh")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(explode(col("top")).as("t"))
+        .select(col("t.item"), col("t.est_count"))
+        .as[(String, Long)].collect().toMap
+    val got = toMap(spark.table("stream_hh"))
+    val want = toMap(Tables.events(spark, sf).groupBy()
+      .agg(functions.HeavyHitters.heavyHitters(col("event_type"), k).as("top")))
+    assert(got == want, s"stream $got != batch $want")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming heavy hitters merges state across micro-batches") {
+    // fixture split into two files + maxFilesPerTrigger=1 forces TWO
+    // micro-batches: the second trigger must merge its partial into the
+    // state-store buffer from the first. In the exact regime (k >=
+    // distinct items) the merged counts still equal batch, so a state
+    // round-trip or merge regression is a hard equality failure.
+    val d = java.nio.file.Files.createTempDirectory("events_stream_2b")
+    val ev = Tables.events(spark, sf)
+    val half = ev.count() / 2
+    ev.filter(col("event_id") % 2 === 0)
+      .write.parquet(d.resolve("a").toString)
+    ev.filter(col("event_id") % 2 =!= 0)
+      .write.parquet(d.resolve("b").toString)
+    val files = java.nio.file.Files.walk(d).iterator()
+    val flat = java.nio.file.Files.createTempDirectory("events_stream_2bf")
+    var i = 0
+    files.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet") &&
+          !java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.copy(p, flat.resolve(s"part$i.parquet")); i += 1
+      }
+    }
+    assert(i >= 2, s"fixture staging produced $i files; need >= 2")
+    val k = 16
+    // the split files hold µs timestamps already (written from
+    // Tables.events), so read them plainly rather than via readEvents'
+    // ns-normalizing schema
+    val stream = spark.readStream
+      .schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    val q = StreamingOps.heavyHittersStream(stream, k).writeStream
+      .outputMode("complete").format("memory").queryName("stream_hh_2b")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2,
+      s"expected >= 2 micro-batches, got ${q.recentProgress.length}")
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(explode(col("top")).as("t"))
+        .select(col("t.item"), col("t.est_count"))
+        .as[(String, Long)].collect().toMap
+    val got = toMap(spark.table("stream_hh_2b"))
+    val want = toMap(ev.groupBy()
+      .agg(functions.HeavyHitters.heavyHitters(col("event_type"), k).as("top")))
+    assert(got == want, s"stream $got != batch $want")
+    assert(half > 0)
+  }
+
   test("kmeans: deterministic assignment, k clusters, SSE decreases with iterations") {
     val emb = Tables.embeddings(spark, sf)
     val a1 = ml.KMeans.fit(emb, k = 5, iters = 1)
