@@ -183,10 +183,16 @@ object Bench {
         }
       // the compact per-query roll-up the verdict asked for: worst rep,
       // worst in-rep GC, median executor task time — greppable one-liners
+      // true median for even rep counts too (index reps/2 would pick the
+      // max of 2 reps and mislabel the worst rep as the median)
+      val taskMed = {
+        val s = repStats.map(_._3.runMs).sorted
+        if (reps % 2 == 1) s(reps / 2) else (s(reps / 2 - 1) + s(reps / 2)) / 2
+      }
       tee.log(f"[bench] $name summary med=${math.abs(v)}%.3f s " +
         f"max_rep=${times.map(math.abs).max}%.3f s " +
         f"gc_max=${repStats.map(_._2).max} ms " +
-        f"task_med=${repStats.map(_._3.runMs).sorted.apply(reps / 2)} ms " +
+        f"task_med=$taskMed ms " +
         f"sched_max=${repStats.map(_._3.schedMs).max} ms")
       // r7→r8 continuity: one count()-consumed wall time per query, the
       // consumption every round before r8 used. Forensics-only — it lets

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, XxHash64}
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType}
 import graft.functions._
 
 /** Session extension entry point: makes graft's native expressions
@@ -23,9 +23,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Long-or-int literal: SQL `3000000000` parses as LongType, and the
+    * 100 TB semi-join use case (billions of expected join keys) must be
+    * expressible from SQL, not just the Column API. */
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(l: Long, LongType) => l
+    case Literal(i: Int, IntegerType) => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Numeric literal as double. A plain SQL fraction like `0.01` parses
+    * as a DECIMAL literal, not DoubleType — only the `0.01D` spelling
+    * produces a double — so the Decimal case is what the natural
+    * `graft_bloom_filter(k, 5000, 0.01)` call actually hits. */
   private def litDouble(e: Expression, what: String): Double = e match {
     case Literal(d: Double, DoubleType) => d
+    case Literal(f: Float, FloatType) => f.toDouble
+    case Literal(dec: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+      dec.toDouble
     case Literal(i: Int, IntegerType) => i.toDouble
+    case Literal(l: Long, LongType) => l.toDouble
     case other => throw new IllegalArgumentException(
       s"$what must be a numeric literal, got $other")
   }
@@ -65,7 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL users pass raw keys, exactly like the Column API
     inject("graft_bloom_filter", exprs => {
       val (nWords, nHashes) = BloomUtil.sizeFor(
-        litInt(exprs(1), "expectedItems").toLong, litDouble(exprs(2), "fpp"))
+        litLong(exprs(1), "expectedItems"), litDouble(exprs(2), "fpp"))
       BloomFilterAgg(XxHash64(Seq(exprs(0)), 42L), nWords, nHashes)
         .toAggregateExpression()
     })

@@ -51,12 +51,24 @@ object BloomUtil {
   }
 
   /** Membership probe straight off the serialized bytes — no copy, no
-    * ByteBuffer allocation; safe in a per-row codegen'd hot path. */
+    * ByteBuffer allocation; safe in a per-row codegen'd hot path. The
+    * header is validated against the byte length first: the SQL surface
+    * lets any binary column reach this, and a malformed input must fail
+    * as a clear error, not an index/arithmetic crash deep in a task. */
   def mightContain(filter: Array[Byte], hash: Long): Boolean = {
+    if (filter.length < HEADER)
+      throw new IllegalArgumentException(
+        s"might_contain: ${filter.length}-byte input is not a bloom filter" +
+          s" (shorter than the $HEADER-byte header)")
     val nHashes = ((filter(0) & 0xff) << 24) | ((filter(1) & 0xff) << 16) |
       ((filter(2) & 0xff) << 8) | (filter(3) & 0xff)
     val nWords = ((filter(4) & 0xff) << 24) | ((filter(5) & 0xff) << 16) |
       ((filter(6) & 0xff) << 8) | (filter(7) & 0xff)
+    if (nHashes < 1 || nHashes > 64 || nWords < 1 ||
+        filter.length != HEADER + nWords.toLong * 8L)
+      throw new IllegalArgumentException(
+        s"might_contain: input is not a bloom filter (header says " +
+          s"nHashes=$nHashes nWords=$nWords for ${filter.length} bytes)")
     val m = nWords.toLong * 64L
     val h2 = splitmix(hash) | 1L
     var i = 0

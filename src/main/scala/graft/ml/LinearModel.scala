@@ -42,7 +42,13 @@ object LinearModel {
     // not an NPE (e.g. an empty train fold reaching fitRidge)
     require(!statsRow.isNullAt(0),
       "fitRidge called on empty input (no non-null feature rows)")
-    val flat = statsRow.getSeq[Double](0)
+    solveFromFlat(statsRow.getSeq[Double](0), lambda)
+  }
+
+  /** Ridge solve from NormalEqAgg's flat [A | b] statistics — the ONE
+    * place the flat layout and the no-penalty-on-bias convention live
+    * (shared by fitRidge and rulPipeline). */
+  private def solveFromFlat(flat: Seq[Double], lambda: Double): Array[Double] = {
     val d = graft.functions.NormalEq.dimOf(flat.length)
     val xtx = Array.tabulate(d, d)((i, j) => flat(i * d + j))
     val xty = Array.tabulate(d)(i => flat(d * d + i))
@@ -106,8 +112,15 @@ object LinearModel {
       .withColumn("ts_us", unix_micros(col("ts")))
     val tensors = Tensorize.windowTensorize(events, "user_id",
       Seq("ts_us", "event_id"), "value", t = 20, skip = 5, rulCap = 130)
+    // explicit non-null row set so every aggregate below agrees on it:
+    // NormalEqAgg skips null-feature rows on its own and would zero-fill
+    // a null label into b while sum(y²)/count included or skipped them
+    // differently — no-op for this pipeline's data (tensorize and the
+    // capped RUL never produce nulls) but keeps the MSE denominator
+    // honest by construction
     val split = TimeSeriesOps.ratioSplit(tensors, "user_id", Seq("widx"), 0.8)
       .withColumn("label", col("rul").cast("double"))
+      .filter(col("features").isNotNull && col("label").isNotNull)
     val stats = split.select(col("fold"),
         concat(col("features"), array(lit(1.0))).as("x"),
         col("label").as("y"))
@@ -120,14 +133,12 @@ object LinearModel {
       r.getString(0) -> (r.getSeq[Double](1), r.getDouble(2), r.getLong(3))
     }.toMap
     require(byFold.contains("train"), "rulPipeline: empty train fold")
-    val (trainFlat, _, _) = byFold("train")
-    val d = graft.functions.NormalEq.dimOf(trainFlat.length)
-    val lambda = 1e-3
-    val xtx = Array.tabulate(d, d)((i, j) => trainFlat(i * d + j))
-    val xty = Array.tabulate(d)(i => trainFlat(d * d + i))
-    (0 until d - 1).foreach(i => xtx(i)(i) += lambda) // no penalty on bias
-    val w = solve(xtx, xty)
-    // MSE = (wᵀAw − 2wᵀb + Σy²)/n per fold, from the UNregularized A
+    val w = solveFromFlat(byFold("train")._1, lambda = 1e-3)
+    val d = w.length
+    // MSE = (wᵀAw − 2wᵀb + Σy²)/n per fold, from the UNregularized A.
+    // Clamped at 0: the true MSE is non-negative, but the quad/yy
+    // cancellation (both ~|n·ȳ²| for a good fit) can leave the d²-term
+    // sum a hair below zero in floating point.
     val rows = byFold.toSeq.sortBy(_._1).map { case (fold, (flat, yy, n)) =>
       var quad = 0.0
       var i = 0
@@ -138,8 +149,8 @@ object LinearModel {
         i += 1
       }
       org.apache.spark.sql.Row(fold,
-        BigDecimal((quad + yy) / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble,
+        BigDecimal(math.max(0.0, (quad + yy) / n))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
         n)
     }
     spark.createDataFrame(

@@ -215,15 +215,17 @@ object Similarity {
     }.toArray
   }
 
-  /** Codes are stored as tinyint, so codeword ids must fit a SIGNED byte:
-    * ks ≥ 128 would wrap ids negative and the ADC `element_at(lut, …)`
-    * would silently index from the END of the table (element_at's
-    * negative-index semantics) — wrong distances, no error. 127 is the
-    * hard ceiling until codes widen to smallint. */
+  /** Codes are stored as tinyint, so codeword IDS (0..ks-1) must fit a
+    * SIGNED byte: ks ≥ 129 would produce ids ≥ 128, wrapping negative,
+    * and the ADC `element_at(lut, …)` would silently index from the END
+    * of the table (element_at's negative-index semantics) — wrong
+    * distances, no error. ks = 128 (max id 127) is the hard ceiling
+    * until codes widen to smallint. */
   private def requireKs(ks: Int): Unit =
-    require(ks >= 1 && ks <= 127,
-      s"ks must be in [1, 127] (tinyint code space; ks=$ks would wrap " +
-        "negative and silently mis-index the ADC lookup table)")
+    require(ks >= 1 && ks <= 128,
+      s"ks must be in [1, 128] (tinyint code space holds ids 0..127, so " +
+        s"ks=$ks would wrap negative and silently mis-index the ADC " +
+        "lookup table)")
 
   /** PQ encoding: each vector becomes `m` bytes (one codebook id per
     * subspace) — 32× smaller than float32 at dim 64 / m 8. Map-side argmin

@@ -111,11 +111,40 @@ class BloomFilterSpec extends SparkSpec {
           "FROM VALUES ('x'), ('nope') v(w)")
         .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
       assert(probes("x"), "SQL probe missed a member")
+      // the NATURAL SQL spellings: a plain fraction parses as a DECIMAL
+      // literal (not double — only 0.01d is), and billions of expected
+      // items parse as a LONG literal; both must be accepted (the first
+      // litDouble/litInt helpers rejected them)
+      val natural = s2.sql(
+        "SELECT graft_bloom_filter(w, 3000, 0.01) AS f FROM t")
+        .head.getAs[Array[Byte]](0)
+      assert(natural.length > BloomUtil.HEADER)
+      // long literal reaches sizeFor (whose 1 GiB clamp then fires) —
+      // the failure message proves the literal was ACCEPTED, not
+      // rejected at the litLong boundary; building a billions-sized
+      // filter for real is deliberately out of unit-test budget
+      val bigLit = intercept[Exception] {
+        s2.sql("SELECT graft_bloom_filter(w, 3000000000, 0.01) AS f FROM t")
+          .head
+      }
+      assert(bigLit.getMessage.contains("shard the build"),
+        s"long expectedItems literal rejected at the wrong layer: $bigLit")
       // do NOT close s2 (shared SparkContext)
     }
     // guardrails fire regardless of session support
     intercept[IllegalArgumentException] { BloomUtil.sizeFor(0, 0.01) }
     intercept[IllegalArgumentException] { BloomUtil.sizeFor(100, 1.5) }
     intercept[IllegalArgumentException] { BloomUtil.sizeFor(Long.MaxValue / 2, 1e-9) }
+    // malformed probe input fails as a named error, not an index crash:
+    // the SQL surface lets ANY binary column reach might_contain
+    intercept[IllegalArgumentException] {
+      BloomUtil.mightContain(Array[Byte](1, 2, 3), 42L)
+    }
+    intercept[IllegalArgumentException] { // header nWords=0 → mod-zero path
+      BloomUtil.mightContain(Array[Byte](0, 0, 0, 1, 0, 0, 0, 0), 42L)
+    }
+    intercept[IllegalArgumentException] { // header claims more words than bytes
+      BloomUtil.mightContain(Array[Byte](0, 0, 0, 1, 0, 0, 0, 9), 42L)
+    }
   }
 }

@@ -188,17 +188,24 @@ class EdgeCaseSpec extends SparkSpec {
     }
     // PQ: codes are tinyint — ks = 256 (the standard FAISS default) would
     // wrap ids negative and element_at would read the LUT from the END,
-    // silently wrong distances; must be a hard error at every entry point
+    // silently wrong distances; must be a hard error at every entry point.
+    // The boundary is ids 0..127, so ks = 128 is VALID and ks = 129 is
+    // the first rejected size (an earlier guard wrongly rejected 128)
     intercept[IllegalArgumentException] {
       operators.Similarity.pqCodebooks(emb, dim = 64, m = 8, ks = 256)
     }
-    val wideBooks = Array.fill(8)(Array.fill(128)(Array.fill(8)(0.0)))
+    val overBooks = Array.fill(8)(Array.fill(129)(Array.fill(8)(0.0)))
     intercept[IllegalArgumentException] {
-      operators.Similarity.pqEncode(emb, dim = 64, codebooks = wideBooks)
+      operators.Similarity.pqEncode(emb, dim = 64, codebooks = overBooks)
     }
     intercept[IllegalArgumentException] {
-      operators.Similarity.annPq(emb, emb, wideBooks, dim = 64, k = 1)
+      operators.Similarity.annPq(emb, emb, overBooks, dim = 64, k = 1)
     }
+    val maxBooks = Array.fill(8)(Array.tabulate(128)(c =>
+      Array.fill(8)(c.toDouble)))
+    val codes128 = operators.Similarity.pqEncode(
+      emb, dim = 64, codebooks = maxBooks)
+    assert(codes128.limit(1).count() == 1) // ks=128 encodes without error
     // BM25: an empty query is a caller bug, not an empty result
     intercept[IllegalArgumentException] {
       operators.TextOps.bm25TopK(docs, "text", Seq.empty, k = 5)
