@@ -65,6 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_minhash_sig",
       exprs => MinHashSig(exprs(0), litInt(exprs(1), "numHashes")))
     inject("graft_simhash64", exprs => SimHash64(exprs(0)))
+    inject("graft_winnow_fingerprint",
+      exprs => WinnowFingerprint(exprs(0), litInt(exprs(1), "gram size"),
+        litInt(exprs(2), "winnow window")))
     inject("graft_weighted_outer_flat",
       exprs => WeightedOuterFlat(exprs(0), exprs(1)))
     inject("graft_normal_eq",
