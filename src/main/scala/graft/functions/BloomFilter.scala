@@ -42,6 +42,24 @@ object BloomUtil {
     }
   }
 
+  /** Probe mirror of [[setBits]] on a live words array (no wire format)
+    * — the form streaming state uses, where the filter lives as the
+    * GroupState value between micro-batches. */
+  def testBits(words: Array[Long], nHashes: Int, hash: Long): Boolean = {
+    val m = words.length.toLong * 64L
+    val h2 = splitmix(hash) | 1L
+    var i = 0
+    var h = hash
+    while (i < nHashes) {
+      val bit = java.lang.Long.remainderUnsigned(h, m)
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63L))) == 0L)
+        return false
+      i += 1
+      h += h2
+    }
+    true
+  }
+
   private def wordAt(bytes: Array[Byte], idx: Int): Long = {
     val off = HEADER + (idx << 3)
     var w = 0L

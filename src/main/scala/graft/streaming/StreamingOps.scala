@@ -308,6 +308,49 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(handle)
   }
 
+  case class BloomDoc(doc_id: Long, shard: Int, h: Long)
+
+  /** Approximate streaming dedup with STRICTLY BOUNDED state: one Bloom
+    * filter per shard held as the group state, probed and updated per
+    * document. Exact dedup of an unbounded stream needs unbounded
+    * seen-key state; this trades a bounded, sizable false-positive rate
+    * (a novel doc occasionally dropped as a dup — the cheap direction
+    * for training-data curation) for state that NEVER grows:
+    * `nWordsPerShard`×8 bytes per shard, forever. The streaming
+    * composition of the r8 [[graft.functions.BloomUtil]] sketch, and the
+    * 100 TB answer to `dropDuplicates` on an unbounded stream (whose
+    * exact state grows with every distinct key seen).
+    *
+    * Inputs carry a precomputed 64-bit content hash `h` (e.g.
+    * xxhash64(text)) and a `shard` derived from it (pmod(h, nShards)) —
+    * sharding by content hash keeps each filter's load balanced and each
+    * probe local to one group. Within a micro-batch each shard processes
+    * docs in doc_id order, so the kept representative is deterministic
+    * (lowest doc_id, matching keep-first batch dedup); across batches
+    * the earlier batch wins, which is exactly arrival-order keep-first. */
+  def bloomDedupStream(docs: Dataset[BloomDoc], nWordsPerShard: Int = 1024,
+                       nHashes: Int = 3)(
+      implicit enc1: org.apache.spark.sql.Encoder[Int],
+      enc2: org.apache.spark.sql.Encoder[Array[Long]],
+      enc3: org.apache.spark.sql.Encoder[BloomDoc]): Dataset[BloomDoc] = {
+
+    def handle(shard: Int, docs: Iterator[BloomDoc],
+               state: GroupState[Array[Long]]): Iterator[BloomDoc] = {
+      val words = state.getOption.getOrElse(new Array[Long](nWordsPerShard))
+      val kept = docs.toSeq.sortBy(_.doc_id).filter { d =>
+        val fresh = !graft.functions.BloomUtil.testBits(words, nHashes, d.h)
+        if (fresh) graft.functions.BloomUtil.setBits(words, nHashes, d.h)
+        fresh
+      }
+      state.update(words)
+      kept.iterator
+    }
+
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+  }
+
   /** Streaming heavy hitters: the Misra-Gries TypedImperativeAggregate
     * ([[graft.functions.HeavyHitters]]) used directly as a streaming
     * global aggregation — its serialized agg buffer IS the state-store

@@ -188,6 +188,38 @@ class PlanHygieneSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("ts_gapfill plans no join and stays inside its exchange budget") {
+    // the r8 run-level rewrite fills on the hourly level and explodes
+    // map-side — a Join reappearing means the O(grid) dense-grid shape
+    // (grid ~10× the event count, unbounded for sparse series) is back
+    val plan = SparkEntry.queries("ts_gapfill")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"ts_gapfill regressed to the grid-join shape:\n${plan.take(1500)}")
+    val nEx = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx <= 2, // (user, bucket) agg + user-partitioned fill windows
+      s"ts_gapfill plans $nEx hash exchanges (budget 2):\n${plan.take(1500)}")
+  }
+
+  test("dedup candidate joins move ids only (arrays attach after dedup)") {
+    // the r8 ids-only restructure: the LSH band self-join and the pair
+    // dedup must not carry shingle-hash arrays (previously 8 band copies
+    // per doc + a dropDuplicates exchange of both arrays). Only the two
+    // attach-side exchanges may ship an array column.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for ((name, budget) <- Seq("dedup_minhash" -> 2, "dedup_ngram" -> 2)) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val arrayExchanges = plan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) => e
+      }
+      assert(arrayExchanges.size <= budget,
+        s"$name ships arrays through ${arrayExchanges.size} exchanges " +
+          s"(budget $budget — the ids-only candidate join regressed):\n" +
+          arrayExchanges.map(_.output.mkString(", ")).mkString("\n"))
+    }
+  }
+
   test("oracle-checked scans prune columns (no SELECT * scans of lineitem)") {
     val plan = operators.Relational.q1Agg(spark, sf)
       .queryExecution.executedPlan.toString

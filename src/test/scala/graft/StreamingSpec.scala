@@ -305,6 +305,75 @@ class StreamingSpec extends SparkSpec {
     assert(half > 0)
   }
 
+  test("bloom-dedup stream equals exact keep-first dedup on one-batch replay") {
+    // 1024 words/shard for <= 500 docs -> fpp ~1e-5 per probe; false
+    // positives are hash-deterministic, so this equality is stable, not
+    // flaky. Docs carry xxhash64(text) and shard = pmod(h, 8).
+    val docsDir = java.nio.file.Files.createTempDirectory("bloom_dedup_1b")
+    val prepared = Tables.documents(spark, sf)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(8)).cast("int"))
+      .select("doc_id", "shard", "h")
+    prepared.write.parquet(docsDir.resolve("d").toString)
+    val stream = spark.readStream.schema(prepared.schema)
+      .parquet(docsDir.resolve("d").toString)
+      .as[StreamingOps.BloomDoc]
+    val q = StreamingOps.bloomDedupStream(stream).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloom_dedup_1b")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("bloom_dedup_1b").select("doc_id")
+      .as[Long].collect().toSet
+    val want = prepared.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("bloom-dedup stream drops re-arrivals across micro-batches") {
+    // batch 1 = the corpus; batch 2 = the SAME texts under new doc_ids
+    // (re-arrival). Everything in batch 2 must hit the batch-1 filter
+    // state and be dropped — zero batch-2 emissions proves the Bloom
+    // words survive the state-store round-trip between triggers.
+    val d = java.nio.file.Files.createTempDirectory("bloom_dedup_2b")
+    val prepared = Tables.documents(spark, sf)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(8)).cast("int"))
+      .select("doc_id", "shard", "h")
+    val nDocs = prepared.count()
+    prepared.coalesce(1).write.parquet(d.resolve("t1").toString)
+    prepared.withColumn("doc_id", col("doc_id") + 1000000L)
+      .coalesce(1).write.parquet(d.resolve("t2").toString)
+    val flat = java.nio.file.Files.createTempDirectory("bloom_dedup_2bf")
+    // file names order the batches: batch 1 before re-arrivals
+    var i = 0
+    for (sub <- Seq("t1", "t2")) {
+      java.nio.file.Files.list(d.resolve(sub)).iterator().forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, flat.resolve(s"b$i.parquet")); i += 1
+        }
+      }
+    }
+    assert(i == 2, s"expected 2 staged files, got $i")
+    val stream = spark.readStream.schema(prepared.schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+      .as[StreamingOps.BloomDoc]
+    val q = StreamingOps.bloomDedupStream(stream).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloom_dedup_2b")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2,
+      s"expected >= 2 micro-batches, got ${q.recentProgress.length}")
+    val emitted = spark.table("bloom_dedup_2b").select("doc_id")
+      .as[Long].collect()
+    assert(emitted.forall(_ < 1000000L),
+      s"re-arrivals leaked past the filter: ${emitted.filter(_ >= 1000000L).take(5).toSeq}")
+    assert(emitted.nonEmpty && nDocs > 0)
+  }
+
   test("kmeans: deterministic assignment, k clusters, SSE decreases with iterations") {
     val emb = Tables.embeddings(spark, sf)
     val a1 = ml.KMeans.fit(emb, k = 5, iters = 1)
