@@ -92,6 +92,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     })
     inject("graft_might_contain",
       exprs => BloomMightContain(exprs(0), XxHash64(Seq(exprs(1)), 42L)))
+    // count-min frequency sketch: build / rollup-union / point estimate
+    inject("graft_cms_sketch", exprs =>
+      CountMinAgg(XxHash64(Seq(exprs(0)), 42L), litInt(exprs(1), "depth"),
+        litInt(exprs(2), "width")).toAggregateExpression())
+    inject("graft_cms_merge",
+      exprs => CmsMergeAgg(exprs(0)).toAggregateExpression())
+    inject("graft_cms_estimate",
+      exprs => CmsEstimate(exprs(0), XxHash64(Seq(exprs(1)), 42L)))
     inject("graft_vector_avg",
       exprs => VectorSumAgg(exprs(0), avg = true).toAggregateExpression())
     inject("graft_vector_sum",
