@@ -327,7 +327,16 @@ object StreamingOps {
     * probe local to one group. Within a micro-batch each shard processes
     * docs in doc_id order, so the kept representative is deterministic
     * (lowest doc_id, matching keep-first batch dedup); across batches
-    * the earlier batch wins, which is exactly arrival-order keep-first. */
+    * the earlier batch wins, which is exactly arrival-order keep-first.
+    *
+    * Known limit, by design: the filter SATURATES — as distinct keys
+    * approach the sizing capacity the false-positive rate climbs toward
+    * 1 and novel docs are increasingly dropped. Size nWordsPerShard for
+    * the expected distinct volume of the filter's LIFETIME, and in
+    * production rotate filters by time window (new state key per epoch,
+    * e.g. shard ⊕ week) when the stream outlives any fixed capacity —
+    * rotation bounds both state and fpp at the cost of re-admitting a
+    * duplicate once per epoch boundary. */
   def bloomDedupStream(docs: Dataset[BloomDoc], nWordsPerShard: Int = 1024,
                        nHashes: Int = 3)(
       implicit enc1: org.apache.spark.sql.Encoder[Int],

@@ -305,6 +305,45 @@ class StreamingSpec extends SparkSpec {
     assert(half > 0)
   }
 
+  test("streaming count-min sketch merges across micro-batches == batch bytes") {
+    // the CMS aggregate in a streaming aggregation, like heavy hitters:
+    // agg buffer = state-store entry, element-wise-sum merge = state
+    // update. Two forced micro-batches over the split fixture must yield
+    // the exact whole-table sketch bytes (sum is order-free), proving
+    // the buffer round-trips the state store and merges, not replaces.
+    val ev = Tables.events(spark, sf)
+    val d = java.nio.file.Files.createTempDirectory("cms_stream_2b")
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(d.resolve("a").toString)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(d.resolve("b").toString)
+    val flat = java.nio.file.Files.createTempDirectory("cms_stream_2bf")
+    var i = 0
+    for (sub <- Seq("a", "b")) {
+      java.nio.file.Files.list(d.resolve(sub)).iterator().forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, flat.resolve(s"b$i.parquet")); i += 1
+        }
+      }
+    }
+    assert(i == 2)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    val q = stream.groupBy()
+      .agg(functions.Cms.sketch(col("event_type")).as("sk"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2,
+      s"expected >= 2 micro-batches, got ${q.recentProgress.length}")
+    val got = spark.table("cms_stream").head.getAs[Array[Byte]]("sk")
+    val want = ev.agg(functions.Cms.sketch(col("event_type")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(got, want),
+      "streaming sketch bytes != batch sketch bytes")
+  }
+
   test("bloom-dedup stream equals exact keep-first dedup on one-batch replay") {
     // 1024 words/shard for <= 500 docs -> fpp ~1e-5 per probe; false
     // positives are hash-deterministic, so this equality is stable, not
