@@ -342,6 +342,10 @@ object StreamingOps {
       implicit enc1: org.apache.spark.sql.Encoder[Int],
       enc2: org.apache.spark.sql.Encoder[Array[Long]],
       enc3: org.apache.spark.sql.Encoder[BloomDoc]): Dataset[BloomDoc] = {
+    require(nWordsPerShard >= 1 && nWordsPerShard <= (1 << 27),
+      s"bloomDedupStream: nWordsPerShard $nWordsPerShard out of range")
+    require(nHashes >= 1 && nHashes <= 64,
+      s"bloomDedupStream: nHashes $nHashes out of range")
 
     def handle(shard: Int, docs: Iterator[BloomDoc],
                state: GroupState[Array[Long]]): Iterator[BloomDoc] = {
