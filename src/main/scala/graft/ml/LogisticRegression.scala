@@ -69,7 +69,15 @@ object LogisticRegression {
     * returning — the r3 pattern (lazy result + non-blocking unpersist
     * issued before the caller's action) recomputed the whole pipeline on
     * every downstream action and left cache churn behind for the next
-    * bench query. */
+    * bench query.
+    *
+    * This cache deliberately SURVIVES the r8 drop-the-array-cache lesson
+    * (rulPipeline): the embedding matrix is #vectors×d doubles — MB-scale
+    * — so the row→columnar build amortizes over the 5 passes, and an r8
+    * A/B probe measured the cached form faster (1.2 vs 1.4 s at sf0.1).
+    * rulPipeline's tensor cache was two orders larger and read SLOWER
+    * than the recompute; the lesson is about wide array columns at
+    * hundreds of MB, not caching per se. */
   def tsLogregEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
