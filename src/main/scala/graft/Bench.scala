@@ -141,6 +141,7 @@ object Bench {
     // bench with a NumberFormatException before any query runs
     val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(3))
+    val countwall = sys.env.get("SPARK_GRAFT_COUNTWALL").contains("1")
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drain pending collections in the UNTIMED gap: the ContextCleaner
@@ -195,15 +196,17 @@ object Bench {
         f"task_med=$taskMed ms " +
         f"sched_max=${repStats.map(_._3.schedMs).max} ms")
       // r7→r8 continuity: one count()-consumed wall time per query, the
-      // consumption every round before r8 used. Forensics-only — it lets
-      // a reader attribute a per-query r8/r7 delta to the consumption
-      // change (count let Catalyst prune cardinality-neutral work) rather
-      // than to the query, without polluting the recorded numbers.
-      val tc0 = System.nanoTime()
-      val cOk = try { fn(spark, sfDir).count(); true }
-                catch { case scala.util.control.NonFatal(_) => false }
-      tee.log(f"[bench] $name countwall=${(System.nanoTime() - tc0) / 1e9}%.3f s" +
-        (if (cOk) "" else " FAILED"))
+      // consumption every round before r8 used. It earned its keep for
+      // exactly one transition (attributing the r8 noop-sink headline jump
+      // back to r7's count() numbers) but costs a full extra bench pass
+      // per round, so from r9 it's opt-in: SPARK_GRAFT_COUNTWALL=1.
+      if (countwall) {
+        val tc0 = System.nanoTime()
+        val cOk = try { fn(spark, sfDir).count(); true }
+                  catch { case scala.util.control.NonFatal(_) => false }
+        tee.log(f"[bench] $name countwall=${(System.nanoTime() - tc0) / 1e9}%.3f s" +
+          (if (cOk) "" else " FAILED"))
+      }
       name -> v
     }.toMap
     val sfName = new java.io.File(sfDir).getName

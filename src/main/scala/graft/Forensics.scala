@@ -16,20 +16,60 @@ import org.apache.spark.sql.SparkSession
   */
 object Forensics {
 
-  /** Current round number inferred from the driver's committed artifacts
-    * (`BENCH_r{N}.json` / `CORRECTNESS_r{N}.json` in the cwd, which is the
-    * repo root when the driver or sbt runs the mains): max existing N + 1.
-    * None when no artifact is visible (e.g. run from elsewhere). */
-  def roundNumber(): Option[Int] = {
-    val pat = "(?:BENCH|CORRECTNESS)_r(\\d+)\\.json".r
-    Option(new java.io.File(".").listFiles())
-      .map(_.toSeq.flatMap(f =>
-        pat.findFirstMatchIn(f.getName).map(_.group(1).toInt)))
-      .filter(_.nonEmpty).map(_.max + 1)
+  /** Repo root, resolved explicitly instead of trusting the cwd: the
+    * `GRAFT_REPO_ROOT` env var when set, else the nearest ancestor of the
+    * cwd containing `build.sbt`. A main launched from a scratch directory
+    * previously fell back to un-suffixed names in that directory and could
+    * shadow (or, worse, overwrite) a prior round's committed artifact. */
+  def repoRoot(): java.io.File = {
+    val fromEnv = sys.env.get("GRAFT_REPO_ROOT")
+      .map(new java.io.File(_)).filter(_.isDirectory)
+    fromEnv.getOrElse {
+      var cur = new java.io.File(".").getCanonicalFile
+      while (cur != null && !new java.io.File(cur, "build.sbt").isFile)
+        cur = cur.getParentFile
+      if (cur != null) cur else new java.io.File(".").getCanonicalFile
+    }
   }
 
-  private def roundName(stem: String, ext: String): String = roundNumber()
-    .map(n => f"${stem}_r$n%02d.$ext").getOrElse(s"$stem.$ext")
+  /** Current round number inferred from the driver's committed artifacts
+    * in the repo root. The two artifact families are NOT interchangeable:
+    * within one driver round the sequence is Verify → `CORRECTNESS_rN`
+    * written → Bench → `BENCH_rN` written, so while Bench runs the
+    * round-N correctness file already exists. The r8 driver bench took
+    * "max over both + 1" and tee'd its forensics to r09 — one round ahead
+    * of the BENCH_r08.json it was instrumenting. The round being run is
+    * therefore max(maxBench + 1, maxCorrectness): the bench counter is
+    * always one behind mid-round, the correctness counter catches up to N
+    * only once round N itself is in flight. None when neither artifact
+    * family is visible (fresh checkout). */
+  def roundNumber(): Option[Int] = {
+    val bench = "BENCH_r(\\d+)\\.json".r
+    val corr = "CORRECTNESS_r(\\d+)\\.json".r
+    val names = Option(repoRoot().listFiles())
+      .map(_.toSeq.map(_.getName)).getOrElse(Seq.empty)
+    def maxOf(pat: scala.util.matching.Regex): Option[Int] =
+      names.flatMap(n => pat.findFirstMatchIn(n).map(_.group(1).toInt)).maxOption
+    (maxOf(bench), maxOf(corr)) match {
+      case (None, None) => None
+      case (b, c) => Some(math.max(b.map(_ + 1).getOrElse(0), c.getOrElse(0)))
+    }
+  }
+
+  /** Optional artifact tag (`GRAFT_RUN_TAG=local` → `…_r09_local.txt`):
+    * builder-local runs tag themselves so they can never shadow or be
+    * overwritten by the driver's canonical untagged artifact of the same
+    * round — the r8 adjudication record nearly lost both ways. */
+  private def runTag(): String =
+    sys.env.get("GRAFT_RUN_TAG").filter(_.nonEmpty)
+      .map("_" + _.replaceAll("[^A-Za-z0-9_-]", "")).getOrElse("")
+
+  private def roundName(stem: String, ext: String): String = {
+    val name = roundNumber()
+      .map(n => f"${stem}_r$n%02d${runTag()}.$ext")
+      .getOrElse(s"$stem${runTag()}.$ext")
+    new java.io.File(repoRoot(), name).getPath
+  }
 
   def benchFile(): String = roundName("BENCH_FORENSICS", "txt")
   def verifyTimingsFile(): String = roundName("VERIFY_TIMINGS", "json")

@@ -128,6 +128,78 @@ object Dedup {
       .join(best, Seq("doc_id"), "left")
   }
 
+  // ---------- MinHash + LSH, oracle-replayable md5 hash family ----------
+
+  /** Sorted distinct md5-60 hashes of the word k-shingles — the
+    * replayable twin of [[graft.functions.ShingleHashSet]], computed in
+    * one native pass ([[graft.functions.Md5ShingleHashSet]]; the HOF
+    * formulation it replaced paid an interpreted md5/conv chain PER
+    * SHINGLE — 12.6 s at sf0.1 vs ~1 s native). The md5 runs once per
+    * window (not per seed): seeded signature mixing happens downstream in
+    * native splitmix ([[graft.functions.MinHashSig]]), which DuckDB
+    * replays exactly in UHUGEINT mod-2^64 CTEs. */
+  def md5ShingleHashes(textCol: Column, k: Int): Column =
+    graft.functions.Md5ShingleHashSet(lower(trim(textCol)), k)
+
+  /** [[minhashPairs]] with the md5-60 hash family and plain-text band
+    * keys — identical pipeline shape (map-side signatures, ids-only band
+    * self-join, arrays attached post-dedup), every hash replayable by the
+    * DuckDB oracle. Jaccard is rounded to 6 dp in both engines (exact:
+    * both divide the same two integers). */
+  def minhashPairsMd5(docs: DataFrame, textCol: String, k: Int = 3,
+                      numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSh = docs.select(col("doc_id"),
+      md5ShingleHashes(col(textCol), k).as("sh"))
+    // band key = the signature slice itself, comma-joined: a string key
+    // replays as DuckDB string_agg(... ORDER BY seed) where a hashed key
+    // (xxhash64 of the slice) would not
+    val buckets = withSh
+      .withColumn("sig", graft.functions.MinHashSig(col("sh"), numHashes))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string"))))).as(Seq("band", "bh")))
+    val ids = buckets
+      .join(buckets.withColumnRenamed("doc_id", "doc_id_b"), Seq("band", "bh"))
+      .filter(col("doc_id") < col("doc_id_b"))
+      .select(col("doc_id").as("doc_id_a"), col("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    ids
+      .join(withSh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+        Seq("doc_id_a"))
+      .join(withSh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+        Seq("doc_id_b"))
+      .withColumn("common",
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** [[minhashProfile]] on the replayable md5 hash family — the gated
+    * `dedup_minhash` surface since r9 (the xxhash64 fast path stays the
+    * lib default; this one trades ~2× the map-side hash cost for a full
+    * DuckDB hash-parity oracle). */
+  def minhashProfileMd5(docs: DataFrame, textCol: String): DataFrame = {
+    val pairs = minhashPairsMd5(docs, textCol, threshold = 0.0)
+    val sym = pairs.select(col("doc_id_a").as("doc_id"),
+                  col("doc_id_b").as("match_id"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_id_b").as("doc_id"),
+                  col("doc_id_a").as("match_id"), col("jaccard")))
+    val best = sym.groupBy(col("doc_id"))
+      .agg(max_by(col("match_id"), struct(col("jaccard"), col("match_id"))).as("best_match_id"),
+           max(col("jaccard")).as("best_jaccard"),
+           count(lit(1)).as("n_candidates"))
+    docs.select(col("doc_id"),
+        size(md5ShingleHashes(col(textCol), 3)).as("n_shingles"))
+      .join(best, Seq("doc_id"), "left")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over whitespace tokens: every distinct token's 64-bit
@@ -139,6 +211,21 @@ object Dedup {
   def simhash(docs: DataFrame, textCol: String): DataFrame = {
     docs.select(col("doc_id"),
         graft.functions.SimHash64(lower(trim(col(textCol)))).as("simhash"))
+      .withColumn("band0", shiftright(col("simhash"), 0).bitwiseAND(0xFFFFL))
+      .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
+      .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(0xFFFFL))
+      .withColumn("band3", shiftright(col("simhash"), 48).bitwiseAND(0xFFFFL))
+  }
+
+  /** [[simhash]] on the md5 hash family ([[graft.functions.Md5SimHash64]])
+    * — the gated `dedup_simhash` surface since r9: every token hash is
+    * DuckDB's `md5_number_upper`, so sketch AND band values replay
+    * exactly in SQL. Same pure map-side plan (no shuffle at all); the
+    * arithmetic-shiftright band extraction is unchanged (the `& 0xFFFF`
+    * mask discards the sign-extension bits). */
+  def simhashMd5(docs: DataFrame, textCol: String): DataFrame = {
+    docs.select(col("doc_id"),
+        graft.functions.Md5SimHash64(lower(trim(col(textCol)))).as("simhash"))
       .withColumn("band0", shiftright(col("simhash"), 0).bitwiseAND(0xFFFFL))
       .withColumn("band1", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
       .withColumn("band2", shiftright(col("simhash"), 32).bitwiseAND(0xFFFFL))
@@ -672,10 +759,120 @@ object Dedup {
       |FROM documents""".stripMargin
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    minhashProfile(Tables.documents(spark, sfDir), "text")
+    minhashProfileMd5(Tables.documents(spark, sfDir), "text")
+
+  /** DuckDB replay of [[minhashProfileMd5]], hash-exact end to end:
+    *  - shingle strings replicate `shingles()` (the dedup_ngram-proven
+    *    tokenizer parity),
+    *  - base hash = `md5_number_upper // 16` (= Spark's byte-reversed
+    *    `conv(substr(md5, …, 15), 16, 10)`),
+    *  - MinHashSig's splitmix mixing replayed in UHUGEINT mod-2^64 CTEs
+    *    (xor + `//`-shifts + 64-bit multiplies; products of two uint64
+    *    fit UHUGEINT exactly), signed-min parity via the HUGEINT-subtract
+    *    conversion,
+    *  - band keys = string_agg of the signature slice ORDER BY seed,
+    *  - best-match tie-break (max jaccard, then max match_id) via the
+    *    two-step agg join. */
+  val dedupMinhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+      |),
+      |sh0 AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
+      |    CASE WHEN len(t) >= 3
+      |      THEN list_distinct(list_transform(range(len(t) - 2),
+      |             i -> list_aggregate(t[i+1:i+3], 'string_agg', ' ')))
+      |      ELSE [list_aggregate(t, 'string_agg', ' ')] END,
+      |    g -> CAST(md5_number_upper(g) // 16 AS BIGINT)))) AS sh
+      |  FROM toks
+      |),
+      |hx AS (SELECT doc_id, unnest(sh) AS h FROM sh0),
+      |seeds AS (SELECT unnest(range(32)) AS s),
+      |m0 AS (SELECT doc_id, s,
+      |  xor(CAST(h AS UHUGEINT),
+      |      CAST((CAST(s AS UHUGEINT) * CAST(11400714819323198485 AS UHUGEINT)
+      |            + CAST(11400714819323198485 AS UHUGEINT))
+      |        % CAST(18446744073709551616 AS UHUGEINT) AS UHUGEINT)) AS z0
+      |  FROM hx CROSS JOIN seeds),
+      |m1 AS (SELECT doc_id, s,
+      |  CAST(CAST(xor(z0, z0 // 1073741824) AS UHUGEINT)
+      |       * CAST(13787848793156543929 AS UHUGEINT)
+      |       % CAST(18446744073709551616 AS UHUGEINT) AS UHUGEINT) AS z1 FROM m0),
+      |m2 AS (SELECT doc_id, s,
+      |  CAST(CAST(xor(z1, z1 // 134217728) AS UHUGEINT)
+      |       * CAST(10723151780598845931 AS UHUGEINT)
+      |       % CAST(18446744073709551616 AS UHUGEINT) AS UHUGEINT) AS z2 FROM m1),
+      |m3 AS (SELECT doc_id, s, xor(z2, z2 // 2147483648) AS z FROM m2),
+      |sig AS (SELECT doc_id, s,
+      |  min(CAST(CAST(z AS HUGEINT)
+      |        - CASE WHEN z >= CAST(9223372036854775808 AS UHUGEINT)
+      |            THEN CAST(18446744073709551616 AS HUGEINT)
+      |            ELSE CAST(0 AS HUGEINT) END AS BIGINT)) AS sv
+      |  FROM m3 GROUP BY doc_id, s),
+      |bands AS (SELECT doc_id, s // 4 AS band,
+      |  string_agg(CAST(sv AS VARCHAR), ',' ORDER BY s) AS bh
+      |  FROM sig GROUP BY doc_id, s // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |    AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_id_a, doc_id_b,
+      |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+      |  FROM cand JOIN sh0 x ON x.doc_id = cand.doc_id_a
+      |            JOIN sh0 y ON y.doc_id = cand.doc_id_b),
+      |sym AS (SELECT doc_id_a AS doc_id, doc_id_b AS match_id, jaccard FROM pairs
+      |        UNION ALL
+      |        SELECT doc_id_b AS doc_id, doc_id_a AS match_id, jaccard FROM pairs),
+      |agg AS (SELECT doc_id, max(jaccard) AS best_jaccard,
+      |               count(*) AS n_candidates
+      |        FROM sym GROUP BY doc_id),
+      |bid AS (SELECT sym.doc_id, max(match_id) AS best_match_id
+      |        FROM sym JOIN agg ON sym.doc_id = agg.doc_id
+      |          AND sym.jaccard = agg.best_jaccard
+      |        GROUP BY sym.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(s.sh) AS INT) AS n_shingles,
+      |  bid.best_match_id, agg.best_jaccard, agg.n_candidates
+      |FROM documents d
+      |JOIN sh0 s ON s.doc_id = d.doc_id
+      |LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |LEFT JOIN bid ON bid.doc_id = d.doc_id""".stripMargin
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    simhash(Tables.documents(spark, sfDir), "text")
+    simhashMd5(Tables.documents(spark, sfDir), "text")
+
+  /** DuckDB replay of [[simhashMd5]]: distinct-token md5 hashes
+    * (`md5_number_upper` = the expression's little-endian first-8-bytes
+    * value), ±1 votes per bit via unsigned shift-and-mask, sketch
+    * reassembled as Σ 2^b over positive votes with the signed conversion
+    * at the end; 16-bit bands by unsigned divide/mod. */
+  val dedupSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |th AS (SELECT DISTINCT doc_id, md5_number_upper(tok) AS h FROM toks),
+      |bits AS (SELECT unnest(range(64)) AS b),
+      |votes AS (SELECT doc_id, b,
+      |  sum(CASE WHEN (h >> CAST(b AS UBIGINT)) & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT)
+      |      THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN bits GROUP BY doc_id, b),
+      |sk AS (SELECT doc_id,
+      |  sum(CASE WHEN v > 0
+      |      THEN CAST(1 AS HUGEINT) << CAST(b AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS u
+      |  FROM votes GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST(u - CASE WHEN u >= 9223372036854775808
+      |        THEN CAST(18446744073709551616 AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash,
+      |  CAST(u % 65536 AS BIGINT) AS band0,
+      |  CAST(u // 65536 % 65536 AS BIGINT) AS band1,
+      |  CAST(u // 4294967296 % 65536 AS BIGINT) AS band2,
+      |  CAST(u // 281474976710656 % 65536 AS BIGINT) AS band3
+      |FROM sk""".stripMargin
 
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, sfDir))

@@ -40,6 +40,57 @@ class DedupTextSpec extends SparkSpec {
     assert(prof.filter(col("doc_id") === 1 && col("best_jaccard") === 1.0).count() == 1)
   }
 
+  test("md5 minhash family matches the xxhash64 family's dedup verdicts") {
+    // the r9 oracle-replayable hash family must find the same duplicate
+    // structure (hash VALUES differ by design; set-similarity math and
+    // LSH recall are what the operator contracts promise)
+    val pairs = Dedup.minhashPairsMd5(docs, "text", threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "identical docs must collide")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    val prof = Dedup.minhashProfileMd5(docs, "text")
+    assert(prof.count() == 5)
+    assert(prof.filter(col("doc_id") === 1 && col("best_jaccard") === 1.0).count() == 1)
+    // exact-duplicate pair jaccard is exactly 1 regardless of hash family
+    val j14 = Dedup.minhashPairsMd5(docs, "text", threshold = 0.0)
+      .filter(col("doc_id_a") === 1 && col("doc_id_b") === 4)
+      .select("jaccard").as[Double].head()
+    assert(j14 == 1.0)
+  }
+
+  test("md5Hash60 equals DuckDB's md5_number_upper // 16 on known vectors") {
+    // pin the byte-reversal + 15-hex-char derivation against values
+    // computed straight from the md5 spec (DuckDB reads digest bytes 0..7
+    // as a little-endian uint64; >>4 keeps 60 bits). Each probe text has
+    // fewer than k=3 tokens (or exactly one 3-gram), so its shingle set
+    // is the single string itself and md5ShingleHashes exposes the raw
+    // base hash through the public surface.
+    def expected(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val le = (0 until 8).map(i => (d(i) & 0xFFL) << (8 * i)).reduce(_ | _)
+      java.lang.Long.divideUnsigned(le, 16L)
+    }
+    val rows = Seq("abc", "hello world", "x y z").toDF("s")
+      .select(col("s"), Dedup.md5ShingleHashes(col("s"), 3).getItem(0).as("h"))
+      .as[(String, Long)].collect()
+    rows.foreach { case (s, h) => assert(h == expected(s), s"md5-60 of '$s'") }
+  }
+
+  test("md5 simhash: identical docs identical, near-dups closer than unrelated") {
+    val sh = Dedup.simhashMd5(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    // band extraction parity: bands reassemble the sketch
+    val r = Dedup.simhashMd5(docs, "text").filter(col("doc_id") === 1)
+      .select("simhash", "band0", "band1", "band2", "band3")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r._1 == (r._2 | (r._3 << 16) | (r._4 << 32) | (r._5 << 48)))
+  }
+
   test("simhash: identical docs get identical sketches, near-dups are close") {
     val sh = Dedup.simhash(docs, "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
