@@ -15,10 +15,16 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * `[int nHashes][int nWords][nWords × long]`, big-endian.
   *
   * Bit addressing uses Kirsch-Mitzenmacher double hashing: from one
-  * 64-bit input hash x, h1 = x and h2 = splitmix64(x) | 1 (odd, so the
-  * probe sequence cycles the full ring), bit_i = (h1 + i·h2) mod m. Two
-  * derived streams from one hash give k independent-enough probes —
-  * published result, no k hash evaluations per row. */
+  * 64-bit input hash x, h1 = x and h2 = splitmix64(x) | 1, bit_i =
+  * (h1 + i·h2) mod m. Oddness alone does NOT make the probe sequence a
+  * full-period ring here (that needs gcd(h2, m) = 1, guaranteed only
+  * when m is a power of two; m = nWords·64 can share odd factors with
+  * h2) — the guarantee actually relied on is weaker and sufficient: the
+  * cycle length is m/gcd(h2, m), and since m has a 2^6 factor and h2 is
+  * odd, gcd ≤ nWords so the cycle is ≥ 64 ≥ k — the k probes of one key
+  * never collide with each other. Two derived streams from one hash give
+  * k independent-enough probes — published result, no k hash
+  * evaluations per row. */
 object BloomUtil {
   final val HEADER = 8 // int nHashes + int nWords
 

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Column
@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SQL replayability, paid map-side.
   */
 case class Md5ShingleHashSet(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -47,8 +47,25 @@ case class Md5ShingleHashSet(child: Expression, n: Int)
         s"md5_shingle_hash_set expects string, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    Md5ShingleHashSet.compute(input.asInstanceOf[UTF8String], n)
+
+  // static call into the compiled kernel (the WinnowFingerprint pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5ShingleHashSet.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5ShingleHashSet {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(Md5ShingleHashSet(ColumnBridge.expression(text), n))
+
+  /** The one-pass kernel (shared by eval and codegen). */
+  def compute(input: UTF8String, n: Int): GenericArrayData = {
+    val bytes = input.getBytes
     val (starts, ends, nTok) = SplitTokens.spans(bytes)
     val md = MessageDigest.getInstance("MD5")
     def hashWindow(w: Int, len: Int): Long = {
@@ -78,12 +95,4 @@ case class Md5ShingleHashSet(child: Expression, n: Int)
       }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object Md5ShingleHashSet {
-  def apply(text: Column, n: Int): Column =
-    ColumnBridge.column(Md5ShingleHashSet(ColumnBridge.expression(text), n))
 }

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -17,8 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * in ANSI SQL (per-token ±1 bit votes, sketch bit = sign of the vote
   * sum) with zero float or wrap-around hazards. Tokenization and
   * distinct-by-hash semantics are [[SimHash64]]'s byte-for-byte (shared
-  * [[SplitTokens]]); ONLY the hash family differs — xxhash64 is not
-  * replayable in SQL, md5 is. Both are valid SimHash families; all
+  * [[SplitTokens]] / vote loop); ONLY the hash family differs — xxhash64
+  * is not replayable in SQL, md5 is. Both are valid SimHash families; all
   * downstream use is hamming-banded candidate generation.
   *
   * Still one map-side pass per document: tokenize, md5 each distinct
@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * scales embarrassingly.
   */
 case class Md5SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -38,42 +38,14 @@ case class Md5SimHash64(child: Expression)
         s"md5_simhash64 expects string, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val (starts, ends, n) = SplitTokens.spans(bytes)
-    val md = MessageDigest.getInstance("MD5")
-    val hashes = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      md.reset()
-      md.update(bytes, starts(i), ends(i) - starts(i))
-      hashes(i) = Md5SimHash64.le64(md.digest())
-      i += 1
-    }
-    // distinct tokens via distinct hashes (array_distinct semantics,
-    // modulo 2^-64 collisions — the same contract as SimHash64)
-    java.util.Arrays.sort(hashes)
-    val votes = new Array[Int](64)
-    var j = 0
-    while (j < n) {
-      if (j == 0 || hashes(j) != hashes(j - 1)) {
-        val h = hashes(j)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      j += 1
-    }
-    var sketch = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) sketch |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(sketch)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Md5SimHash64.compute(input.asInstanceOf[UTF8String]))
+
+  // static call into the compiled kernel (the WinnowFingerprint pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5SimHash64.compute($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -89,4 +61,23 @@ object Md5SimHash64 {
 
   def apply(text: Column): Column =
     ColumnBridge.column(Md5SimHash64(ColumnBridge.expression(text)))
+
+  /** The one-pass sketch kernel (shared by eval and codegen). */
+  def compute(input: UTF8String): Long = {
+    val bytes = input.getBytes
+    val (starts, ends, n) = SplitTokens.spans(bytes)
+    val md = MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(bytes, starts(i), ends(i) - starts(i))
+      hashes(i) = le64(md.digest())
+      i += 1
+    }
+    // distinct tokens via distinct hashes (array_distinct semantics,
+    // modulo 2^-64 collisions — the same contract as SimHash64)
+    java.util.Arrays.sort(hashes)
+    SimHash64.voteSketch(hashes)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Column
@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens (including the empty text) hash as ONE shingle of all tokens.
   */
 case class ShingleHashSet(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -42,13 +42,29 @@ case class ShingleHashSet(child: Expression, n: Int)
         s"shingle_hash_set expects string, got ${other.catalogString}")
     }
 
-  import ShingleHashSet.mix
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashSet.compute(input.asInstanceOf[UTF8String], n)
 
-  override def nullSafeEval(input: Any): Any = {
-    // tokenization = exact split("\\s+") parity, shared with SimHash64
-    // (see SplitTokens for the edge-empty-token rules)
-    val tokHash = SplitTokens.tokenHashes(
-      input.asInstanceOf[UTF8String].getBytes)
+  // static call into the compiled kernel: stays inside whole-stage
+  // codegen with no per-row interpreted dispatch or boxing (r9; the
+  // WinnowFingerprint pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashSet.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashSet {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(text), n))
+
+  /** The one-pass shingle-hash kernel (shared by eval and codegen);
+    * tokenization = exact `split("\\s+")` parity, shared with SimHash64
+    * (see SplitTokens for the edge-empty-token rules). */
+  def compute(input: UTF8String, n: Int): GenericArrayData = {
+    val tokHash = SplitTokens.tokenHashes(input.getBytes)
     val nTok = tokHash.length
     val out: Array[Long] =
       if (nTok < n) {
@@ -76,14 +92,6 @@ case class ShingleHashSet(child: Expression, n: Int)
       }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object ShingleHashSet {
-  def apply(text: Column, n: Int): Column =
-    ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(text), n))
 
   /** 64-bit mix fold over token hashes (splitmix-style finalizer per
     * step); shared gram-hash scheme with [[WinnowFingerprint]]. */

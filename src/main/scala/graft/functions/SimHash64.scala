@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * distribution-insensitive).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -31,19 +31,42 @@ case class SimHash64(child: Expression)
         s"simhash64 expects string, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    // tokenization = exact split("\\s+") parity, shared with
-    // ShingleHashSet (see SplitTokens for the edge-empty-token rules)
-    val hashes = SplitTokens.tokenHashes(
-      input.asInstanceOf[UTF8String].getBytes)
-    val n = hashes.length
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      SimHash64.compute(input.asInstanceOf[UTF8String]))
+
+  // static call into the compiled kernel (the WinnowFingerprint pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  /** The one-pass sketch kernel (shared by eval and codegen);
+    * tokenization = exact `split("\\s+")` parity, shared with
+    * ShingleHashSet (see SplitTokens for the edge-empty-token rules). */
+  def compute(input: UTF8String): Long = {
+    val hashes = SplitTokens.tokenHashes(input.getBytes)
     // distinct tokens (array_distinct semantics): sort + dedupe the hashes
     java.util.Arrays.sort(hashes)
+    SimHash64.voteSketch(hashes)
+  }
+
+  /** Vote loop over sorted (hash-deduped) token hashes — shared with the
+    * md5-family twin [[Md5SimHash64]]. */
+  private[functions] def voteSketch(sorted: Array[Long]): Long = {
+    val n = sorted.length
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      if (i == 0 || hashes(i) != hashes(i - 1)) {
-        val h = hashes(i)
+      if (i == 0 || sorted(i) != sorted(i - 1)) {
+        val h = sorted(i)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -58,14 +81,6 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) sketch |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sketch)
+    sketch
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SimHash64 {
-  def apply(text: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Column
@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * minimum.
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, "gram size must be >= 1")
   require(w >= 1, "winnow window must be >= 1")
@@ -47,9 +47,30 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
         s"winnow_fingerprint expects string, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokHash = SplitTokens.tokenHashes(
-      input.asInstanceOf[UTF8String].getBytes)
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprint.compute(input.asInstanceOf[UTF8String], k, w)
+
+  /** Codegen = a static call into the compiled one-pass kernel: what the
+    * fallback path paid per row was the interpreted eval dispatch and
+    * value boxing AROUND the kernel (the r8 verdict's last interpreted
+    * hot-path item), not the kernel itself — emitting the call keeps the
+    * expression inside whole-stage codegen with zero per-row wrapping,
+    * without unrolling a 100-line deque loop into Janino source. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowFingerprint.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  def apply(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, w))
+
+  /** The one-pass winnowing kernel (shared by eval and codegen). */
+  def compute(input: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val tokHash = SplitTokens.tokenHashes(input.getBytes)
     val nTok = tokHash.length
     // sequential k-gram hashes (positional — duplicates preserved)
     val grams: Array[Long] =
@@ -106,12 +127,4 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     new GenericArrayData(
       if (nOut == nKept) out else java.util.Arrays.copyOf(out, nOut))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object WinnowFingerprint {
-  def apply(text: Column, k: Int, w: Int): Column =
-    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, w))
 }

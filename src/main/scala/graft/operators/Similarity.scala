@@ -252,18 +252,36 @@ object Similarity {
     * re-rank of the returned shortlist is the caller's choice. Top-k =
     * smallest approximate distance, ties by c_id, through the bounded
     * -state smallest_k aggregate. */
+  /** Driver-side query collect for the PQ LUT builds, LOUDLY bounded (the
+    * stratumPrefixSum guard pattern): the limit(cap+1) probe means the
+    * driver never materializes more than cap+1 rows even when handed a
+    * million-query batch — it fails with the remediation instead of
+    * OOMing. LUT state is (queries × m·ks) doubles; the bound keeps the
+    * broadcast in the same class as the other sanctioned driver-resident
+    * model state (KMeans centroids, IRLS β, BM25 idf). */
+  private def collectQueryBatch(queries: DataFrame,
+                                maxQueryBatch: Int): Array[org.apache.spark.sql.Row] = {
+    val rows = queries
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .limit(maxQueryBatch + 1).collect()
+    require(rows.length <= maxQueryBatch,
+      s"PQ ANN builds per-query lookup tables on the driver; the query " +
+        s"batch exceeds maxQueryBatch=$maxQueryBatch. Chunk the query set " +
+        "across calls, or build LUTs executor-side (mapPartitions over " +
+        "queries with broadcast codebooks) before raising the cap.")
+    rows
+  }
+
   def annPq(codes: DataFrame, queries: DataFrame,
             codebooks: Array[Array[Array[Double]]], dim: Int,
-            k: Int): DataFrame = {
+            k: Int, maxQueryBatch: Int = 4096): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val m = codebooks.length
     val ks = codebooks(0).length
     requireKs(ks)
     val sub = dim / m
-    val qRows = queries
-      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-      .collect()
+    val qRows = collectQueryBatch(queries, maxQueryBatch)
     val luts = qRows.map { r =>
       val v = r.getSeq[Double](r.fieldIndex("v"))
       val lut = Array.tabulate(m * ks) { i =>
@@ -346,7 +364,7 @@ object Similarity {
     * amortized like the IVF and cluster indexes. */
   def annIvfPq(corpus: DataFrame, queries: DataFrame, dim: Int,
                nlist: Int, nprobe: Int, m: Int, ks: Int,
-               k: Int, shortlist: Int): DataFrame = {
+               k: Int, shortlist: Int, maxQueryBatch: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -380,10 +398,9 @@ object Similarity {
         graft.ml.KMeans.assign(slice(col("resid"), s * sub + 1, sub),
           books(s)).cast("tinyint")): _*).as("pq_code"))
     // per-(query, probed cell) residual-space lookup tables, driver-built
-    // from the driver-resident centroids/codebooks, broadcast
-    val qRows = queries
-      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-      .collect()
+    // from the driver-resident centroids/codebooks, broadcast; the batch
+    // collect is loudly bounded (see collectQueryBatch)
+    val qRows = collectQueryBatch(queries, maxQueryBatch)
     val luts = qRows.flatMap { r =>
       val qid = r.getLong(0)
       val v = r.getSeq[Double](r.fieldIndex("v")).toArray

@@ -27,7 +27,19 @@ object StreamingOps {
     StructField("props", StringType)))
 
   /** Streaming read of an events parquet directory, ts normalized to µs
-    * timestamp exactly like Tables.events. */
+    * timestamp exactly like Tables.events.
+    *
+    * SESSION-CONF NOTE: this sets `spark.sql.legacy.parquet.nanosAsLong`
+    * for the whole session and deliberately does NOT restore it — the
+    * conf is read per micro-batch, so restoring it after stream
+    * definition would break the running query. There is no per-reader
+    * parquet option for this legacy flag (it is SQLConf-only). The
+    * library-wide invariant: EVERY events read (batch Tables.events,
+    * this stream) sets the same value and normalizes ts to µs itself, so
+    * within graft the flag is idempotent; callers mixing in their own
+    * raw reads of TIMESTAMP(NANOS) parquet in the same session will see
+    * those columns as long (and would have seen an AnalysisException
+    * without the flag). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
@@ -38,7 +50,17 @@ object StreamingOps {
   }
 
   /** Watermarked 1-hour tumbling window aggregation (streaming twin of
-    * Relational.qTumblingAgg). */
+    * Relational.qTumblingAgg).
+    *
+    * Late-data contract (append mode, pinned by the late-arrival
+    * StreamingSpec): a window is finalized — emitted exactly once — at
+    * the end of the first micro-batch whose watermark (max event time
+    * seen in PRIOR batches minus the delay) has passed the window end.
+    * A late row arriving IN that same batch still merges into the window
+    * before eviction (Spark evicts at batch end); a late row arriving in
+    * any later batch finds its window gone, is dropped by the watermark
+    * filter (visible as numRowsDroppedByWatermark), and is never emitted
+    * anywhere — finalized results are immutable. */
   def windowedAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
@@ -101,7 +123,13 @@ object StreamingOps {
       sorted.foreach { e =>
         cur match {
           case Some(s) if e.ts_us - s.lastUs <= gapUs =>
-            cur = Some(SessState(s.startUs, e.ts_us, s.n + 1, s.vSum + e.value))
+            // max(): a cross-batch LATE event (older than the open
+            // session's last) is absorbed into the open session — count
+            // and sum grow, the session END never regresses. Without the
+            // max a late arrival shrank sess_end below already-observed
+            // event time. Pinned by the late-arrival StreamingSpec.
+            cur = Some(SessState(s.startUs, math.max(s.lastUs, e.ts_us),
+              s.n + 1, s.vSum + e.value))
           case Some(s) =>
             out += Session(userId, s.startUs, s.lastUs, s.n, s.vSum)
             cur = Some(SessState(e.ts_us, e.ts_us, 1, e.value))
@@ -347,15 +375,38 @@ object StreamingOps {
     require(nHashes >= 1 && nHashes <= 64,
       s"bloomDedupStream: nHashes $nHashes out of range")
 
+    // state element 0 is a sizing header (nWords << 32 | nHashes): a
+    // query resumed from a checkpoint with DIFFERENT sizing parameters
+    // would otherwise probe old-size arrays with new bit patterns —
+    // silently changed dedup behavior. Reconcile-or-fail, loudly.
+    val header = (nWordsPerShard.toLong << 32) | nHashes.toLong
+
     def handle(shard: Int, docs: Iterator[BloomDoc],
                state: GroupState[Array[Long]]): Iterator[BloomDoc] = {
-      val words = state.getOption.getOrElse(new Array[Long](nWordsPerShard))
+      val stored = state.getOption
+      stored.foreach { a =>
+        if (a.length != nWordsPerShard + 1 || a(0) != header)
+          throw new IllegalStateException(
+            s"bloomDedupStream: checkpointed state was sized with " +
+              s"nWordsPerShard=${if (a.isEmpty) "?" else (a(0) >>> 32).toString} " +
+              s"nHashes=${if (a.isEmpty) "?" else (a(0) & 0xFFFFFFFFL).toString} " +
+              s"(${a.length - 1} state words) but the query restarted with " +
+              s"nWordsPerShard=$nWordsPerShard nHashes=$nHashes. Resume with " +
+              "the original sizing, or start a fresh checkpoint/epoch.")
+      }
+      val arr = stored.getOrElse {
+        val a = new Array[Long](nWordsPerShard + 1); a(0) = header; a
+      }
+      val words = java.util.Arrays.copyOfRange(arr, 1, arr.length)
       val kept = docs.toSeq.sortBy(_.doc_id).filter { d =>
         val fresh = !graft.functions.BloomUtil.testBits(words, nHashes, d.h)
         if (fresh) graft.functions.BloomUtil.setBits(words, nHashes, d.h)
         fresh
       }
-      state.update(words)
+      val out = new Array[Long](nWordsPerShard + 1)
+      out(0) = header
+      System.arraycopy(words, 0, out, 1, nWordsPerShard)
+      state.update(out)
       kept.iterator
     }
 

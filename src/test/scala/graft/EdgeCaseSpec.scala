@@ -206,6 +206,19 @@ class EdgeCaseSpec extends SparkSpec {
     val codes128 = operators.Similarity.pqEncode(
       emb, dim = 64, codebooks = maxBooks)
     assert(codes128.limit(1).count() == 1) // ks=128 encodes without error
+    // PQ LUTs are driver-built per query: an unbounded query batch is a
+    // driver OOM, not a working plan — the guard must fire BEFORE more
+    // than cap+1 rows reach the driver (limit-probe, r9)
+    val manyQ = (1L to 5L).map(i => (i, Seq.fill(64)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val okBooks = Array.fill(8)(Array.fill(16)(Array.fill(8)(0.0)))
+    val codesQ = operators.Similarity.pqEncode(manyQ, dim = 64, codebooks = okBooks)
+    intercept[IllegalArgumentException] {
+      operators.Similarity.annPq(codesQ, manyQ, okBooks, dim = 64, k = 1,
+        maxQueryBatch = 4)
+    }
+    assert(operators.Similarity.annPq(codesQ, manyQ, okBooks, dim = 64,
+      k = 1, maxQueryBatch = 5).limit(1).count() == 1)
     // BM25: an empty query is a caller bug, not an empty result
     intercept[IllegalArgumentException] {
       operators.TextOps.bm25TopK(docs, "text", Seq.empty, k = 5)

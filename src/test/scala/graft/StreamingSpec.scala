@@ -305,6 +305,140 @@ class StreamingSpec extends SparkSpec {
     assert(half > 0)
   }
 
+  test("windowed agg drops watermark-late rows (out-of-order three-batch replay)") {
+    // The append-mode late-data contract (see windowedAgg scaladoc):
+    // eviction happens at the END of the first batch whose watermark has
+    // passed the window, so a row must arrive in a LATER batch than its
+    // window's finalization to observe the drop.
+    //  batch 1 (file a): three events in the 10:00 window + a
+    //    clock-advancer at 20:30 → watermark after the batch = 18:30.
+    //  batch 2 (file b): an on-time 20:45 event; during this batch the
+    //    18:30 watermark finalizes + emits the 10:00 windows.
+    //  batch 3 (file c): a LATE 10:15 click — its window is gone; the
+    //    row must be dropped (numRowsDroppedByWatermark) and the
+    //    finalized click window must stay (n=2, v=3.0), with no second
+    //    emission and the late value appearing nowhere.
+    val minUs = 60L * 1000000L
+    def ev(us: Long, typ: String, v: Double) = (us, typ, v)
+    val fileA = Seq(
+      ev(601 * minUs, "click", 1.0), // 10:01
+      ev(602 * minUs, "click", 2.0), // 10:02
+      ev(603 * minUs, "view", 4.0), // 10:03
+      ev(1230 * minUs, "click", 8.0)) // 20:30 advancer
+    val fileB = Seq(ev(1245 * minUs, "view", 32.0)) // 20:45 on-time
+    val fileC = Seq(ev(615 * minUs, "click", 16.0)) // LATE: 10:15 << wm 18:45
+    val d = java.nio.file.Files.createTempDirectory("events_late")
+    def stage(rows: Seq[(Long, String, Double)], name: String, mt: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"late_$name")
+      rows.toDF("ts_us", "event_type", "value")
+        .select(timestamp_micros(col("ts_us")).as("ts"), col("event_type"),
+          col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.walk(tmp).iterator()
+      var staged = false
+      part.forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet") &&
+            !java.nio.file.Files.isDirectory(p) && !staged) {
+          val dst = d.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mt))
+          staged = true
+        }
+      }
+      assert(staged, s"no parquet part staged for $name")
+    }
+    // file mod-times force the source order a → b → c (FileStreamSource
+    // orders by timestamp)
+    stage(fileA, "a", 1000000L)
+    stage(fileB, "b", 2000000L)
+    stage(fileC, "c", 3000000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val q = StreamingOps.windowedAgg(stream).writeStream
+      .outputMode("append").format("memory").queryName("stream_win_late")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      s"expected >= 3 micro-batches, got ${q.recentProgress.length}")
+    // the drop must be OBSERVABLE in the metrics, not just inferred
+    assert(q.recentProgress.map(
+        _.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum >= 1,
+      "no batch reported a watermark-dropped row")
+    val rows = spark.table("stream_win_late")
+      .select("w_start_ms", "event_type", "n", "v")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val tenClick = rows.filter(r =>
+      r._1 == 10 * 3600000L && r._2 == "click")
+    // exactly ONE emission of the finalized window, and the late 10:15
+    // click (value 16) is not in it: n=2, v=3.0 from file a only
+    assert(tenClick == Seq((10 * 3600000L, "click", 2L, 3.0)),
+      s"late row leaked into the finalized window: $rows")
+    assert(!rows.exists(_._4 == 16.0), s"late row emitted somewhere: $rows")
+  }
+
+  test("sessionize absorbs cross-batch late events without regressing session end") {
+    // Batch 1 (user 7): events at t=0 s and t=10 s (one session, gap 60 s),
+    // then t=1000 s — closes session 1 [0,10]×2 and opens session 2.
+    // Batch 2: a LATE event at t=500 s (older than the open session's
+    // last=1000 s) plus t=5000 s which closes session 2. Contract pinned:
+    // the late event is ABSORBED into the open session (n grows), the
+    // session end does NOT regress below already-observed event time, and
+    // the closed session 1 emitted in batch 1 is untouched.
+    val sec = 1000000L
+    val b1 = Seq(
+      StreamingOps.Ev(1L, 0L, 7L, 1.0),
+      StreamingOps.Ev(2L, 10L * sec, 7L, 2.0),
+      StreamingOps.Ev(3L, 1000L * sec, 7L, 4.0))
+    val b2 = Seq(
+      StreamingOps.Ev(4L, 500L * sec, 7L, 8.0), // late vs last=1000 s
+      StreamingOps.Ev(5L, 5000L * sec, 7L, 16.0))
+    val d = java.nio.file.Files.createTempDirectory("sess_late")
+    def stage(rows: Seq[StreamingOps.Ev], name: String, mt: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"sess_$name")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val it = java.nio.file.Files.walk(tmp).iterator()
+      var staged = false
+      it.forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet") &&
+            !java.nio.file.Files.isDirectory(p) && !staged) {
+          val dst = d.resolve(s"$name.parquet")
+          java.nio.file.Files.copy(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mt))
+          staged = true
+        }
+      }
+      assert(staged)
+    }
+    stage(b1, "a", 1000000L)
+    stage(b2, "b", 2000000L)
+    val stream = spark.readStream.schema(b1.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .as[StreamingOps.Ev]
+    val q = StreamingOps.sessionizeStream(stream, gapUs = 60L * sec)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late_q").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2)
+    val got = spark.table("sess_late_q")
+      .select("sess_start_us", "sess_end_us", "n_events", "v_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Set(
+      (0L, 10L * sec, 2L, 3.0), // batch-1 closed session, untouched
+      // open session at [1000 s] absorbed the late 500 s event: n=2,
+      // v=4+8, end stays 1000 s (no regression to 500 s)
+      (1000L * sec, 1000L * sec, 2L, 12.0))
+    assert(got == want, s"late-session contract broke: $got")
+  }
+
   test("streaming count-min sketch merges across micro-batches == batch bytes") {
     // the CMS aggregate in a streaming aggregation, like heavy hitters:
     // agg buffer = state-store entry, element-wise-sum merge = state
@@ -411,6 +545,46 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.forall(_ < 1000000L),
       s"re-arrivals leaked past the filter: ${emitted.filter(_ >= 1000000L).take(5).toSeq}")
     assert(emitted.nonEmpty && nDocs > 0)
+  }
+
+  test("bloom-dedup stream refuses to resume a checkpoint with changed sizing") {
+    // the state header guard: re-running against the SAME checkpoint with
+    // different nHashes must fail loudly (silently probing old-size
+    // state with new bit patterns would change dedup behavior)
+    val data = java.nio.file.Files.createTempDirectory("bloom_ckpt_data")
+    val ckpt = java.nio.file.Files.createTempDirectory("bloom_ckpt_loc")
+    val prepared = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(4)).cast("int"))
+      .select("doc_id", "shard", "h")
+    prepared.coalesce(1).write.parquet(data.resolve("t1").toString)
+    // a file sink (unlike memory) supports checkpoint recovery
+    val sink = java.nio.file.Files.createTempDirectory("bloom_ckpt_sink")
+    def run(nHashes: Int): Unit = {
+      val stream = spark.readStream.schema(prepared.schema)
+        .parquet(data.resolve("t1").toString).as[StreamingOps.BloomDoc]
+      val q = StreamingOps.bloomDedupStream(stream, nHashes = nHashes).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run(nHashes = 3)
+    // second run, same checkpoint, same params: resumes cleanly (no new
+    // data → no-op) — the guard must not false-positive
+    run(nHashes = 3)
+    // add new data so the resumed query actually processes a batch
+    prepared.withColumn("doc_id", col("doc_id") + 500000L)
+      .coalesce(1).write.mode("append").parquet(data.resolve("t1").toString)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(nHashes = 5)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("bloomDedupStream")),
+      s"expected the sizing IllegalStateException, got: $ex")
   }
 
   test("kmeans: deterministic assignment, k clusters, SSE decreases with iterations") {
