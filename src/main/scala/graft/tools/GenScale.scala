@@ -3,94 +3,139 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deterministic scale amplifier for the driver testdata (TESTDATA.md):
-  * writes an N× copy of a source scale factor by replicating every table
-  * with per-copy key offsets, preserving the per-key data distribution
-  * (each copy is the original key population under a shifted id space —
-  * the TPC-H scaling model, where sf growth adds customers/orders/users
-  * rather than lengthening histories).
+/** Scale-up generator for the driver's synthetic testdata (TESTDATA.md):
+  * replicates every table of a source scale factor `factor`× into a new
+  * directory with the same schemas, so the bench can be run at sf1 from
+  * the committed sf0.1 without regenerating from scratch (the original
+  * generator is driver-side; /root/testdata is read-only).
   *
-  * Two semantic guards keep the amplified corpus honest for the dedup /
-  * similarity operators:
-  *  - `documents.text` gets a per-copy suffix on EVERY token (copy 0 is
-  *    verbatim), so intra-copy duplicate structure is preserved exactly
-  *    while cross-copy near-duplicate similarity is destroyed — candidate
-  *    pair counts grow linearly with scale, as they would in a real crawl,
-  *    not quadratically as verbatim copies would force.
-  *  - key offsets are per-key-family strides (computed from each family's
-  *    max), so foreign keys (orders.o_custkey → customer, lineitem.l_* →
-  *    orders/part/supplier) stay consistent within each copy.
+  * Scaling is ENTITY-wise, not row-wise — each copy i gets disjoint key
+  * ranges (offset = i × per-table power-of-10 base), so:
+  *   - `events`: 10× user_ids (trajectories), SAME per-trajectory length
+  *     — the realistic growth axis for the time-series family (more
+  *     engines/users, not longer histories);
+  *   - `orders`/`lineitem`: FK consistency preserved per copy (copy i's
+  *     lineitems reference copy i's orders/parts/suppliers);
+  *   - dims `region`/`nation` stay fixed (as TPC-H scaling does).
   *
-  * Usage: runMain graft.tools.GenScale [srcDir dstDir copies]
-  * Dev tool off the gated surface — the scale-probe artifact
-  * (SCALING_r{N}.json) is produced by running graft.Bench against the
-  * output directory.
+  * Content decorrelation — the part that keeps the probe honest:
+  *   - `documents.text` goes through a per-copy alphabet-rotation cipher
+  *     (codegen'd `translate`, a bijection on [a-z],[A-Z],[0-9]): token
+  *     equality, token lengths, whitespace and punctuation are all
+  *     preserved WITHIN a copy, so the duplicate-rate and near-dup
+  *     cluster-size distribution stay constant as the corpus grows —
+  *     while cross-copy shingle/token hashes are uncorrelated. Naive
+  *     verbatim replication would instead give every doc 9 exact twins:
+  *     quadratic candidate-pair blowup in the banded joins that measures
+  *     a pathology, not scale.
+  *   - `embeddings.embedding` is circularly rotated by (i·7 mod dim)
+  *     positions — an orthogonal transform, so norms, per-component
+  *     distribution and intra-copy cluster geometry are exactly
+  *     preserved; cross-copy cosines decorrelate.
+  *   - numeric fact columns are kept verbatim (value distributions are
+  *     what the aggregates grind through; they should not drift).
+  *
+  * Usage: GenScale <srcSfDir> <dstDir> [factor=10]
+  * (run via `sbt "runMain graft.tools.GenScale /root/testdata/sf0.1
+  * /tmp/sf1 10"` — dev tool, off the gated surface like ExplainQuery.)
   */
 object GenScale {
+
+  /** Smallest power of 10 strictly greater than the current max key —
+    * clean disjoint id ranges per copy, readable in plan dumps. */
+  private def offsetBase(df: DataFrame, key: String): Long = {
+    val mx = df.agg(max(col(key))).head().getLong(0)
+    var b = 1L
+    while (b <= mx) b *= 10
+    b
+  }
+
+  /** Per-copy substitution cipher: rotate a-z, A-Z, 0-9 each by `i`
+    * within their own class. i=0 is the identity. */
+  private def cipher(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digit = "0123456789"
+    translate(c, lower + upper + digit,
+      rot(lower, i) + rot(upper, i) + rot(digit, i))
+  }
+
+  /** One scaled copy per table; copy 0 is bit-identical to the source. */
+  def scaled(spark: SparkSession, srcDir: String, factor: Int): Map[String, DataFrame] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    def t(n: String) = spark.read.parquet(s"$srcDir/$n.parquet")
+
+    // events.ts is TIMESTAMP(NANOS); read it as raw long ns (the
+    // Tables.events convention) and WRITE it back as long ns — Tables
+    // .events normalizes either representation to a µs timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = t("events")
+
+    val custB = offsetBase(t("customer"), "c_custkey")
+    val suppB = offsetBase(t("supplier"), "s_suppkey")
+    val partB = offsetBase(t("part"), "p_partkey")
+    val ordB  = offsetBase(t("orders"), "o_orderkey")
+    val evB   = offsetBase(events, "event_id")
+    val userB = offsetBase(events, "user_id")
+    val docB  = offsetBase(t("documents"), "doc_id")
+    val vecB  = offsetBase(t("embeddings"), "vec_id")
+    val dim   = t("embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+
+    def copies(f: Int => DataFrame): DataFrame =
+      (0 until factor).map(f).reduce(_ unionAll _)
+
+    Map(
+      "region" -> t("region"),
+      "nation" -> t("nation"),
+      "customer" -> copies(i => t("customer")
+        .withColumn("c_custkey", col("c_custkey") + lit(i * custB))),
+      "supplier" -> copies(i => t("supplier")
+        .withColumn("s_suppkey", col("s_suppkey") + lit(i * suppB))),
+      "part" -> copies(i => t("part")
+        .withColumn("p_partkey", col("p_partkey") + lit(i * partB))),
+      "orders" -> copies(i => t("orders")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordB))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custB))),
+      "lineitem" -> copies(i => t("lineitem")
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordB))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * partB))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppB))),
+      "events" -> copies(i => events
+        .withColumn("event_id", col("event_id") + lit(i * evB))
+        .withColumn("user_id", col("user_id") + lit(i * userB))),
+      "documents" -> copies(i => t("documents")
+        .withColumn("doc_id", col("doc_id") + lit(i * docB))
+        .withColumn("text", cipher(col("text"), i))),
+      "embeddings" -> copies { i =>
+        val r = (i * 7) % dim
+        val rotated =
+          if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r))
+        t("embeddings")
+          .withColumn("vec_id", col("vec_id") + lit(i * vecB))
+          .withColumn("embedding", rotated)
+      })
+  }
+
+  def generate(spark: SparkSession, srcDir: String, dstDir: String, factor: Int): Unit =
+    scaled(spark, srcDir, factor).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      System.err.println(s"[genscale] wrote $name")
+    }
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
-    val copies = args.lift(2).map(_.toInt).getOrElse(10)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val dst = args.lift(1).getOrElse("/tmp/graft-sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .appName("graft-genscale").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "16g")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // events.ts is TIMESTAMP(NANOS): read as raw long nanos and write the
-    // long back — Tables.events handles both encodings identically
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-
-    /** Power-of-ten stride above this key family's max — offsets stay
-      * human-readable (copy i of key k = i·10^d + k). */
-    def stride(t: String, c: String): Long = {
-      val mx = read(t).agg(max(col(c))).head().getLong(0)
-      var s = 1L
-      while (s <= mx) s *= 10
-      s
-    }
-    val custS = stride("customer", "c_custkey")
-    val suppS = stride("supplier", "s_suppkey")
-    val partS = stride("part", "p_partkey")
-    val ordS = stride("orders", "o_orderkey")
-    val evS = stride("events", "event_id")
-    val userS = stride("events", "user_id")
-    val docS = stride("documents", "doc_id")
-    val vecS = stride("embeddings", "vec_id")
-
-    def amplify(table: String, offsets: Map[String, Long],
-                perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
-      val base = read(table)
-      val out = (0 until copies).map { i =>
-        val shifted = offsets.foldLeft(base) { case (df, (c, s)) =>
-          df.withColumn(c, col(c) + lit(s * i))
-        }
-        perCopy(shifted, i)
-      }.reduce(_ unionByName _)
-      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
-      println(s"[genscale] $table ×$copies → $dst/$table.parquet")
-    }
-
-    // fixed dims: region/nation do not scale with sf (TPC-H convention)
-    for (t <- Seq("region", "nation")) {
-      read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"[genscale] $t (fixed dim) → $dst/$t.parquet")
-    }
-    amplify("customer", Map("c_custkey" -> custS))
-    amplify("supplier", Map("s_suppkey" -> suppS))
-    amplify("part", Map("p_partkey" -> partS))
-    amplify("orders", Map("o_orderkey" -> ordS, "o_custkey" -> custS))
-    amplify("lineitem", Map("l_orderkey" -> ordS, "l_partkey" -> partS,
-      "l_suppkey" -> suppS))
-    amplify("events", Map("event_id" -> evS, "user_id" -> userS))
-    amplify("embeddings", Map("vec_id" -> vecS))
-    amplify("documents", Map("doc_id" -> docS), (df, i) =>
-      if (i == 0) df
-      else df
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_c$i"))
-        .withColumn("n_chars", length(col("text")).cast("long")))
-    spark.stop()
+    try generate(spark, src, dst, factor)
+    finally spark.stop()
   }
 }
