@@ -100,6 +100,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CmsMergeAgg(exprs(0)).toAggregateExpression())
     inject("graft_cms_estimate",
       exprs => CmsEstimate(exprs(0), XxHash64(Seq(exprs(1)), 42L)))
+    // t-digest quantile sketch: build / rollup-union / quantile probe.
+    // The measure is cast to double here (SQL ints/decimals welcome), and
+    // the probe quantile goes through litDouble — SQL `0.5` parses as a
+    // DECIMAL literal, which the expression's double type-check would
+    // otherwise reject (the graft_bloom_filter lesson).
+    inject("graft_td_sketch", exprs =>
+      TDigestAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(0), DoubleType), litInt(exprs(1), "delta"))
+        .toAggregateExpression())
+    inject("graft_td_merge",
+      exprs => TdMergeAgg(exprs(0)).toAggregateExpression())
+    inject("graft_td_quantile", exprs =>
+      TdQuantile(exprs(0), Literal(litDouble(exprs(1), "quantile"))))
     inject("graft_vector_avg",
       exprs => VectorSumAgg(exprs(0), avg = true).toAggregateExpression())
     inject("graft_vector_sum",

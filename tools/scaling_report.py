@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Build SCALING_r{N}.json from two graft.Bench runs at different scale
+factors (same box, same settings): per-query wall times, time ratios, and
+outlier classification against the linear-scaling expectation.
+
+Usage: scaling_report.py <bench_small.out> <bench_big.out> <data_ratio> <out.json>
+
+The bench output files are full sbt logs; the one machine-readable line per
+run is the {"metric": ...} JSON. A ratio well above <data_ratio> flags
+superlinearity (subject to the box's 2-4x per-query noise band -- classify,
+don't panic: the artifact records ratios, the SURVEY records root causes).
+"""
+import json
+import re
+import sys
+
+
+def bench_line(path):
+    with open(path) as f:
+        for line in f:
+            m = re.search(r'\{"metric".*\}', line)
+            if m:
+                return json.loads(m.group(0))
+    raise SystemExit(f"no bench JSON line in {path}")
+
+
+def main():
+    small_path, big_path, data_ratio, out_path = sys.argv[1:5]
+    data_ratio = float(data_ratio)
+    small, big = bench_line(small_path), bench_line(big_path)
+    qs, qb = small["queries"], big["queries"]
+    common = sorted(set(qs) & set(qb))
+    ratios = {}
+    for q in common:
+        s, b = qs[q], qb[q]
+        ratios[q] = round(b / s, 2) if s > 0 else None
+    vals = sorted(r for r in ratios.values() if r is not None)
+    median = vals[len(vals) // 2] if vals else None
+    out = {
+        "round": 9,
+        "data_ratio": data_ratio,
+        "small": {"sf_dir": small.get("sf"), "total_sec": small["value"],
+                  "queries": qs},
+        "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
+                "queries": qb},
+        "total_ratio": round(big["value"] / small["value"], 2),
+        "median_query_ratio": median,
+        "query_ratios": ratios,
+        # ratio > 1.5x the data ratio = superlinear beyond noise; ratio
+        # below 0.3x the data ratio usually means fixed-cost-dominated
+        # (sub-second query, overhead floor) -- both worth eyes-on
+        "superlinear": {q: r for q, r in ratios.items()
+                        if r is not None and r > 1.5 * data_ratio},
+        "fixed_cost_dominated": {q: r for q, r in ratios.items()
+                                 if r is not None and r < 0.3 * data_ratio},
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"total {small['value']:.1f}s -> {big['value']:.1f}s "
+          f"(x{out['total_ratio']}) median query ratio {median} "
+          f"superlinear {len(out['superlinear'])}")
+
+
+if __name__ == "__main__":
+    main()
