@@ -16,28 +16,56 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   =
+    ntzAsUtcInstant(load(spark, sfDir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     =
+    ntzAsUtcInstant(load(spark, sfDir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
-    * a timestamp. Read it as raw nanos (legacy conf, runtime-settable so this
-    * works under any driver-created session) and normalize to a µs timestamp
-    * column — the same truncation DuckDB-side oracles get via epoch_ms/µs.
+  /** events.ts has shipped in two physical forms across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (unreadable as a timestamp in
+    * Spark 4 — read as raw long ns via the legacy conf) and, since r9,
+    * untagged µs (`timestamp[us]`, isAdjustedToUTC=false → TIMESTAMP_NTZ).
+    * Normalize either to a µs TIMESTAMP whose instant is the stored wall
+    * clock read as UTC — exactly the value DuckDB-side oracles see via
+    * epoch_us(ts), independent of `spark.sql.session.timeZone`.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, sfDir, "events")
+    normalizeEventTs(load(spark, sfDir, "events"))
+  }
+
+  /** ts → µs TIMESTAMP (instant = stored wall clock as UTC), whatever the
+    * physical representation was. Shared by batch and streaming reads. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.LongType
-    // ns→µs MUST be integer division: `/` on longs promotes to double, and
-    // epoch-ns (~1.7e18) exceeds double's 2^53 mantissa → off-by-1µs noise.
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      // ns→µs MUST be integer division: `/` on longs promotes to double, and
+      // epoch-ns (~1.7e18) exceeds double's 2^53 mantissa → off-by-1µs noise.
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => ntzAsUtcInstant(raw, "ts")
+    }
+  }
+
+  /** If `c` is TIMESTAMP_NTZ, reinterpret its wall clock as a UTC instant
+    * (µs TIMESTAMP). timestampdiff on two NTZ values is pure wall-clock
+    * arithmetic, so this pins "NTZ means UTC" without consulting the
+    * session time zone — a plain NTZ→TIMESTAMP cast would shift by
+    * whatever tz the driver's session happens to run in, and the DuckDB
+    * oracle reads the same bytes as naive wall clocks. */
+  def ntzAsUtcInstant(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.TimestampNTZType
+    df.schema(c).dataType match {
+      case TimestampNTZType => df.withColumn(c, timestamp_micros(
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $c)")))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

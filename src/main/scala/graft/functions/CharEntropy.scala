@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * entropy 0), matching `split('', '')` semantics in both engines.
   */
 case class CharEntropy(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -33,10 +33,30 @@ case class CharEntropy(child: Expression)
         s"char_entropy expects string, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(CharEntropy.compute(input.asInstanceOf[UTF8String]))
+
+  /** Codegen = a static call into the compiled kernel (same shape as the
+    * other text expressions): eliminates the last interpreted eval
+    * dispatch + boxing on the gated curation surface while keeping the
+    * run-length loop out of Janino source. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropy.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  def apply(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
+  /** The entropy kernel (shared by eval and codegen). */
+  def compute(input: UTF8String): Double = {
+    val cps = input.toString.codePoints().toArray
     val n = cps.length
-    if (n == 0) return java.lang.Double.valueOf(0.0)
+    if (n == 0) return 0.0
     java.util.Arrays.sort(cps)
     var s = 0.0
     var i = 0
@@ -47,14 +67,6 @@ case class CharEntropy(child: Expression)
       s += c * math.log(c)
       i = j
     }
-    java.lang.Double.valueOf((math.log(n.toDouble) - s / n) / math.log(2.0))
+    (math.log(n.toDouble) - s / n) / math.log(2.0)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object CharEntropy {
-  def apply(text: Column): Column =
-    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 }

@@ -447,6 +447,35 @@ object Tensorize {
         round(element_at(col("seq"), -1), 6).as("win_last"))
   }
 
+  /** Deterministic distributed shuffle for training export — the analog of
+    * the reference's `shuffle_data` (datasets/turbofan.py:266), which
+    * permutes the in-memory (X, y) arrays with `np.random.permutation`
+    * before batching. A 100 TB corpus can't be permuted driver-side; the
+    * distributed equivalent is a rank by a seeded hash of a unique key:
+    * range-partition on the rank, sort within partitions, and the
+    * concatenated file order IS the permutation — seed-reproducible,
+    * independent of input partitioning, no global single-point sort (the
+    * range exchange is the only shuffle, and hash ranks are uniform so
+    * every output partition gets an even share with no skew by
+    * construction).
+    *
+    * `keyCols` must uniquely identify rows (they break hash ties, making
+    * the total order deterministic even across collisions). Different
+    * seeds give decorrelated permutations — xxhash64 avalanche means a
+    * one-bit seed change reorders everything.
+    */
+  def shuffledExport(df: DataFrame, keyCols: Seq[String], seed: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "shuffledExport needs key columns to rank on")
+    val rank = xxhash64(lit(seed) +: keyCols.map(col): _*)
+    val sortCols = col("__shuffle_rank") +: keyCols.map(col)
+    val ranked = df.withColumn("__shuffle_rank", rank)
+    val parted =
+      if (numPartitions > 0) ranked.repartitionByRange(numPartitions, sortCols: _*)
+      else ranked.repartitionByRange(sortCols: _*)
+    parted.sortWithinPartitions(sortCols: _*).drop("__shuffle_rank")
+  }
+
   /** DuckDB oracle for [[tsRulInference]]: [[tsRulValidationSql]] minus
     * the external-label column. */
   val tsRulInferenceSql: String =

@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Raw events schema as stored (ts is TIMESTAMP(NANOS) → read as long). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** Raw events schema as stored, parameterized on ts's physical form —
+    * driver testdata has shipped both TIMESTAMP(NANOS) (→ read as long
+    * under the legacy conf) and untagged µs (→ TIMESTAMP_NTZ). */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -42,11 +44,14 @@ object StreamingOps {
     * without the flag). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      // integer division: double division of epoch-ns loses µs precision
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // A stream needs its schema up front: probe the directory's current
+    // physical ts form with a batch read (falling back to the current
+    // driver-testdata form if the directory is still empty), then apply
+    // the same normalization as the batch reader.
+    val tsType = scala.util.Try(
+      spark.read.parquet(dir).schema("ts").dataType).getOrElse(TimestampNTZType)
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(eventsRawSchema(tsType)).parquet(dir))
   }
 
   /** Watermarked 1-hour tumbling window aggregation (streaming twin of

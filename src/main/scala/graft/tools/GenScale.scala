@@ -66,9 +66,10 @@ object GenScale {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     def t(n: String) = spark.read.parquet(s"$srcDir/$n.parquet")
 
-    // events.ts is TIMESTAMP(NANOS); read it as raw long ns (the
-    // Tables.events convention) and WRITE it back as long ns — Tables
-    // .events normalizes either representation to a µs timestamp.
+    // events.ts passes through untouched in whatever physical form the
+    // source uses (long ns under the legacy conf, or untagged-µs NTZ since
+    // the r9 testdata generation) — Tables.events normalizes any of them
+    // to a µs timestamp on read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = t("events")
 

@@ -116,6 +116,27 @@ class TimeSeriesSpec extends SparkSpec {
     got.values.foreach { case (x, y) => assert(x.tail == y.init) }
   }
 
+  test("shuffledExport: a deterministic permutation, decorrelated across seeds") {
+    val df = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(7) // input partitioning must not affect the output order
+    def order(seed: Long): Seq[Long] =
+      Tensorize.shuffledExport(df, Seq("id"), seed, numPartitions = 4)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val a1 = order(42L); val a2 = order(42L); val b = order(43L)
+    // permutation: same multiset of rows, nothing lost or duplicated
+    assert(a1.sorted == (1L to 500L))
+    // seed-reproducible total order, independent of input partitioning
+    assert(a1 == a2)
+    // not the identity, and different seeds decorrelate (hash avalanche)
+    assert(a1 != (1L to 500L).toSeq)
+    assert(a1.zip(b).count { case (x, y) => x == y } < 25)
+    // the order is exactly the seeded-hash rank order (the export contract:
+    // writing these partitions and reading files in order replays it)
+    val want = df.select(col("id"), xxhash64(lit(42L), col("id")).as("r"))
+      .orderBy(col("r"), col("id")).collect().map(_.getLong(0)).toSeq
+    assert(a1 == want)
+  }
+
   test("rulValidationWindow: last window only, first-row backfill, clipped external label") {
     val df = mkSeries(Seq((1, 1L, 5.0), (1, 2L, 6.0), (2, 1L, 1.0), (2, 2L, 2.0),
                           (2, 3L, 3.0), (2, 4L, 4.0)))
