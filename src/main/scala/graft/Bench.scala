@@ -209,6 +209,29 @@ object Bench {
       }
       name -> v
     }.toMap
+    // forensics-only (r9 verdict #4): the gated dedup_minhash surface pays
+    // an md5 premium — the md5 hash family exists solely so DuckDB can
+    // replay every hash; the LIB DEFAULT stays xxhash64 (~2-3× cheaper per
+    // shingle). Record both pair-generation paths side by side each run so
+    // the oracle-replay premium can never be mistaken for engine cost.
+    try {
+      val docs = graft.Tables.documents(spark, sfDir)
+      def med(f: () => Unit): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      }
+      val prod = med(() => evaluate(
+        graft.operators.Dedup.minhashPairs(docs, "text")))
+      val md5 = med(() => evaluate(
+        graft.operators.Dedup.minhashPairsMd5(docs, "text")))
+      tee.log(f"[bench] minhash_premium production_xxhash64=$prod%.3f s " +
+        f"gated_md5=$md5%.3f s premium=${md5 - prod}%.3f s (med of 3; " +
+        "oracle-replayability cost, not engine cost)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] minhash_premium FAILED: $e")
+    }
     val sfName = new java.io.File(sfDir).getName
     val out = formatLine(results, failed, sfName)
     tee.log(s"[bench] done ${java.time.Instant.now()} total=${results.values.filter(_ > 0).sum}")

@@ -35,4 +35,60 @@ object Conf {
 
   def applyTuned(spark: SparkSession): Unit =
     tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+
+  /** Deployment profile for a REAL cluster — the conf block a 100-TB
+    * graft job launches with, derived from the two numbers an operator
+    * actually knows: total executor cores and the partition payload size
+    * the executors' memory comfortably holds. All runtime-settable
+    * SQLConfs (apply to a live session or pass as `--conf` pairs).
+    *
+    * Sizing rationale:
+    *  - static `shuffle.partitions` = 2×cores — enough parallelism that a
+    *    straggler wave doesn't idle the cluster, few enough that
+    *    per-partition fixed costs stay amortized...
+    *  - ...but with AQE coalescing ON, the static number is only the
+    *    FLOOR of the search space: `initialPartitionNum` = 8×cores lets
+    *    AQE start fine-grained and coalesce to `advisoryPartitionSize`
+    *    (= targetPartitionBytes) from observed sizes — the knob that
+    *    actually governs post-shuffle partition payloads at scale.
+    *  - `files.maxPartitionBytes` = targetPartitionBytes bounds the SCAN
+    *    side the same way (a 100 TB parquet read becomes ~target-sized
+    *    splits; too big spills, too small drowns in task overhead).
+    *  - skew: a partition 4× the advisory target (and over the absolute
+    *    threshold) is split by AQE skew-join handling — hot trajectory /
+    *    hot band keys get subdivided instead of serializing one reducer.
+    *  - `autoBroadcastJoinThreshold` raised to 64 MB: executors sized for
+    *    target-payload partitions have the headroom, and every dim table
+    *    in this engine's join family (region/nation/customer slices,
+    *    label maps, codebooks) should broadcast, never shuffle the fact.
+    */
+  def cluster(nCores: Int,
+              targetPartitionBytes: Long = 128L << 20,
+              broadcastThresholdBytes: Long = 64L << 20): Map[String, String] = {
+    require(nCores > 0, s"cluster profile: nCores must be positive, got $nCores")
+    require(targetPartitionBytes >= (1L << 20) && targetPartitionBytes <= (2L << 30),
+      s"cluster profile: targetPartitionBytes $targetPartitionBytes outside [1MB, 2GB] — " +
+        "below spends the job in task overhead, above risks executor OOM/spill")
+    require(broadcastThresholdBytes >= 0,
+      s"cluster profile: negative broadcast threshold disables broadcasting — " +
+        "pass 0 explicitly if that is intended")
+    tuned ++ Map(
+      "spark.sql.shuffle.partitions" -> (2L * nCores).toString,
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+        (8L * nCores).toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        targetPartitionBytes.toString,
+      "spark.sql.files.maxPartitionBytes" -> targetPartitionBytes.toString,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "4",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        (4L * targetPartitionBytes).toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> broadcastThresholdBytes.toString)
+  }
+
+  def applyCluster(spark: SparkSession, nCores: Int,
+                   targetPartitionBytes: Long = 128L << 20,
+                   broadcastThresholdBytes: Long = 64L << 20): Unit =
+    cluster(nCores, targetPartitionBytes, broadcastThresholdBytes)
+      .foreach { case (k, v) => spark.conf.set(k, v) }
 }

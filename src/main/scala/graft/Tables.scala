@@ -69,4 +69,23 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Session-tz-independent timestamp literal: the given ISO date (or
+    * `yyyy-MM-dd HH:mm:ss` timestamp) as a UTC instant. The tables above
+    * pin their NTZ wall clocks to UTC instants, but a bare
+    * `lit(s).cast("timestamp")` parses in `spark.sql.session.timeZone` —
+    * correct only under a UTC session; a non-UTC driver would shift every
+    * date-literal filter boundary by the zone offset (r9 advice). This
+    * resolves the epoch offset driver-side with java.time, so the filter
+    * compares instant-to-instant whatever the session zone is. */
+  def utcTs(isoDateOrTs: String): org.apache.spark.sql.Column = {
+    val ldt =
+      if (isoDateOrTs.length == 10)
+        java.time.LocalDate.parse(isoDateOrTs).atStartOfDay()
+      else java.time.LocalDateTime.parse(isoDateOrTs.replace(' ', 'T'))
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.lit(
+        java.time.temporal.ChronoUnit.MICROS.between(
+          java.time.Instant.EPOCH, ldt.toInstant(java.time.ZoneOffset.UTC))))
+  }
 }

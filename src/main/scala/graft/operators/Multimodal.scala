@@ -77,6 +77,63 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL-codec decode path (r10): the JDK's `javax.imageio` (PNG / JPEG /
+    * BMP / GIF — public platform API, no external dependency) behind the
+    * same map-side plumbing as the stub. The gated queries stay on the
+    * deterministic stub — byte statistics are what the DuckDB oracle can
+    * replay — while this proves the Spark-side shape (binary column in,
+    * partition-local decode, fixed-dim feature vector out, payload never
+    * in the output) runs a genuine codec, so swapping in ffmpeg/JNI for
+    * video really is one function. */
+  object ImageCodec {
+    /** None for undecodable payloads (truncated/corrupt/not-an-image) —
+      * curation pipelines must classify those rows, not die on them. */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Fixed-dim grayscale (BT.601 luma, [0,1]) thumbnail on an even
+      * row-major pixel grid — the real-pixel analog of [[frameSample]]'s
+      * byte-grid thumb, same output contract (thumbDim doubles). */
+    def grayThumb(img: java.awt.image.BufferedImage, thumbDim: Int): Array[Double] = {
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      Array.tabulate(thumbDim) { t =>
+        val q = t * n / thumbDim
+        val rgb = img.getRGB((q % w).toInt, (q / w).toInt)
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+        (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+      }
+    }
+  }
+
+  case class ImageFeatures(doc_id: Long, decoded: Boolean, width: Int,
+                           height: Int, thumb: Array[Double])
+
+  /** Map-side real-codec image features: decode each `image` payload with
+    * [[ImageCodec]] and emit dimensions + a fixed-dim grayscale thumbnail
+    * (undecodable rows flagged, not dropped — and never poisoning the
+    * partition). Same scale shape as [[extractFeatures]]: payloads stay
+    * where they were read, output rows carry thumbDim doubles. */
+  def imageFeaturesReal(media: DataFrame, thumbDim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          ImageCodec.decode(payload) match {
+            case Some(img) => ImageFeatures(id, decoded = true,
+              img.getWidth, img.getHeight, ImageCodec.grayThumb(img, thumbDim))
+            case None => ImageFeatures(id, decoded = false, -1, -1,
+              Array.empty[Double])
+          }
+        }
+      }.toDF()
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int,
                    frame_hash: Long, thumb: Array[Double])
 

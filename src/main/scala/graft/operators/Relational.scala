@@ -21,7 +21,7 @@ object Relational {
   /** TPC-H Q1-style pricing summary (scan + partial-agg friendly groupBy). */
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
-      .filter(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
+      .filter(col("l_shipdate") <= graft.Tables.utcTs("1997-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -51,9 +51,9 @@ object Relational {
   def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, sfDir)
-      .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+      .filter(col("o_orderdate") < graft.Tables.utcTs("1996-06-01"))
     val li   = Tables.lineitem(spark, sfDir)
-      .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+      .filter(col("l_shipdate") > graft.Tables.utcTs("1996-06-01"))
     // customer is dim-sized relative to orders/lineitem: broadcast it.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -75,8 +75,8 @@ object Relational {
   def q5Multijoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li   = Tables.lineitem(spark, sfDir)
     val ord  = Tables.orders(spark, sfDir)
-      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
-      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= graft.Tables.utcTs("1995-01-01"))
+      .filter(col("o_orderdate") < graft.Tables.utcTs("1997-01-01"))
     val cust = Tables.customer(spark, sfDir)
     val supp = Tables.supplier(spark, sfDir)
     val nat  = Tables.nation(spark, sfDir)

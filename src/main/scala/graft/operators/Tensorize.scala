@@ -364,6 +364,75 @@ object Tensorize {
       .withColumn("rul", least(lit(rulCap.toLong), col("rul_provided").cast("long")))
       .select(col(key), col("orig_len"), col("seq"), col("rul"))
 
+  /** Augmented test windows — the remaining branch of the reference's
+    * `sliding_window_rul` (turbofan.py:142-150): when an EXTERNAL
+    * per-trajectory RUL is provided AND `augment_test_data=True`, the
+    * reference emits ALL windows of each test trajectory (same stride and
+    * front-backfill as the train path), labelling window j with
+    * `rul[ii] + L − T − j·skip` — the external end-of-trajectory RUL plus
+    * the steps the window still has to go WITHIN the trajectory — then
+    * caps at `max_rul_predictable`. The other two branches are
+    * [[windowTensorize]] (`rul=None`) and [[rulValidationWindow]]
+    * (`augment_test_data=False`, last window only); this closes the
+    * augmented test-evaluation path a reference user would hit.
+    *
+    * Critically, the cap applies to the SUM, not to the trajectory-relative
+    * part alone — so the inner tensorize runs uncapped and the external
+    * offset joins BEFORE the single `least`. `labels` is per-trajectory
+    * (key, rul_provided) — dim-sized, broadcast. Same scale shape as
+    * [[windowTensorizePadded]]: long trajectories take the one-shuffle
+    * window path, only the short tail pays the bounded-array pad branch.
+    *
+    * Output: (key, widx, features: array<double> length T, rul).
+    */
+  def augmentedTestWindows(df: DataFrame, labels: DataFrame, key: String,
+                           order: Seq[String], valueCol: String, t: Int,
+                           skip: Int, rulCap: Int): DataFrame = {
+    val padLen = t * skip
+    val in = df.filter(col(key).isNotNull)
+    val wKey = Window.partitionBy(col(key))
+    val counts = in.groupBy(col(key)).agg(count(lit(1)).as("n_all"))
+    // long branch: every window, with the UNCAPPED trajectory-relative
+    // label (rulCap = MaxValue disables the inner least; the real cap is
+    // applied once, after the external offset)
+    val long = windowTensorize(
+        in.join(counts.filter(col("n_all") >= padLen).select(col(key)), Seq(key)),
+        key, order, valueCol, t, skip, rulCap = Int.MaxValue)
+      .select(col(key), col("widx"), col("features"),
+        col("rul").cast("long").as("rel_rul"))
+    // short branch: scale → front-pad with the first scaled observation to
+    // T·skip → stride windows map-side out of the bounded array (the same
+    // arithmetic as windowTensorizePadded's short branch, emitting the
+    // full z-normed window instead of scalar digests)
+    val short = in
+      .join(counts.filter(col("n_all") < padLen).select(col(key)), Seq(key))
+      .withColumn("_v", col(valueCol) / max(col(valueCol)).over(wKey))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(
+        struct(order.map(col) :+ col("_v"): _*))).as("pts"))
+      .withColumn("vals", transform(col("pts"), p => p("_v")))
+      .withColumn("padded", concat(
+        array_repeat(element_at(col("vals"), 1),
+          (lit(padLen) - size(col("vals"))).cast("int")),
+        col("vals")))
+      .select(col(key),
+        explode(sequence(lit(0), lit((padLen - t) / skip))).as("j"),
+        col("padded"))
+      .withColumn("win", slice(col("padded"), col("j") * skip + 1, lit(t)))
+      .withColumn("m", aggregate(col("win"), lit(0.0), (a, x) => a + x) / lit(t))
+      .withColumn("sd0", sqrt(aggregate(col("win"), lit(0.0),
+        (a, x) => a + (x - col("m")) * (x - col("m"))) / lit(t)))
+      .withColumn("sd", when(col("sd0") <= lit(1e-12), lit(1.0)).otherwise(col("sd0")))
+      .select(col(key), col("j").cast("long").as("widx"),
+        transform(col("win"), x => (x - col("m")) / col("sd")).as("features"),
+        (lit((padLen - t).toLong) - col("j") * skip).as("rel_rul"))
+    long.unionByName(short)
+      .join(broadcast(labels), Seq(key))
+      .withColumn("rul",
+        least(lit(rulCap.toLong), col("rel_rul") + col("rul_provided").cast("long")))
+      .select(col(key), col("widx"), col("features"), col("rul"))
+  }
+
   /** Inference-only windowing for the UNLABELED challenge split — the
     * reference's test-set construction (turbofan.py:106-113): trajectories
     * with no RUL at all, reduced to their last T-step window (same
@@ -460,13 +529,28 @@ object Tensorize {
     * construction).
     *
     * `keyCols` must uniquely identify rows (they break hash ties, making
-    * the total order deterministic even across collisions). Different
-    * seeds give decorrelated permutations — xxhash64 avalanche means a
-    * one-bit seed change reorders everything.
+    * the total order deterministic even across collisions) — duplicate
+    * keys silently degrade the seed-reproducibility contract (colliding
+    * rows sort in nondeterministic relative order), so
+    * `validateUniqueKeys=true` adds a cheap distinct-count assertion for
+    * debugging at small scale (two extra jobs; off by default for the
+    * production path). Different seeds give decorrelated permutations —
+    * xxhash64 avalanche means a one-bit seed change reorders everything.
     */
   def shuffledExport(df: DataFrame, keyCols: Seq[String], seed: Long,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, validateUniqueKeys: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "shuffledExport needs key columns to rank on")
+    // the rank column is internal scaffolding: a pre-existing column of
+    // the same name would be silently overwritten and then dropped,
+    // losing user data — refuse loudly instead
+    require(!df.columns.contains("__shuffle_rank"),
+      "shuffledExport reserves the column name __shuffle_rank; rename that input column")
+    if (validateUniqueKeys) {
+      val n = df.count()
+      val d = df.select(keyCols.map(col): _*).distinct().count()
+      require(d == n,
+        s"shuffledExport keyCols ${keyCols.mkString(",")} are not unique: $d distinct of $n rows — the permutation would not be seed-reproducible")
+    }
     val rank = xxhash64(lit(seed) +: keyCols.map(col): _*)
     val sortCols = col("__shuffle_rank") +: keyCols.map(col)
     val ranked = df.withColumn("__shuffle_rank", rank)

@@ -42,16 +42,26 @@ object StreamingOps {
     * raw reads of TIMESTAMP(NANOS) parquet in the same session will see
     * those columns as long (and would have seen an AnalysisException
     * without the flag). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 tsType: Option[DataType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A stream needs its schema up front: probe the directory's current
-    // physical ts form with a batch read (falling back to the current
-    // driver-testdata form if the directory is still empty), then apply
-    // the same normalization as the batch reader.
-    val tsType = scala.util.Try(
-      spark.read.parquet(dir).schema("ts").dataType).getOrElse(TimestampNTZType)
+    // physical ts form with a batch read, then apply the same
+    // normalization as the batch reader. The probe CANNOT silently fall
+    // back on failure (r9 advice): the directory may be empty at stream
+    // start and fill later with the OTHER physical form — a guessed NTZ
+    // schema over int64-ns files fails at runtime mid-stream, the worst
+    // place. Callers starting a stream on a not-yet-populated directory
+    // must declare the form explicitly via `tsType`.
+    val resolved = tsType.getOrElse(
+      scala.util.Try(spark.read.parquet(dir).schema("ts").dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"readEvents: cannot probe the physical ts type of $dir (empty or " +
+            "unreadable). Pass tsType explicitly — Some(TimestampNTZType) for " +
+            "untagged-us testdata, Some(LongType) for legacy TIMESTAMP(NANOS) " +
+            "files read under nanosAsLong.")))
     graft.Tables.normalizeEventTs(
-      spark.readStream.schema(eventsRawSchema(tsType)).parquet(dir))
+      spark.readStream.schema(eventsRawSchema(resolved)).parquet(dir))
   }
 
   /** Watermarked 1-hour tumbling window aggregation (streaming twin of
@@ -207,8 +217,15 @@ object StreamingOps {
     * batch lag() formulation, which is why the state is ONE long per key
     * (the last seen event time) rather than the last EMITTED time.
     * Replaying a static directory in one batch reproduces the batch
-    * output exactly (spec-pinned); cross-batch ordering caveats are the
-    * same as sessionizeStream. */
+    * output exactly (spec-pinned).
+    *
+    * Late-data contract (pinned by the out-of-order StreamingSpec): a
+    * cross-batch LATE event is judged against the stored horizon — within
+    * `gapUs` of the last seen event time it is suppressed as a duplicate
+    * fire — and the horizon only advances (`max`), so a late arrival can
+    * never REWIND the debounce window and re-admit the next on-time
+    * event. On in-order input `max` is the identity (each event's ts ≥
+    * the stored last), so one-batch == batch parity is untouched. */
   def debounceStream(events: Dataset[DebEv], gapUs: Long = 600000000L)(
       implicit enc1: org.apache.spark.sql.Encoder[(Long, String)],
       enc2: org.apache.spark.sql.Encoder[DebounceState],
@@ -221,7 +238,9 @@ object StreamingOps {
       evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
         if (last.forall(l => e.ts_us - l > gapUs))
           out += DebounceOut(key._1, key._2, e.event_id, e.ts_us)
-        last = Some(e.ts_us)
+        // max, not overwrite: a cross-batch late event must not rewind
+        // the debounce horizon (in-order input: identity)
+        last = Some(last.fold(e.ts_us)(l => math.max(l, e.ts_us)))
       }
       last.foreach(l => state.update(DebounceState(l)))
       out.iterator
@@ -435,4 +454,21 @@ object StreamingOps {
     events.groupBy()
       .agg(graft.functions.HeavyHitters.heavyHitters(col("event_type"), k)
         .as("top"))
+
+  /** Streaming quantiles: the t-digest TypedImperativeAggregate
+    * ([[graft.functions.Td]]) as a streaming global aggregation, exactly
+    * as [[heavyHittersStream]] uses Misra-Gries — serialized digest =
+    * state-store entry, partial-merge = batch-over-batch update. State is
+    * O(δ) centroids per group regardless of stream length; probe the
+    * complete-mode output with `Td.quantile`.
+    *
+    * Equivalence contract (pinned by the forced two-micro-batch spec):
+    * NOT byte equality with the batch digest — compaction is
+    * insertion-order-dependent by design, and micro-batching changes the
+    * insertion order — but the same RANK-ERROR bound the batch spec pins
+    * (≤1% tails / ≤3% mid-range vs exact ranks). Bound equality is the
+    * honest contract for an order-dependent sketch. */
+  def tdigestStream(events: DataFrame, delta: Int = 100): DataFrame =
+    events.groupBy()
+      .agg(graft.functions.Td.sketch(col("value"), delta).as("td"))
 }

@@ -19,19 +19,30 @@ import org.apache.spark.sql.functions._
   *   - dims `region`/`nation` stay fixed (as TPC-H scaling does).
   *
   * Content decorrelation — the part that keeps the probe honest:
-  *   - `documents.text` goes through a per-copy alphabet-rotation cipher
-  *     (codegen'd `translate`, a bijection on [a-z],[A-Z],[0-9]): token
-  *     equality, token lengths, whitespace and punctuation are all
-  *     preserved WITHIN a copy, so the duplicate-rate and near-dup
-  *     cluster-size distribution stay constant as the corpus grows —
-  *     while cross-copy shingle/token hashes are uncorrelated. Naive
-  *     verbatim replication would instead give every doc 9 exact twins:
+  *   - `documents.text` goes through a per-copy seeded alphabet
+  *     PERMUTATION cipher (codegen'd `translate`, a bijection on
+  *     [a-z],[A-Z],[0-9]): token equality, token lengths, whitespace and
+  *     punctuation are all preserved WITHIN a copy, so the duplicate-rate
+  *     and near-dup cluster-size distribution stay constant as the corpus
+  *     grows — while cross-copy shingle/token hashes are uncorrelated.
+  *     (r10: a seeded Fisher-Yates permutation replaced the r9 rotation —
+  *     rotation repeats with period 26, so at factor 100 copies i and
+  *     i+26 would share letter mappings and every doc would gain ~3 fake
+  *     near-twins, re-introducing exactly the candidate-pair blowup the
+  *     cipher exists to prevent. Distinct seeded permutations have no
+  *     such period; copy 0 stays the identity.) Naive verbatim
+  *     replication would instead give every doc factor−1 exact twins:
   *     quadratic candidate-pair blowup in the banded joins that measures
   *     a pathology, not scale.
   *   - `embeddings.embedding` is circularly rotated by (i·7 mod dim)
-  *     positions — an orthogonal transform, so norms, per-component
-  *     distribution and intra-copy cluster geometry are exactly
-  *     preserved; cross-copy cosines decorrelate.
+  *     positions AND (for i>0) sign-flipped per-component by a
+  *     deterministic xxhash64(i, position) bit — both orthogonal
+  *     transforms, so norms, per-component magnitude distribution and
+  *     intra-copy cluster geometry are exactly preserved; cross-copy
+  *     cosines decorrelate. (r10: rotation alone repeats with period dim
+  *     — at factor 100 > dim=64, copy 64 would be copy 0 verbatim and
+  *     dedup_embed would see exact twins; the 2^dim sign patterns
+  *     remove the period.)
   *   - numeric fact columns are kept verbatim (value distributions are
   *     what the aggregates grind through; they should not drift).
   *
@@ -50,16 +61,38 @@ object GenScale {
     b
   }
 
-  /** Per-copy substitution cipher: rotate a-z, A-Z, 0-9 each by `i`
-    * within their own class. i=0 is the identity. */
-  private def cipher(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
-    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    val digit = "0123456789"
-    translate(c, lower + upper + digit,
-      rot(lower, i) + rot(upper, i) + rot(digit, i))
-  }
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+  private val digit = "0123456789"
+
+  /** Seeded Fisher-Yates permutation of `s` for copy `i`; i=0 identity.
+    * Deterministic in (s, i) so re-runs regenerate identical data. */
+  private def permuted(s: String, i: Int): String =
+    if (i == 0) s
+    else {
+      val arr = s.toCharArray
+      // class length folded into the seed so the three alphabet classes
+      // draw independent permutations for the same copy index
+      val rnd = new scala.util.Random(
+        0x9E3779B97F4A7C15L * i + 0xD1B54A32D192ED03L * s.length)
+      var j = arr.length - 1
+      while (j > 0) {
+        val k = rnd.nextInt(j + 1)
+        val t = arr(j); arr(j) = arr(k); arr(k) = t
+        j -= 1
+      }
+      new String(arr)
+    }
+
+  /** The full 62-char translate target for copy `i` — exposed for the
+    * spec's pairwise-distinctness check across copy indices. */
+  private[graft] def cipherTarget(i: Int): String =
+    permuted(lower, i) + permuted(upper, i) + permuted(digit, i)
+
+  /** Per-copy substitution cipher: a seeded permutation of a-z, A-Z, 0-9
+    * each within their own class. i=0 is the identity. */
+  private def cipher(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    translate(c, lower + upper + digit, cipherTarget(i))
 
   /** One scaled copy per table; copy 0 is bit-identical to the source. */
   def scaled(spark: SparkSession, srcDir: String, factor: Int): Map[String, DataFrame] = {
@@ -115,9 +148,18 @@ object GenScale {
           if (r == 0) col("embedding")
           else concat(slice(col("embedding"), r + 1, dim - r),
             slice(col("embedding"), 1, r))
+        // rotation alone has period dim (copy dim == copy 0 verbatim at
+        // factor > dim); a per-copy deterministic sign-flip pattern —
+        // also orthogonal, and exact in float — removes the period while
+        // preserving norms and intra-copy dot products bit-for-bit
+        val decorrelated =
+          if (i == 0) col("embedding")
+          else transform(rotated, (x, j) =>
+            (x * when(pmod(xxhash64(lit(i.toLong), j.cast("long")), lit(2L)) === 0,
+              lit(1.0f)).otherwise(lit(-1.0f))).cast("float"))
         t("embeddings")
           .withColumn("vec_id", col("vec_id") + lit(i * vecB))
-          .withColumn("embedding", rotated)
+          .withColumn("embedding", decorrelated)
       })
   }
 

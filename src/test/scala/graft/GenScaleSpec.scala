@@ -66,6 +66,69 @@ class GenScaleSpec extends SparkSpec {
       s"cross-copy token overlap $shared/$total — cipher not decorrelating")
   }
 
+  test("genscale r10: cipher targets are per-class bijections, pairwise distinct across 200 copies") {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val targets = (0 until 200).map(tools.GenScale.cipherTarget)
+    // copy 0 is the identity — the bit-identical-copy-0 contract
+    assert(targets(0) == lower + lower.toUpperCase + "0123456789")
+    targets.foreach { t =>
+      assert(t.length == 62)
+      // each class permutes within itself (token shape preserved)
+      assert(t.substring(0, 26).sorted == lower)
+      assert(t.substring(26, 52).sorted == lower.toUpperCase)
+      assert(t.substring(52).sorted == "0123456789")
+    }
+    // the r9 rotation cipher had period 26: copies i and i+26 shared all
+    // letter mappings, so factor=100 would hand every doc ~3 fake
+    // near-twins. Seeded permutations must have no such period.
+    assert(targets.distinct.size == 200, "cipher collision across copies")
+  }
+
+  test("genscale r10: decorrelation survives the old rotation periods (copy 26 text, copy dim embeddings)") {
+    // factor 65 reaches both failure modes of the r9 scheme: letter
+    // rotation period 26 (copy 26) and embedding rotation period dim=64
+    // (copy 64 was copy 0 verbatim)
+    val big = tools.GenScale.scaled(spark, sf, factor = 65)
+
+    val src = Tables.documents(spark, sf)
+    val docB = src.agg(max("doc_id")).head().getLong(0)
+    var b = 1L; while (b <= docB) b *= 10
+    val base = b
+    val toks = big("documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val copy0 = toks.filter(col("doc_id") < base)
+    val copy26 = toks
+      .filter(col("doc_id") >= lit(26L * base) && col("doc_id") < lit(27L * base))
+      .withColumn("doc_id", col("doc_id") - lit(26L * base))
+    val shared = copy0.as("a").join(copy26.as("b"), Seq("doc_id", "tok")).count()
+    val total = copy0.count()
+    assert(shared.toDouble / total < 0.05,
+      s"copy-26 token overlap $shared/$total — permutation cipher not decorrelating")
+
+    val srcE = Tables.embeddings(spark, sf)
+    val dim = srcE.select(size(col("embedding"))).head().getInt(0)
+    assert(dim == 64, s"test assumes the testdata dim (update copy index if it changes): $dim")
+    val vecB = srcE.agg(max("vec_id")).head().getLong(0)
+    var vb = 1L; while (vb <= vecB) vb *= 10
+    val e0 = big("embeddings").filter(col("vec_id") < vb)
+      .select(col("vec_id").as("k"), col("embedding").as("e0"))
+    val e64 = big("embeddings")
+      .filter(col("vec_id") >= lit(64L * vb) && col("vec_id") < lit(65L * vb))
+      .select((col("vec_id") - lit(64L * vb)).as("k"), col("embedding").as("e64"))
+    val joined = e0.join(e64, "k")
+    // under the r9 scheme copy 64's rotation was (64*7) mod 64 = 0 —
+    // verbatim copies, exact twins for dedup_embed. Sign flips must break
+    // that while preserving the norm exactly (same summation order here:
+    // rotation is 0, flips are ±1 in float)
+    assert(joined.filter(col("e0") === col("e64")).count() == 0,
+      "copy 64 embeddings identical to copy 0 — rotation period not removed")
+    val norm = (c: String) => aggregate(col(c), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val drift = joined.select(max(abs(norm("e0") - norm("e64")))).head().getDouble(0)
+    assert(drift == 0.0, s"sign flip changed a norm by $drift")
+  }
+
   test("genscale: embedding rotation preserves norms and intra-copy geometry") {
     val src = Tables.embeddings(spark, sf)
     val vecB = src.agg(max("vec_id")).head().getLong(0)

@@ -84,4 +84,28 @@ class RelationalSpec extends SparkSpec {
     val expected = Tables.events(spark, sf).join(dim, Seq("user_id")).count()
     assert(total == expected)
   }
+
+  test("date-literal filters are session-timezone-invariant (utcTs, r9 advice)") {
+    // utcTs resolves driver-side: 1996-06-01 00:00 UTC in epoch micros
+    val us = spark.range(1).select(unix_micros(Tables.utcTs("1996-06-01")))
+      .head.getLong(0)
+    assert(us == 833587200000000L)
+    // q3_join's boundaries must not move when the session zone does — the
+    // r9 formulation (lit(...).cast("timestamp")) parsed literals in
+    // session-local time and shifted every filter by the zone offset
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    def run(): Set[String] = {
+      val df = operators.Relational.q3Join(spark, sf)
+      df.collect().map(_.mkString("|")).toSet
+    }
+    try {
+      spark.conf.set(tzKey, "UTC")
+      val utc = run()
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      val la = run()
+      assert(utc == la, "q3_join results moved with the session time zone")
+      assert(utc.nonEmpty)
+    } finally spark.conf.set(tzKey, saved)
+  }
 }

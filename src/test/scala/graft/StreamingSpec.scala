@@ -239,6 +239,38 @@ class StreamingSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("real-codec image decode: javax.imageio PNG map-side, corrupt payloads flagged not fatal") {
+    // a 2x2 PNG with known primaries — the REAL decode path (r10), same
+    // plumbing contract as the stub: binary in, fixed-dim features out,
+    // payload never in the output, bad rows classified not thrown
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "image", "definitely not a png".getBytes("UTF-8")),
+      (3L, "video", png)).toDF("doc_id", "modality", "payload")
+    val got = operators.Multimodal.imageFeaturesReal(media, thumbDim = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3),
+          r.getAs[scala.collection.Seq[Double]]("thumb")))).toMap
+    assert(got.keySet == Set(1L, 2L)) // video row filtered, not decoded
+    val (ok, w, h, thumb) = got(1L)
+    assert(ok && w == 2 && h == 2)
+    // thumbDim=4 over 4 pixels -> identity grid, row-major: R G B W lumas
+    def luma(r: Int, g: Int, b: Int) = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+    val want = Seq(luma(255, 0, 0), luma(0, 255, 0), luma(0, 0, 255),
+      luma(255, 255, 255))
+    thumb.zip(want).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"thumb $thumb != $want") }
+    val (bad, bw, bh, badThumb) = got(2L)
+    assert(!bad && bw == -1 && bh == -1 && badThumb.isEmpty)
+  }
+
   test("streaming heavy hitters equals batch counts in the exact regime") {
     // k >= distinct event types -> Misra-Gries degenerates to exact
     // counting, so stream == batch bit-for-bit regardless of order
@@ -585,6 +617,154 @@ class StreamingSpec extends SparkSpec {
     assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
         c.getMessage.contains("bloomDedupStream")),
       s"expected the sizing IllegalStateException, got: $ex")
+  }
+
+  /** Stage pre-built micro-batches as single parquet files with
+    * increasing mod-times, so maxFilesPerTrigger=1 + AvailableNow replays
+    * them in order — the shared fixture shape of the late-data specs. */
+  private def stageBatches(prefix: String,
+      batches: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"${prefix}_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      var staged = false
+      java.nio.file.Files.walk(tmp).iterator().forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet") &&
+            !java.nio.file.Files.isDirectory(p) && !staged) {
+          val dst = d.resolve(f"b$i%02d.parquet")
+          java.nio.file.Files.copy(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L * (i + 1)))
+          staged = true
+        }
+      }
+      assert(staged, s"no parquet part staged for batch $i")
+    }
+    d.toString
+  }
+
+  test("streaming t-digest merges state across micro-batches within the batch rank-error bound") {
+    // the t-digest aggregate as a streaming aggregation, like heavy
+    // hitters / CMS: digest buffer = state-store entry, merge = state
+    // update. Byte equality with batch is IMPOSSIBLE by design (compaction
+    // is insertion-order-dependent and micro-batching changes insertion
+    // order), so the contract pinned here is the one the batch TDigestSpec
+    // pins: rank error vs exact sorted values <= 1% tails / 3% mid-range.
+    val ev = Tables.events(spark, sf)
+    val dir = stageBatches("td_stream", Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 =!= 0)))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingOps.tdigestStream(stream).writeStream
+      .outputMode("complete").format("memory").queryName("td_stream_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2,
+      s"expected >= 2 micro-batches, got ${q.recentProgress.length}")
+    val digest = spark.table("td_stream_q").head.getAs[Array[Byte]]("td")
+    val sorted = ev.select("value").as[Double].collect().sorted
+    def rankOf(v: Double): Double = {
+      val i = java.util.Arrays.binarySearch(sorted, v)
+      (if (i >= 0) i else -(i + 1)).toDouble / sorted.length
+    }
+    for (p <- Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = functions.TdUtil.quantileBytes(digest, p)
+      val bound = if (p <= 0.05 || p >= 0.95) 0.01 else 0.03
+      val err = math.abs(rankOf(est) - p)
+      assert(err <= bound,
+        f"stream digest q=$p: rank error $err%.4f > $bound (est=$est%.3f)")
+    }
+  }
+
+  test("ewma stream folds a cross-batch late event as the next step, state advances") {
+    // Late-data contract: the recurrence is an ARRIVAL-ORDER fold (each
+    // batch sorted, then folded into the running state) — a late event
+    // does not rewrite history (emitted values are immutable), it folds
+    // from the current state like any next observation.
+    val sec = 1000000L
+    val alpha = 0.3
+    val dir = stageBatches("ewma_late", Seq(
+      Seq(StreamingOps.Ev(1L, 1L * sec, 7L, 1.0),
+          StreamingOps.Ev(2L, 2L * sec, 7L, 2.0)).toDF(),
+      Seq(StreamingOps.Ev(3L, 1L * sec + sec / 2, 7L, 10.0)).toDF())) // late vs t=2 s
+    val stream = spark.readStream
+      .schema(Seq(StreamingOps.Ev(1L, 1L, 1L, 1.0)).toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[StreamingOps.Ev]
+    val q = StreamingOps.ewmaStream(stream, alpha).writeStream
+      .outputMode("append").format("memory").queryName("ewma_late_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2)
+    val got = spark.table("ewma_late_q")
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    val s1 = 1.0                                  // init = first value
+    val s2 = s1 * (1.0 - alpha) + 2.0 * alpha     // in-order batch 1
+    val s3 = s2 * (1.0 - alpha) + 10.0 * alpha    // late event: NEXT step
+    assert(got == Map(1L -> s1, 2L -> s2, 3L -> s3),
+      s"late-fold contract broke: $got")
+  }
+
+  test("funnel stream: a stage arriving before its prerequisite is not revisited (forward-only)") {
+    // batch 1: click with NO view yet -> ignored, stage 0. batch 2: the
+    // late view -> stage 1 (the earlier click is NOT replayed — the
+    // machine only moves forward). batch 3: a fresh click -> stage 2.
+    val sec = 1000000L
+    def ev(id: Long, t: Long, typ: String) =
+      StreamingOps.FunnelEv(id, t * sec, 7L, typ)
+    val dir = stageBatches("funnel_late", Seq(
+      Seq(ev(1, 200, "click")).toDF(),
+      Seq(ev(2, 100, "view")).toDF(),
+      Seq(ev(3, 300, "click")).toDF()))
+    val stream = spark.readStream
+      .schema(Seq(ev(1, 1, "view")).toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[StreamingOps.FunnelEv]
+    val q = StreamingOps.funnelStream(stream).writeStream
+      .outputMode("update").format("memory").queryName("funnel_late_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3)
+    val stages = spark.table("funnel_late_q")
+      .select("stage").as[Int].collect().toSeq.sorted
+    // one emission per trigger: 0 (click ignored), 1 (view lands, click
+    // NOT revisited — a replaying machine would emit 2 here and never 1),
+    // 2 (fresh click advances)
+    assert(stages == Seq(0, 1, 2), s"forward-only contract broke: $stages")
+    // and the click that finally advanced the funnel is the FRESH one
+    val fin = spark.table("funnel_late_q").filter(col("stage") === 2)
+      .select("t2_us").as[Long].head()
+    assert(fin == 300L * sec, s"t2 should be the fresh click, got $fin")
+  }
+
+  test("debounce stream: a late duplicate is suppressed and cannot rewind the horizon") {
+    val sec = 1000000L
+    def ev(id: Long, t: Long) =
+      StreamingOps.DebEv(id, t * sec, 7L, "click")
+    // gap 600 s. batch 1: t=0 (first -> emitted), t=700 (gap 700 > 600 ->
+    // emitted). batch 2: LATE t=650 — within gap of the 700 horizon ->
+    // suppressed. batch 3: t=1290 — 590 s after the horizon -> suppressed.
+    // Under the rewind bug (horizon overwritten to 650) t=1290 would be
+    // 640 s clear and wrongly emitted — this event is the discriminator.
+    val dir = stageBatches("deb_late", Seq(
+      Seq(ev(1, 0), ev(2, 700)).toDF(),
+      Seq(ev(3, 650)).toDF(),
+      Seq(ev(4, 1290)).toDF()))
+    val stream = spark.readStream
+      .schema(Seq(ev(1, 1)).toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[StreamingOps.DebEv]
+    val q = StreamingOps.debounceStream(stream, gapUs = 600L * sec).writeStream
+      .outputMode("append").format("memory").queryName("deb_late_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3)
+    val got = spark.table("deb_late_q")
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L),
+      s"late-duplicate contract broke (horizon rewound?): $got")
   }
 
   test("kmeans: deterministic assignment, k clusters, SSE decreases with iterations") {

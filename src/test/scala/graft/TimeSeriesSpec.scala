@@ -152,6 +152,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2)._2 == 7L)
   }
 
+  test("augmentedTestWindows: all windows, external-RUL offset labels, cap on the sum (turbofan.py:142-150)") {
+    // long trajectory (L=12 >= T·skip=8): 5 windows at stride 2
+    // short trajectory (L=5 < 8): front-padded to 8, 3 windows
+    val df = mkSeries((1 to 12).map(i => (1, i.toLong, i.toDouble)) ++
+      (1 to 5).map(i => (2, i.toLong, i * 10.0)))
+    val labels = Seq((1, 50L), (2, 3L)).toDF("k", "rul_provided")
+    val got = Tensorize.augmentedTestWindows(df, labels, "k", Seq("t"), "v",
+        t = 4, skip = 2, rulCap = 55)
+      .orderBy("k", "widx").collect()
+    val byKey = got.groupBy(_.getInt(0))
+    // window counts: ceil((L − T + 1)/skip) over the (padded) length —
+    // L=12 → ceil(9/2)=5; L=5 padded to 8 → ceil(5/2)=3
+    assert(byKey(1).length == 5 && byKey(2).length == 3)
+    // labels: rul = min(cap, ext + L − T − j·skip). Key 1 (ext=50, L=12):
+    // raw 58,56,54,52,50 → capped 55,55,54,52,50 — the cap applies to the
+    // SUM (capping the trajectory-relative part alone would give 58).
+    assert(byKey(1).map(_.getAs[Long]("rul")).toSeq == Seq(55L, 55L, 54L, 52L, 50L))
+    // key 2 (ext=3, padded L=8): 3+4−2j = 7,5,3 — padded steps count as life
+    assert(byKey(2).map(_.getAs[Long]("rul")).toSeq == Seq(7L, 5L, 3L))
+    // first short window is the constant backfill [v1,v1,v1,v1] → std≤eps
+    // guard → all-zero z-features
+    assert(byKey(2).head.getAs[scala.collection.Seq[Double]]("features") ==
+      Seq(0.0, 0.0, 0.0, 0.0))
+    // long-branch features match the rul=None tensorize bit-for-bit (the
+    // branches share the scale → window → z-norm arithmetic)
+    val unlabeled = Tensorize.windowTensorize(
+        df.filter(col("k") === 1), "k", Seq("t"), "v", t = 4, skip = 2, rulCap = 100)
+      .orderBy("widx").collect().map(_.getAs[scala.collection.Seq[Double]]("features"))
+    assert(byKey(1).map(_.getAs[scala.collection.Seq[Double]]("features")).toSeq ==
+      unlabeled.toSeq)
+  }
+
   test("inferenceWindow: unlabeled challenge split = validation windows minus the label") {
     val df = mkSeries(Seq((1, 1L, 5.0), (1, 2L, 6.0), (2, 1L, 1.0), (2, 2L, 2.0),
                           (2, 3L, 3.0), (2, 4L, 4.0)))

@@ -24,6 +24,33 @@ def bench_line(path):
     raise SystemExit(f"no bench JSON line in {path}")
 
 
+def index_build_sec(path):
+    """The session cluster-index build is the largest single job in the
+    suite but runs OUTSIDE the timed reps (amortized across the three
+    dedup-cluster queries); lift it from the forensics stderr line so its
+    scaling is diffable mechanically per leg (r9 verdict)."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(r"cluster-index build ([0-9.]+) s", line)
+            if m:
+                return float(m.group(1))
+    return None
+
+
+def minhash_premium(path):
+    """Production-xxhash64 vs gated-md5 minhash pair generation (r9
+    verdict #4): keep the oracle-replay premium on the per-leg record."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"minhash_premium production_xxhash64=([0-9.]+) s "
+                r"gated_md5=([0-9.]+) s", line)
+            if m:
+                return {"production_xxhash64_sec": float(m.group(1)),
+                        "gated_md5_sec": float(m.group(2))}
+    return None
+
+
 def main():
     small_path, big_path, data_ratio, out_path = sys.argv[1:5]
     data_ratio = float(data_ratio)
@@ -36,12 +63,17 @@ def main():
         ratios[q] = round(b / s, 2) if s > 0 else None
     vals = sorted(r for r in ratios.values() if r is not None)
     median = vals[len(vals) // 2] if vals else None
+    rnd = re.search(r"_r(\d+)", out_path)
     out = {
-        "round": 9,
+        "round": int(rnd.group(1)) if rnd else None,
         "data_ratio": data_ratio,
         "small": {"sf_dir": small.get("sf"), "total_sec": small["value"],
+                  "index_build_sec": index_build_sec(small_path),
+                  "minhash_premium": minhash_premium(small_path),
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
+                "index_build_sec": index_build_sec(big_path),
+                "minhash_premium": minhash_premium(big_path),
                 "queries": qb},
         "total_ratio": round(big["value"] / small["value"], 2),
         "median_query_ratio": median,
