@@ -271,10 +271,18 @@ object Dedup {
   /** Word 3-gram multiset → distinct set per doc. */
   def ngramSet(textCol: Column, n: Int): Column = shingles(textCol, n)
 
-  /** Exact n-gram Jaccard over a bounded candidate generator: same-lang
-    * pairs whose lengths differ by <= `lenTol` chars (a cheap prefilter a
-    * production pipeline would replace with LSH buckets; keeps the pair
-    * space linear and the oracle SQL-expressible).
+  /** Exact n-gram Jaccard over the length-band candidate generator:
+    * same-lang pairs whose lengths differ by <= `lenTol` chars.
+    *
+    * SCALE WARNING (r10, found by the 100× probe): this candidate set
+    * grows as the SQUARE of per-(lang, n_chars) bucket density — 34k
+    * pairs at sf0.1, 3.4M at 10×, 340M at 100× on this corpus — because
+    * corpus growth piles more docs into the same (lang, length) buckets.
+    * It is a correctness/verification surface for BOUNDED corpora (and
+    * the honest exact baseline the LSH recall specs compare against); the
+    * gated queries and the cluster index moved to [[minhashPairsMd5]]'s
+    * banded generator, whose candidate count tracks the actual near-dup
+    * rate and stays linear under density growth.
     *
     * The per-pair set math runs on sorted xxhash64'd shingles through the
     * native merge-walk expression ([[graft.functions.SortedIntersectCount]])
@@ -532,13 +540,28 @@ object Dedup {
       .select(col("v"), coalesce(col("cl"), col("v")).as("l"))
   }
 
-  /** Cluster assignment for every document: near-dup edges = same-lang
-    * n-gram Jaccard >= threshold over the bounded candidate generator. */
-  def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Cluster assignment for every document: near-dup edges = exact
+    * shingle-set Jaccard >= threshold, verified over the BANDED md5-LSH
+    * candidate generator ([[minhashPairsMd5]]).
+    *
+    * r10 generator swap, forced by the 100× scale probe: the previous
+    * edge source ([[ngramJaccardPairs]]' same-lang length-band
+    * candidates) grows as the SQUARE of per-(lang, n_chars) bucket
+    * density — 34k candidate pairs at sf0.1 became 340M at 100× data and
+    * the index build died spilling terabytes, while the corpus's actual
+    * dup structure (and so the LSH candidate set) grew linearly. LSH
+    * banding is the generator whose candidate count tracks the real
+    * near-dup rate instead of corpus density; the md5 family keeps every
+    * edge DuckDB-replayable, so the cluster closure stays oracle-gated.
+    * `candidatePairs` lets callers swap generators (e.g. the xxhash64
+    * fast path, or length-banding for small bounded corpora). */
+  def dedupClusters(docs: DataFrame, threshold: Double,
+      candidatePairs: (DataFrame, Double) => DataFrame =
+        (d, t) => minhashPairsMd5(d, "text", threshold = t)): DataFrame = {
     // materialize the candidate pairs once — componentLabels references
     // them in both directions of the edge union
     val (pairs, pairsH) = checkpointWithHandle(
-      ngramJaccardPairs(docs).filter(col("jaccard") >= threshold))
+      candidatePairs(docs, threshold))
     // componentLabels runs its fixpoint eagerly (the edge set is
     // checkpointed from `pairs` at entry and every round is an action), so
     // by the time it returns the pair blocks are dead — the returned frame
@@ -773,8 +796,14 @@ object Dedup {
     *  - band keys = string_agg of the signature slice ORDER BY seed,
     *  - best-match tie-break (max jaccard, then max match_id) via the
     *    two-step agg join. */
-  val dedupMinhashSql: String =
-    """WITH toks AS (
+  /** Shared DuckDB CTE chain replaying [[minhashPairsMd5]] end to end —
+    * md5-60 shingle hashes, splitmix signature mixing in UHUGEINT
+    * mod-2^64, band keys, bucket-join candidates, exact jaccard on the
+    * hash sets. Ends at the `pairs` CTE; consumers append their own tail:
+    * the dedup_minhash profile, the dedup_ngram pair list, and (r10) the
+    * cluster closure — one proven replay, three gated surfaces. */
+  val md5MinhashPairsCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
       |),
       |sh0 AS (
@@ -821,7 +850,10 @@ object Dedup {
       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
       |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
       |  FROM cand JOIN sh0 x ON x.doc_id = cand.doc_id_a
-      |            JOIN sh0 y ON y.doc_id = cand.doc_id_b),
+      |            JOIN sh0 y ON y.doc_id = cand.doc_id_b)""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""WITH $md5MinhashPairsCtes,
       |sym AS (SELECT doc_id_a AS doc_id, doc_id_b AS match_id, jaccard FROM pairs
       |        UNION ALL
       |        SELECT doc_id_b AS doc_id, doc_id_a AS match_id, jaccard FROM pairs),
@@ -874,47 +906,44 @@ object Dedup {
       |  CAST(u // 281474976710656 % 65536 AS BIGINT) AS band3
       |FROM sk""".stripMargin
 
+  /** Gated `dedup_ngram` (r10): exact n-gram Jaccard over the BANDED LSH
+    * candidate generator — the scalable candidate set, replacing the
+    * length-band generator the r10 100× scale probe caught going
+    * quadratic (same-lang |Δn_chars|≤2 candidates grow as the square of
+    * per-(lang, length) density: 34k pairs at sf0.1 → 3.4M at sf1 →
+    * 340M at sf10, which is a pathology of the GENERATOR, not of data
+    * growth — dup rates are constant by construction). The exact-jaccard
+    * verification semantics are unchanged; only which pairs get verified
+    * moved from "similar length, same language" to "LSH band collision" —
+    * the candidate definition that stays linear because only genuinely
+    * similar (or hash-coincident) docs collide. The length-band generator
+    * survives as the lib-level [[ngramJaccardPairs]] for bounded corpora. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(spark, sfDir))
+    minhashPairsMd5(Tables.documents(spark, sfDir), "text", threshold = 0.0)
 
+  /** DuckDB oracle for [[dedupNgram]]: the shared md5-minhash replay's
+    * `pairs` CTE, emitted as-is. */
   val dedupNgramSql: String =
-    """SELECT a.lang AS lang, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-      |  round(len(list_intersect(a.g, b.g)) * 1.0 / len(list_distinct(a.g || b.g)), 6) AS jaccard
-      |FROM (SELECT doc_id, lang, n_chars,
-      |        list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-      |          THEN list_transform(range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
-      |            i -> list_aggregate(string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], 'string_agg', ' '))
-      |          ELSE [list_aggregate(string_split_regex(lower(trim(text)), '\s+'), 'string_agg', ' ')] END) AS g
-      |      FROM documents) a
-      |JOIN (SELECT doc_id, lang, n_chars,
-      |        list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-      |          THEN list_transform(range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
-      |            i -> list_aggregate(string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], 'string_agg', ' '))
-      |          ELSE [list_aggregate(string_split_regex(lower(trim(text)), '\s+'), 'string_agg', ' ')] END) AS g
-      |      FROM documents) b
-      |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 2
-      |""".stripMargin
+    s"""WITH $md5MinhashPairsCtes
+       |SELECT doc_id_a, doc_id_b, jaccard FROM pairs""".stripMargin
 
   def dedupClustersQuery(spark: SparkSession, sfDir: String): DataFrame =
     clusterIndex(spark, sfDir, threshold = 0.5)
 
   /** Recursive CTE list computing the min-label closure `reach(v, l)` over
-    * the symmetrized near-dup edge set (edges = the dedup_ngram oracle
-    * filtered at jaccard >= 0.5) — shared by the dedup_clusters oracle and
-    * the curation-pipeline oracle. */
-  val clustersCtes: String = {
-    val pairsSql = dedupNgramSql.trim.stripSuffix(";")
-    s"""WITH RECURSIVE pairs AS (
-       |$pairsSql
-       |),
-       |cand AS (SELECT doc_id_a, doc_id_b FROM pairs WHERE jaccard >= 0.5),
-       |edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM cand
-       |          UNION SELECT doc_id_b, doc_id_a FROM cand),
+    * the symmetrized near-dup edge set (r10: edges = the md5-minhash LSH
+    * pairs at jaccard >= 0.5, matching [[dedupClusters]]' generator swap)
+    * — shared by the dedup_clusters oracle and the curation-pipeline
+    * oracle. */
+  val clustersCtes: String =
+    s"""WITH RECURSIVE $md5MinhashPairsCtes,
+       |strong AS (SELECT doc_id_a, doc_id_b FROM pairs WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM strong
+       |          UNION SELECT doc_id_b, doc_id_a FROM strong),
        |reach(v, l) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)""".stripMargin
-  }
 
   /** Recursive-CTE oracle: cluster id = min reachable label. */
   val dedupClustersSql: String =
