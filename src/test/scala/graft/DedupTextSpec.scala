@@ -107,6 +107,45 @@ class DedupTextSpec extends SparkSpec {
     assert(m((1L, 2L)) > 0.7 && m((1L, 2L)) < 1.0)
   }
 
+  test("r10 scale contract: LSH candidates grow linearly with corpus density, length-band quadratically") {
+    // The round-10 100x probe finding, pinned as a regression gate: on a
+    // GenScale'd corpus (dup rate constant, density growing), the
+    // length-band generator's candidate count grows ~factor^2 (same
+    // (lang, n_chars) buckets, factor x density each) while the banded
+    // LSH generator's grows ~factor (candidates track the actual dup
+    // structure). The gated dedup family rides LSH for exactly this
+    // reason — if someone swaps the edge source back, this fails.
+    val base = Tables.documents(spark, sf)
+    val big = tools.GenScale.scaled(spark, sf, factor = 4)("documents")
+    val lb1 = Dedup.ngramJaccardPairs(base).count()
+    val lb4 = Dedup.ngramJaccardPairs(big).count()
+    val mh1 = Dedup.minhashPairsMd5(base, "text", threshold = 0.0).count()
+    val mh4 = Dedup.minhashPairsMd5(big, "text", threshold = 0.0).count()
+    assert(lb1 > 0 && mh1 > 0)
+    // quadratic: 4x density -> ~16x pairs (allow slack for bucket shape)
+    assert(lb4.toDouble / lb1 >= 8.0,
+      s"length-band candidates grew only ${lb4.toDouble / lb1}x at 4x density — " +
+        "generator changed? update the scale story")
+    // linear: 4x density -> ~4x pairs (slack for cross-copy chance collisions)
+    assert(mh4.toDouble / mh1 <= 6.0,
+      s"LSH candidates grew ${mh4.toDouble / mh1}x at 4x density — " +
+        "the banded generator regressed toward density-quadratic")
+  }
+
+  test("dedupClusters generator plug: LSH default and length-band agree on strong dups") {
+    // the pluggable candidate generator (r10): on a corpus whose near-dup
+    // pairs are unambiguous (exact dups and heavy overlaps — the fixture
+    // family), both generators find the same edges, so the closures match.
+    val lsh = Dedup.dedupClusters(docs, threshold = 0.5)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val lenBand = Dedup.dedupClusters(docs, threshold = 0.5,
+        (d, t) => Dedup.ngramJaccardPairs(d).filter(col("jaccard") >= t))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(lsh == lenBand,
+      s"generator plug changed strong-dup clusters: $lsh vs $lenBand")
+    assert(lsh.values.toSet.size < lsh.size) // some docs actually clustered
+  }
+
   test("cosine on array<float> matches hand computation") {
     val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f)))
       .toDF("a", "b")
