@@ -659,16 +659,15 @@ object Dedup {
     * map-side, identical to [[minhashPairs]] — so any pair the FULL LSH
     * BUILD (minhashPairs over old ∪ new) would find via a band collision
     * is found here by construction, either within the batch or through
-    * the probe. Note the candidate model: this is the LSH generator, the
-    * at-scale path — [[dedupClusters]]' small-scale n-gram generator is
-    * deterministic where LSH is probabilistic, so for borderline
-    * near-dups (jaccard just above threshold) an incremental pass can
-    * miss a pair a full n-gram rebuild would catch; exact duplicates and
-    * high-jaccard pairs collide in every band and agree under both.
-    * Production pipelines run the SAME LSH generator for both the full
-    * build and the increment, which restores the exact-equivalence
-    * guarantee (the spec verifies it on text where both generators
-    * coincide). The
+    * the probe. Hash-family coherence (r10): [[dedupClusters]]' default
+    * edge source is now the md5-LSH generator, and band-collision events
+    * DIFFER between hash families at the margin (a borderline near-dup
+    * can band-collide under one family and not the other) — so pass
+    * `md5Family = true` to run the increment with the exact generator
+    * the index was built with, which makes incremental ∘ probe equal a
+    * full rebuild BY CONSTRUCTION on bridge-free graphs (spec-pinned);
+    * the default xxhash64 family remains the cheap path for callers
+    * whose index was built with [[minhashPairs]]. The
     * batch side is explicitly `broadcast()`: the corpus bucket frame —
     * at production scale a PERSISTED index table bucketed by (band, bh),
     * modeled here by deriving it from the corpus frame — is scanned
@@ -677,17 +676,31 @@ object Dedup {
     * shuffle, no corpus-wide fixpoint. */
   def incrementalCandidatePairs(newDocs: DataFrame, oldDocs: DataFrame,
       textCol: String = "text", k: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.7): (DataFrame, DataFrame) = {
+      bands: Int = 8, threshold: Double = 0.7,
+      md5Family: Boolean = false): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
+    def shingleSet(c: org.apache.spark.sql.Column) =
+      if (md5Family) md5ShingleHashes(c, k)
+      else graft.functions.ShingleHashSet(lower(trim(c)), k)
+    // band keys must be built EXACTLY like the matching pair generator's
+    // (xxhash64 of the slice vs the comma-joined slice string) — a mixed
+    // scheme would probe the index's buckets with foreign keys
+    def bandKeys(sig: org.apache.spark.sql.Column) =
+      if (md5Family)
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", transform(
+            slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string"))))
+      else lshBands(sig, bands, rowsPerBand).cast("array<string>")
     def buckets(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"),
-        graft.functions.ShingleHashSet(lower(trim(col(textCol))), k).as("sh"))
+      .select(col("doc_id"), shingleSet(col(textCol)).as("sh"))
       .withColumn("sig", graft.functions.MinHashSig(col("sh"), numHashes))
       .select(col("doc_id"), col("sh"),
-        posexplode(lshBands(col("sig"), bands, rowsPerBand))
-          .as(Seq("band", "bh")))
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
     // within-batch pairs: the full generator at batch scale
-    val nn = minhashPairs(newDocs, textCol, k, numHashes, bands, threshold)
+    val nn =
+      if (md5Family) minhashPairsMd5(newDocs, textCol, k, numHashes, bands, threshold)
+      else minhashPairs(newDocs, textCol, k, numHashes, bands, threshold)
     // probe join: batch buckets broadcast against the corpus buckets;
     // exact Jaccard verification only on bucket collisions
     val no = broadcast(buckets(newDocs).select(col("band"), col("bh"),

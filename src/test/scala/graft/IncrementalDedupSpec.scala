@@ -94,6 +94,34 @@ class IncrementalDedupSpec extends SparkSpec {
       "no new singleton — fixture degenerated")
   }
 
+  test("md5-family increment == full md5-edge rebuild (hash-family coherence, r10)") {
+    // dedupClusters' default edge source is the md5-LSH generator since
+    // r10; an increment probed with the SAME family reproduces the full
+    // rebuild by construction (identical band-collision events), where a
+    // cross-family probe can diverge on borderline pairs. This pins the
+    // production composition: index built md5 -> increment md5.
+    val oldDocs = toDocs(oldRows)
+    val newDocs = toDocs(newRows)
+    val full = Dedup.dedupClusters(oldDocs.unionByName(newDocs), threshold = 0.5)
+      .select("doc_id", "cluster_id")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    val oldLabels = Dedup.dedupClusters(oldDocs, threshold = 0.5)
+      .select("doc_id", "cluster_id")
+    val (nn, no) = Dedup.incrementalCandidatePairs(newDocs, oldDocs,
+      threshold = 0.5, md5Family = true)
+    val (labels, handle) = Dedup.incrementalLabels(newDocs, oldLabels, nn, no)
+    val inc = labels.select("doc_id", "cluster_id")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    handle.close()
+    assert(inc.keySet == newRows.map(_._1).toSet)
+    newRows.foreach { case (id, _) =>
+      assert(inc(id) == full(id),
+        s"new doc $id: md5-family incremental ${inc(id)} != full ${full(id)}")
+    }
+  }
+
   test("simhashPairs: identical docs at hamming 0, near-dups found, unrelated excluded") {
     // long docs: with ~300 distinct-ish tokens each sketch bit has a wide
     // vote margin, so a one-token edit flips few bits (hamming stays <= 3);
