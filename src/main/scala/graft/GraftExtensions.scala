@@ -113,6 +113,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TdMergeAgg(exprs(0)).toAggregateExpression())
     inject("graft_td_quantile", exprs =>
       TdQuantile(exprs(0), Literal(litDouble(exprs(1), "quantile"))))
+    // KLL quantile sketch (r10): build / rollup-union / quantile probe —
+    // the uniform-rank-bound complement to the t-digest, same
+    // litInt/litDouble SQL-literal handling
+    inject("graft_kll_sketch", exprs =>
+      KllAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(0), DoubleType), litInt(exprs(1), "k"))
+        .toAggregateExpression())
+    inject("graft_kll_merge",
+      exprs => KllMergeAgg(exprs(0)).toAggregateExpression())
+    inject("graft_kll_quantile", exprs =>
+      KllQuantile(exprs(0), Literal(litDouble(exprs(1), "quantile"))))
     inject("graft_vector_avg",
       exprs => VectorSumAgg(exprs(0), avg = true).toAggregateExpression())
     inject("graft_vector_sum",
