@@ -124,6 +124,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => KllMergeAgg(exprs(0)).toAggregateExpression())
     inject("graft_kll_quantile", exprs =>
       KllQuantile(exprs(0), Literal(litDouble(exprs(1), "quantile"))))
+    // theta / KMV distinct sketch (r10): build / rollup-union / estimate,
+    // plus the set expressions no other sketch in the family can answer
+    // (intersection and difference cardinalities). Raw keys are
+    // xxhash64'd here, like graft_bloom_filter.
+    inject("graft_theta_sketch", exprs =>
+      ThetaAgg(XxHash64(Seq(exprs(0)), 42L), litInt(exprs(1), "k"))
+        .toAggregateExpression())
+    inject("graft_theta_merge",
+      exprs => ThetaMergeAgg(exprs(0)).toAggregateExpression())
+    inject("graft_theta_estimate", exprs => ThetaEstimate(exprs(0)))
+    inject("graft_theta_intersect",
+      exprs => ThetaSetOp(exprs(0), exprs(1), intersect = true))
+    inject("graft_theta_anotb",
+      exprs => ThetaSetOp(exprs(0), exprs(1), intersect = false))
     inject("graft_vector_avg",
       exprs => VectorSumAgg(exprs(0), avg = true).toAggregateExpression())
     inject("graft_vector_sum",

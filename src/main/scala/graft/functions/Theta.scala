@@ -1,0 +1,346 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** KMV / theta sketch: mergeable distinct-count summaries that ALSO
+  * support set expressions — intersection and difference cardinalities —
+  * which neither HLL (q_approx_sketch) nor any other sketch in the
+  * family can answer. Keep the k smallest distinct 64-bit hashes of a
+  * group; the k-th smallest, normalized to (0, 1), is a uniform
+  * order-statistic whose reciprocal estimates density: distinct ≈
+  * (k−1)/θ with relative standard error ≈ 1/√(k−2) (Beyer et al.,
+  * "On Synopses for Distinct-Value Estimation Under Multiset
+  * Operations", SIGMOD'07; the θ formulation follows the DataSketches
+  * line of work).
+  *
+  * Why it earns a slot next to HLL at 100 TB: "how many of THIS crawl's
+  * documents are already in THAT corpus" / "how many users did A but not
+  * B" are |A∩B| and |A\B| questions over columns too large to join just
+  * to count. Two O(k) sketches built in one pass each answer them in
+  * microseconds, and — unlike HLL, whose inclusion-exclusion subtraction
+  * explodes the error for small intersections — the theta estimate is a
+  * DIRECT sample-based count with the same 1/√k error shape.
+  *
+  * Below capacity (fewer than k distinct hashes) the sketch holds every
+  * hash and counts are EXACT — same graceful degradation as Misra-Gries.
+  * Union (the rollup path) keeps the k smallest of the merged retained
+  * sets, which IS the k smallest of the underlying union: partial
+  * aggregation is not just error-preserving but bit-for-bit
+  * deterministic — sketch-of-partitions == sketch-of-whole bytes, pinned
+  * in ThetaSpec (stronger than the t-digest/KLL order-dependent bound).
+  *
+  * Like [[BloomFilterAgg]], the aggregate takes a PRE-HASHED long child
+  * (the Column/SQL wrappers apply `xxhash64` themselves) and retains
+  * 8-byte hashes, never payloads.
+  */
+object ThetaUtil {
+
+  /** xxhash64 values are uniform over the full unsigned 64-bit range;
+    * flipping the sign bit makes signed order == unsigned order, so a
+    * plain long sort keeps "smallest hash" well-defined. */
+  def flip(h: Long): Long = h ^ Long.MinValue
+
+  /** Normalized (0, 1] position of a flipped hash on the unsigned line. */
+  def pos(flipped: Long): Double =
+    (flipped.toDouble / 9.223372036854776e18 + 1.0) / 2.0
+
+  /** Wire form: [k: int][n: int][n flipped hashes, sorted ascending]. */
+  def toBytes(k: Int, sorted: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * sorted.length)
+    bb.putInt(k).putInt(sorted.length)
+    sorted.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): (Int, Array[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    val n = bb.getInt
+    require(n >= 0 && n <= k && bytes.length == 8 + 8 * n,
+      s"theta: corrupt sketch (k=$k n=$n len=${bytes.length})")
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = bb.getLong; i += 1 }
+    (k, arr)
+  }
+
+  /** θ and the retained sample set: below capacity every entry is a
+    * sample and θ = 1; at capacity the k-th smallest IS θ and the
+    * samples are the k−1 entries strictly below it. */
+  private def thetaAndSamples(k: Int, sorted: Array[Long]): (Double, Array[Long]) =
+    if (sorted.length < k) (1.0, sorted)
+    else (pos(sorted(sorted.length - 1)), sorted.dropRight(1))
+
+  def estimateBytes(bytes: Array[Byte]): Double = {
+    val (k, sorted) = fromBytes(bytes)
+    val (theta, samples) = thetaAndSamples(k, sorted)
+    samples.length / theta
+  }
+
+  private def checkSameK(ka: Int, kb: Int): Unit =
+    require(ka == kb,
+      s"theta: set expressions need sketches of the same k, got $ka vs $kb")
+
+  /** |A ∩ B| estimate: count common samples below θ = min(θA, θB), then
+    * scale by 1/θ. Membership below θ is EXACT on both sides (every hash
+    * under θ that entered either sketch was retained), so the error is
+    * purely the 1/√k sampling error — no inclusion-exclusion blow-up. */
+  def intersectBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val (ka, sa) = fromBytes(a)
+    val (kb, sb) = fromBytes(b)
+    checkSameK(ka, kb)
+    val (ta, smA) = thetaAndSamples(ka, sa)
+    val (tb, smB) = thetaAndSamples(kb, sb)
+    val theta = math.min(ta, tb)
+    var i = 0; var j = 0; var common = 0
+    while (i < smA.length && j < smB.length &&
+      pos(smA(i)) < theta && pos(smB(j)) < theta) {
+      if (smA(i) == smB(j)) { common += 1; i += 1; j += 1 }
+      else if (smA(i) < smB(j)) i += 1
+      else j += 1
+    }
+    common / theta
+  }
+
+  /** |A \ B| estimate: A's samples below θ = min(θA, θB) that are not in
+    * B — the "how much of this crawl is NEW" number. */
+  def aNotBBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val (ka, sa) = fromBytes(a)
+    val (kb, sb) = fromBytes(b)
+    checkSameK(ka, kb)
+    val (ta, smA) = thetaAndSamples(ka, sa)
+    val (tb, smB) = thetaAndSamples(kb, sb)
+    val theta = math.min(ta, tb)
+    var i = 0; var kept = 0
+    while (i < smA.length && pos(smA(i)) < theta) {
+      if (java.util.Arrays.binarySearch(smB, smA(i)) < 0) kept += 1
+      i += 1
+    }
+    kept / theta
+  }
+}
+
+/** Mutable k-smallest-distinct-hashes buffer; all values stored flipped
+  * (signed order == unsigned hash order). */
+final class ThetaBuffer(val k: Int) {
+  require(k >= 16 && k <= (1 << 22),
+    s"theta: k=$k out of range [16, 4194304] — under 16 the (k-1)/theta " +
+      "estimator is all variance; above 4M the sketch stops being small")
+  private val set = new java.util.TreeSet[java.lang.Long]()
+
+  def add(hash: Long): Unit = {
+    val f = ThetaUtil.flip(hash)
+    if (set.size < k) { set.add(f); () }
+    else if (f < set.last()) {
+      if (set.add(f)) { set.pollLast(); () }
+    }
+  }
+
+  def mergeIn(other: ThetaBuffer): Unit = {
+    require(other.k == k,
+      s"theta: cannot union sketches of different k (${other.k} vs $k)")
+    val it = other.set.iterator()
+    while (it.hasNext) {
+      val f = it.next().longValue()
+      if (set.size < k) { set.add(f); () }
+      else if (f < set.last()) { if (set.add(f)) { set.pollLast(); () } }
+      else return // other is sorted ascending: the rest can't qualify
+    }
+  }
+
+  def toBytes: Array[Byte] = {
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    ThetaUtil.toBytes(k, arr)
+  }
+}
+
+object ThetaBuffer {
+  def fromBytes(bytes: Array[Byte]): ThetaBuffer = {
+    val (k, sorted) = ThetaUtil.fromBytes(bytes)
+    val buf = new ThetaBuffer(k)
+    sorted.foreach(f => buf.add(ThetaUtil.flip(f))) // add() re-flips
+    buf
+  }
+}
+
+/** `theta_sketch(xxhash64(e), k)` — build aggregate. */
+case class ThetaAgg(child: Expression, k: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ThetaBuffer] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"theta_sketch expects a 64-bit hash input (wrap the key in " +
+          s"xxhash64), got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): ThetaBuffer = new ThetaBuffer(k)
+
+  override def update(buf: ThetaBuffer, input: InternalRow): ThetaBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: ThetaBuffer, b2: ThetaBuffer): ThetaBuffer = {
+    b1.mergeIn(b2); b1
+  }
+
+  override def eval(buf: ThetaBuffer): Any = buf.toBytes
+  override def serialize(buf: ThetaBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): ThetaBuffer =
+    ThetaBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `theta_merge(sketch)` — union pre-built sketches (the rollup path). */
+case class ThetaMergeAgg(child: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Option[ThetaBuffer]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"theta_merge expects binary sketches, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Option[ThetaBuffer] = None
+
+  private def absorb(acc: Option[ThetaBuffer], other: ThetaBuffer): Option[ThetaBuffer] =
+    acc match {
+      case None => Some(other)
+      case Some(b) => b.mergeIn(other); acc
+    }
+
+  override def update(buf: Option[ThetaBuffer], input: InternalRow): Option[ThetaBuffer] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else absorb(buf, ThetaBuffer.fromBytes(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(b1: Option[ThetaBuffer], b2: Option[ThetaBuffer]): Option[ThetaBuffer] =
+    (b1, b2) match {
+      case (_, None) => b1
+      case (None, _) => b2
+      case (Some(a), Some(b)) => a.mergeIn(b); b1
+    }
+
+  override def eval(buf: Option[ThetaBuffer]): Any = buf.map(_.toBytes).orNull
+  override def serialize(buf: Option[ThetaBuffer]): Array[Byte] =
+    buf.map(_.toBytes).getOrElse(Array.emptyByteArray)
+  override def deserialize(bytes: Array[Byte]): Option[ThetaBuffer] =
+    if (bytes.isEmpty) None else Some(ThetaBuffer.fromBytes(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `theta_estimate(sketch)` — distinct-count estimate, codegen'd. */
+case class ThetaEstimate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"theta_estimate expects a binary sketch, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(sketch: Any): Any =
+    ThetaUtil.estimateBytes(sketch.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.ThetaUtil.estimateBytes($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `theta_intersect(a, b)` / `theta_anotb(a, b)` — set-expression
+  * cardinality estimates off two sketch byte arrays, codegen'd. */
+case class ThetaSetOp(left: Expression, right: Expression, intersect: Boolean)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"theta set ops expect two binary sketches, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (intersect)
+      ThetaUtil.intersectBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    else
+      ThetaUtil.aNotBBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (intersect) "intersectBytes" else "aNotBBytes"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ThetaUtil.$m($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Theta {
+  /** Aggregate a group's values into a theta sketch; raw values are
+    * xxhash64'd on the way in. k=1024 ≈ 3% RSE in 8 KB of state. */
+  def sketch(e: Column, k: Int = 1024): Column =
+    ColumnBridge.column(ThetaAgg(
+      XxHash64(Seq(ColumnBridge.expression(e)), 42L), k).toAggregateExpression())
+
+  /** Union pre-built sketches (same k) — the rollup path. */
+  def merge(sketch: Column): Column =
+    ColumnBridge.column(ThetaMergeAgg(ColumnBridge.expression(sketch))
+      .toAggregateExpression())
+
+  /** Distinct-count estimate from a [[sketch]]/[[merge]] result. */
+  def estimate(sketch: Column): Column =
+    ColumnBridge.column(ThetaEstimate(ColumnBridge.expression(sketch)))
+
+  /** |A ∩ B| estimate from two same-k sketches. */
+  def intersect(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOp(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), intersect = true))
+
+  /** |A \ B| estimate from two same-k sketches. */
+  def aNotB(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOp(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), intersect = false))
+}

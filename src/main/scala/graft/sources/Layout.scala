@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout control for the write path — the scan-cost lever at 100 TB.
+  *
+  * Parquet predicate pushdown prunes at the ROW-GROUP level from footer
+  * min/max statistics, but those statistics only bite if the write path
+  * puts correlated values in the same files. A randomly-laid-out 100 TB
+  * table answers a 0.1%-selective range query by opening every file
+  * (each file's min/max spans the whole domain); the same table
+  * range-clustered on the filter column opens ~0.1% of them. Nothing in
+  * the query changes — only the layout. These helpers are the ingest-time
+  * half of that bargain; LayoutSpec proves the skipping with
+  * `input_file_name()` counts over identical queries on identical rows.
+  *
+  *  - [[writeClustered]] — range-partition + sort on the cluster key(s):
+  *    optimal for one dominant filter dimension (time, usually).
+  *  - [[writeZOrdered]] — interleaved-bit (Morton) key over TWO numeric
+  *    dimensions: each file covers a small rectangle of the 2-D domain,
+  *    so selective filters on EITHER dimension alone skip most files —
+  *    the property a linear (a, b) sort cannot give b.
+  *  - [[compact]] — bin-pack a directory of small files to a target file
+  *    size, preserving (or imposing) the cluster order. Streaming sinks
+  *    and incremental ingest shed small files; scans pay per-file open
+  *    costs (footer fetch, task setup) that at 100 TB dwarf the data
+  *    read. Compaction is the maintenance job that keeps the layout's
+  *    read-side promise over time.
+  */
+object Layout {
+
+  /** Range-clustered write: rows are range-partitioned into `nFiles`
+    * contiguous key ranges and sorted within each, so every output file
+    * owns a disjoint slice of the key domain and its footer min/max is
+    * maximally tight. The sampled range boundaries balance file SIZES
+    * even under key skew — hash bucketing (modulo) would balance counts
+    * only for uniform keys and destroys range locality entirely. */
+  def writeClustered(df: DataFrame, path: String, nFiles: Int,
+                     sortCols: String*): Unit = {
+    require(nFiles > 0, s"layout: nFiles must be positive, got $nFiles")
+    require(sortCols.nonEmpty, "layout: need at least one cluster column")
+    val cols = sortCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Morton (z-order) key over two numeric columns, on an EQUI-DEPTH
+    * grid: each dimension is bucketed by its own quantiles (one
+    * `approxQuantile` stats pass per dimension — bounded driver-side
+    * state, an ingest-time cost), then the two 6-bit cell indices are
+    * bit-interleaved. Equi-depth, not min/max scaling, on purpose: real
+    * columns are skewed and heavy-tailed, and a linear [min, max] grid
+    * collapses the bulk of a heavy-tailed column into a handful of cells
+    * — the z-curve then degenerates to a sort on the OTHER dimension and
+    * the layout silently stops pruning (caught live by LayoutSpec when
+    * this used min/max). Quantile cells hold equal row counts by
+    * construction, so every z-block is a compact equal-mass rectangle of
+    * the (a, b) domain whatever the marginals look like. The per-row key
+    * is codegen'd built-ins only (comparisons, shifts, bitwise or) — no
+    * UDF on the 100 TB write path. */
+  def zOrderKey(df: DataFrame, aCol: String, bCol: String): Column = {
+    val bitsPerDim = 6
+    val cells = 1 << bitsPerDim
+    def cellOf(c: String): Column = {
+      val probs = (1 until cells).map(_.toDouble / cells).toArray
+      val bounds = df.select(col(c).cast("double").as("__q")).na.drop()
+        .stat.approxQuantile("__q", probs, 0.001)
+      require(bounds.nonEmpty,
+        s"layout: no rows to derive z-order quantiles for $c")
+      bounds.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)
+      }
+    }
+    val a = cellOf(aCol)
+    val b = cellOf(bCol)
+    (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Z-ordered write: range-partition + sort on the Morton key of
+    * (aCol, bCol); the key itself is dropped from the files (it is a
+    * layout artifact, rederivable from the stats). Footer min/max on the
+    * PLAIN a and b columns do the pruning — readers need no knowledge
+    * that the table is z-ordered. */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+                    aCol: String, bCol: String): Unit = {
+    require(nFiles > 0, s"layout: nFiles must be positive, got $nFiles")
+    val zc = "__z_key"
+    require(!df.columns.contains(zc),
+      s"layout: reserves the column name $zc; rename that input column")
+    df.withColumn(zc, zOrderKey(df, aCol, bCol))
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Compact a parquet directory to files of roughly `targetFileBytes`,
+    * re-imposing the cluster order if `sortCols` are given (a compaction
+    * that merges sorted files MUST re-sort — concatenation interleaves
+    * ranges and silently un-tightens every footer). Sizing reads the
+    * source file statuses from the filesystem, not a data scan. Writes
+    * to `dstPath`: atomicity at 100 TB is a rename/metastore swap owned
+    * by the caller's table format, not something a library should fake
+    * with a delete-then-write race on the live directory. */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+              targetFileBytes: Long, sortCols: String*): Unit = {
+    require(targetFileBytes >= (1L << 20),
+      s"layout: target file size ${targetFileBytes}B is under 1 MiB — " +
+        "that many files is the problem compaction exists to solve")
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(srcPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    require(totalBytes > 0, s"layout: no parquet data under $srcPath")
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(srcPath)
+    val packed =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.coalesce(nFiles)
+    packed.write.mode(SaveMode.Overwrite).parquet(dstPath)
+  }
+
+  /** Distinct data files contributing at least one row to `df` — the
+    * honest skip metric: planning-time `numFiles` counts only partition
+    * pruning, while footer-stat pruning happens inside the reader. A
+    * selective filter over a well-clustered layout yields rows from few
+    * files; over a random layout, from all of them. Diagnostic (small
+    * result collect), not a query-path operator. */
+  def filesTouched(df: DataFrame): Long =
+    df.select(input_file_name().as("f")).distinct().count()
+}

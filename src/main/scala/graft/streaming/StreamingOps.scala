@@ -471,4 +471,21 @@ object StreamingOps {
   def tdigestStream(events: DataFrame, delta: Int = 100): DataFrame =
     events.groupBy()
       .agg(graft.functions.Td.sketch(col("value"), delta).as("td"))
+
+  /** Streaming quantiles, KLL flavor: [[graft.functions.Kll]] as a
+    * streaming global aggregation — the UNIFORM-rank-bound complement to
+    * [[tdigestStream]] exactly as it is in batch (O(1/k) error at every
+    * rank, distribution-free, vs the t-digest's tail-weighted bound).
+    * Serialized compactor hierarchy = state-store entry, `mergeIn` =
+    * batch-over-batch update; state is O(k log(n/k)) doubles per group —
+    * bounded and slowly growing, ~3 KB at k=200 for millions of rows.
+    *
+    * Same equivalence contract as the t-digest twin: compaction decimates
+    * by insertion order (deterministic, but order-dependent), so a
+    * micro-batched replay is NOT byte-equal to the batch sketch; the spec
+    * pins the batch KllSpec's own bound instead — ≤1.5% rank error at
+    * EVERY probed quantile, k=200. */
+  def kllStream(events: DataFrame, k: Int = 200): DataFrame =
+    events.groupBy()
+      .agg(graft.functions.Kll.sketch(col("value"), k).as("kll"))
 }

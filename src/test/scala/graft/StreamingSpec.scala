@@ -781,4 +781,39 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a3.as[(Long, Long)].collect().toMap == again)
   }
+
+  test("streaming KLL merges state across micro-batches within the uniform batch bound") {
+    // the KLL aggregate as a streaming aggregation, mirroring the
+    // t-digest twin above: serialized compactor hierarchy = state-store
+    // entry, mergeIn = state update. Byte equality with batch is out
+    // (compaction decimates by insertion order and micro-batching changes
+    // that order); the contract pinned is the batch KllSpec's own bound —
+    // <= 1.5% rank error at EVERY probed quantile with k=200, uniform
+    // across the range (KLL's selling point vs the t-digest's
+    // tail-weighted bound).
+    val ev = Tables.events(spark, sf)
+    val dir = stageBatches("kll_stream", Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 =!= 0)))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingOps.kllStream(stream).writeStream
+      .outputMode("complete").format("memory").queryName("kll_stream_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2,
+      s"expected >= 2 micro-batches, got ${q.recentProgress.length}")
+    val sketch = spark.table("kll_stream_q").head.getAs[Array[Byte]]("kll")
+    val sorted = ev.select("value").as[Double].collect().sorted
+    def rankOf(v: Double): Double = {
+      val i = java.util.Arrays.binarySearch(sorted, v)
+      (if (i >= 0) i else -(i + 1)).toDouble / sorted.length
+    }
+    for (p <- Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = functions.KllUtil.quantileBytes(sketch, p)
+      val err = math.abs(rankOf(est) - p)
+      assert(err <= 0.015,
+        f"stream KLL q=$p: rank error $err%.4f > 0.015 (est=$est%.3f)")
+    }
+  }
 }

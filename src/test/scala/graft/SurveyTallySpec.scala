@@ -60,10 +60,10 @@ class SurveyTallySpec extends AnyFunSuite {
     assert(st == ar + as_, s"SURVEY tally $st != actual ${ar + as_}")
   }
 
-  test("sanity: the parser actually sees the five §2 tables and four sources") {
+  test("sanity: the parser actually sees the five §2 tables and the source bullets") {
     // guards the parser itself — a silent regex/structure drift that
     // counted 0 rows would make the tally test vacuously green
     assert(tableRows >= 100, s"only $tableRows §2 rows parsed — parser broken?")
-    assert(sourceBullets == 4, s"$sourceBullets §2.6 bullets parsed")
+    assert(sourceBullets == 5, s"$sourceBullets §2.6 bullets parsed")
   }
 }
