@@ -134,6 +134,104 @@ object Multimodal {
       }.toDF()
   }
 
+  /** REAL-codec audio path (r10): `javax.sound.sampled` (WAV / AIFF /
+    * AU — public JDK platform API, like [[ImageCodec]]'s imageio)
+    * behind the same map-side contract: binary in, partition-local
+    * decode, fixed-dim features out, payload never in the output,
+    * undecodable rows flagged not fatal. Whatever the container's
+    * encoding, samples are normalized through the JDK's converter to
+    * 16-bit signed PCM and mixed to mono in [-1, 1], so the features are
+    * codec-independent. */
+  object AudioCodec {
+    case class Pcm(sampleRate: Float, channels: Int, samples: Array[Double])
+
+    /** None for undecodable payloads (truncated/corrupt/not-audio). */
+    def decode(payload: Array[Byte]): Option[Pcm] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            2 * fmt.getChannels, fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, in)
+          val bytes = pcm.readAllBytes()
+          val ch = math.max(1, target.getChannels)
+          val nFrames = bytes.length / (2 * ch)
+          val mono = new Array[Double](nFrames)
+          var i = 0
+          while (i < nFrames) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              s += (((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort
+                / 32768.0)
+              c += 1
+            }
+            mono(i) = s / ch
+            i += 1
+          }
+          Some(Pcm(target.getSampleRate, ch, mono))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Fixed-dim mean-|amplitude| envelope over even sample windows —
+      * the audio analog of [[ImageCodec.grayThumb]]'s pixel grid. */
+    def envelope(samples: Array[Double], dim: Int): Array[Double] = {
+      if (samples.isEmpty) return new Array[Double](dim)
+      Array.tabulate(dim) { t =>
+        val lo = (t.toLong * samples.length / dim).toInt
+        val hi = math.max(lo + 1, ((t + 1).toLong * samples.length / dim).toInt)
+        var s = 0.0
+        var i = lo
+        while (i < hi) { s += math.abs(samples(i)); i += 1 }
+        s / (hi - lo)
+      }
+    }
+  }
+
+  case class AudioFeatures(doc_id: Long, decoded: Boolean,
+                           sample_rate: Double, channels: Int,
+                           n_samples: Long, rms: Double, peak: Double,
+                           envelope: Array[Double])
+
+  /** Map-side real-codec audio features: decode each `audio` payload with
+    * [[AudioCodec]] and emit rate/channels/length plus RMS, peak and a
+    * fixed-dim amplitude envelope. Same scale shape as
+    * [[imageFeaturesReal]]: payloads stay where they were read, output
+    * rows carry envDim doubles. */
+  def audioFeaturesReal(media: DataFrame, envDim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          AudioCodec.decode(payload) match {
+            case Some(pcm) =>
+              val n = pcm.samples.length
+              var sq = 0.0
+              var peak = 0.0
+              pcm.samples.foreach { s =>
+                sq += s * s; val a = math.abs(s); if (a > peak) peak = a
+              }
+              AudioFeatures(id, decoded = true, pcm.sampleRate.toDouble,
+                pcm.channels, n.toLong,
+                if (n == 0) 0.0 else math.sqrt(sq / n), peak,
+                AudioCodec.envelope(pcm.samples, envDim))
+            case None =>
+              AudioFeatures(id, decoded = false, -1.0, -1, -1L, 0.0, 0.0,
+                Array.empty[Double])
+          }
+        }
+      }.toDF()
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int,
                    frame_hash: Long, thumb: Array[Double])
 

@@ -271,6 +271,50 @@ class StreamingSpec extends SparkSpec {
     assert(!bad && bw == -1 && bh == -1 && badThumb.isEmpty)
   }
 
+  test("real-codec audio decode: javax.sound WAV map-side, sine with known RMS/peak/envelope") {
+    // a generated 16-bit PCM mono WAV of a pure sine — the REAL audio
+    // decode path (r10), same contract as the image path: binary in,
+    // fixed-dim features out, corrupt rows classified not thrown. A sine
+    // of amplitude A has RMS A/sqrt(2), peak ~A, mean |x| = 2A/pi — three
+    // independent checks that genuine samples came out of the codec.
+    val rate = 8000f
+    val amp = 0.5
+    val n = 8000
+    val pcm = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      val v = math.round(amp * math.sin(2 * math.Pi * 440.0 * i / rate)
+        * 32767.0).toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val media = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", "definitely not audio".getBytes("UTF-8")),
+      (3L, "image", wav)).toDF("doc_id", "modality", "payload")
+    val got = operators.Multimodal.audioFeaturesReal(media, envDim = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getDouble(2), r.getInt(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6),
+          r.getAs[scala.collection.Seq[Double]]("envelope")))).toMap
+    assert(got.keySet == Set(1L, 2L)) // image row filtered, not decoded
+    val (ok, sr, ch, len, rms, peak, env) = got(1L)
+    assert(ok && sr == rate.toDouble && ch == 1 && len == n.toLong)
+    assert(math.abs(rms - amp / math.sqrt(2)) < 0.01, s"rms $rms")
+    assert(math.abs(peak - amp) < 0.01, s"peak $peak")
+    assert(env.length == 8)
+    env.foreach(e => assert(math.abs(e - 2 * amp / math.Pi) < 0.01,
+      s"envelope $env not flat at 2A/pi"))
+    val (bad, bsr, bch, blen, _, _, benv) = got(2L)
+    assert(!bad && bsr == -1.0 && bch == -1 && blen == -1L && benv.isEmpty)
+  }
+
   test("streaming heavy hitters equals batch counts in the exact regime") {
     // k >= distinct event types -> Misra-Gries degenerates to exact
     // counting, so stream == batch bit-for-bit regardless of order
