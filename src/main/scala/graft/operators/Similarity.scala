@@ -110,19 +110,47 @@ object Similarity {
     // same reproducibility rule as ts_kmeans_embed: float means are
     // accumulation-order-dependent, pinning makes routing identical across
     // engines/partitionings and lets the DuckDB oracle replay the index.
-    val (_, centroids) = graft.ml.KMeans.fitWithCentroids(corpus, nlist,
-      iters = 1, roundDp = Some(6))
-    // cell assignment map-side against the driver-resident centroids — no
-    // join of the corpus back to the fit's assignment (that join would
-    // shuffle the whole corpus twice at scale)
-    // NearestCentroid reads array<float> natively — no toDouble transform
-    // (that would allocate a converted copy per corpus row)
-    val assigned = corpus.select(col("vec_id").as("c_id"),
+    val centroids = ivfCentroids(corpus, nlist)
+    annIvfProbe(ivfAssign(corpus, centroids), centroids, queries, nprobe, k)
+  }
+
+  /** Fit the IVF routing centroids once on a corpus snapshot — the
+    * expensive leg of the index, paid per snapshot. Centroids pinned at
+    * 6 dp (the ts_kmeans_embed reproducibility rule), which is also what
+    * makes the INCREMENTAL contract below exact. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int): Array[Array[Double]] =
+    graft.ml.KMeans.fitWithCentroids(corpus, nlist,
+      iters = 1, roundDp = Some(6))._2
+
+  /** Cell assignment map-side against driver-resident frozen centroids —
+    * no join of the corpus back to the fit's assignment (that join would
+    * shuffle the whole corpus twice at scale). NearestCentroid reads
+    * array<float> natively — no toDouble transform (that would allocate
+    * a converted copy per corpus row).
+    *
+    * This is also the INCREMENTAL index path, mirroring
+    * [[Dedup.incrementalCandidatePairs]]'s shape on the similarity side:
+    * fit [[ivfCentroids]] once on the base snapshot, then absorb each
+    * arriving batch with one O(batch) map-side `ivfAssign` (zero
+    * shuffle, zero refit, the persisted base rows untouched) and serve
+    * queries against the union. Assignment with frozen centroids is
+    * deterministic, so base ∪ assign(batch) == assign(base ∪ batch)
+    * row-for-row — the increment equals the full rebuild by
+    * construction, spec-pinned. Re-fit cadence (centroid drift as the
+    * corpus distribution moves) is a snapshot policy, same as the dedup
+    * cluster index. */
+  def ivfAssign(batch: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    batch.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"),
       graft.ml.KMeans.assign(col("embedding"), centroids).as("cell"))
-    // route each query to its nprobe nearest cells — native NearestCells
-    // selection against the driver-resident centroids (no join, no
-    // shuffle, codegen size independent of nlist)
+
+  /** Query leg against a (possibly incrementally grown) assigned index:
+    * route each query to its nprobe nearest cells — native NearestCells
+    * selection against the driver-resident centroids (no join, no
+    * shuffle, codegen size independent of nlist) — and re-rank exactly
+    * inside them. */
+  def annIvfProbe(assigned: DataFrame, centroids: Array[Array[Double]],
+                  queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(graft.functions.NearestCells(

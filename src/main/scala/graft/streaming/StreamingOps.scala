@@ -488,4 +488,22 @@ object StreamingOps {
   def kllStream(events: DataFrame, k: Int = 200): DataFrame =
     events.groupBy()
       .agg(graft.functions.Kll.sketch(col("value"), k).as("kll"))
+
+  /** Streaming distinct-count (and set-expression) state: the theta/KMV
+    * aggregate ([[graft.functions.Theta]]) over a key column as a
+    * streaming global aggregation — k-smallest-hash set = state-store
+    * entry, union = batch-over-batch update, O(k) state per group
+    * forever. The streamed sketch feeds the same
+    * `Theta.estimate/intersect/aNotB` probes as a batch one — e.g. live
+    * "how much of today's stream is already in the reference corpus"
+    * against a persisted batch sketch.
+    *
+    * Equivalence contract — and the reason this twin is special: theta's
+    * union is ORDER-INDEPENDENT (k smallest of a union does not care how
+    * the union was batched), so unlike the t-digest and KLL twins the
+    * spec pins BYTE equality with the batch sketch, not an error bound. */
+  def thetaStream(events: DataFrame, keyCol: String = "user_id",
+                  k: Int = 1024): DataFrame =
+    events.groupBy()
+      .agg(graft.functions.Theta.sketch(col(keyCol), k).as("theta"))
 }

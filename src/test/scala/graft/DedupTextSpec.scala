@@ -177,6 +177,41 @@ class DedupTextSpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall too low: $recall")
   }
 
+  test("incremental IVF: O(batch) map-side assign equals the full rebuild, queries identical") {
+    // the similarity-side twin of incrementalCandidatePairs: centroids
+    // frozen on the base snapshot, each arriving batch absorbed with one
+    // map-side ivfAssign — and because frozen-centroid routing is
+    // deterministic, base ∪ assign(batch) == assign(base ∪ batch)
+    // row-for-row, so the increment IS the rebuild
+    val emb = Tables.embeddings(spark, sf)
+    val cut = emb.count() * 4 / 5
+    val base = emb.filter(col("vec_id") < cut)
+    val batch = emb.filter(col("vec_id") >= cut)
+    assert(batch.count() > 0, "fixture degenerated: empty increment")
+    val centroids = Similarity.ivfCentroids(base, nlist = 4)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("c_id", "cell").as[(Long, Long)].collect().toSet
+    val incremental = Similarity.ivfAssign(base, centroids)
+      .unionByName(Similarity.ivfAssign(batch, centroids))
+    val rebuild = Similarity.ivfAssign(emb, centroids)
+    assert(rows(incremental) == rows(rebuild),
+      "incremental assignment diverged from the full rebuild")
+
+    // queries against the incrementally grown index == against the rebuild
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(assigned: org.apache.spark.sql.DataFrame) =
+      Similarity.annIvfProbe(assigned, centroids, queries, nprobe = 2, k = 5)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(hits(incremental) == hits(rebuild))
+
+    // the increment leg is pure map-side: no exchange anywhere in its plan
+    val plan = Similarity.ivfAssign(batch, centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"ivfAssign must not shuffle the batch; plan:\n${plan.take(800)}")
+  }
+
   test("json and orc sources round-trip events exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("fmt").toString
     val ev = Tables.events(spark, sf)

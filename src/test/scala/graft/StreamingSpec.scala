@@ -826,6 +826,36 @@ class StreamingSpec extends SparkSpec {
     assert(a3.as[(Long, Long)].collect().toMap == again)
   }
 
+  test("streaming theta sketch equals the batch sketch BYTE-FOR-BYTE across micro-batches") {
+    // theta's union is order-independent (the k smallest hashes of a
+    // union don't care how the union was micro-batched), so this twin —
+    // alone among the sketch twins — pins byte equality with batch, not
+    // an error bound. A state round-trip or merge regression is a hard
+    // byte-diff failure.
+    val ev = Tables.events(spark, sf)
+    val dir = stageBatches("theta_stream", Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 =!= 0)))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingOps.thetaStream(stream, "user_id", k = 64).writeStream
+      .outputMode("complete").format("memory").queryName("theta_stream_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2,
+      s"expected >= 2 micro-batches, got ${q.recentProgress.length}")
+    val streamed = spark.table("theta_stream_q").head.getAs[Array[Byte]]("theta")
+    val batch = ev.agg(functions.Theta.sketch(col("user_id"), 64).as("t"))
+      .head.getAs[Array[Byte]]("t")
+    assert(java.util.Arrays.equals(streamed, batch),
+      "streamed theta sketch must be byte-identical to the batch sketch")
+    // and the probe side works off the streamed bytes: k=64 over the
+    // small-corpus user population is the exact-or-estimate regime —
+    // just pin it against the batch estimate, which is the same bytes
+    assert(functions.ThetaUtil.estimateBytes(streamed) ==
+      functions.ThetaUtil.estimateBytes(batch))
+  }
+
   test("streaming KLL merges state across micro-batches within the uniform batch bound") {
     // the KLL aggregate as a streaming aggregation, mirroring the
     // t-digest twin above: serialized compactor hierarchy = state-store
