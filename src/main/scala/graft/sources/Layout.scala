@@ -129,6 +129,78 @@ object Layout {
     packed.write.mode(SaveMode.Overwrite).parquet(dstPath)
   }
 
+  case class DeleteStats(filesTotal: Int, filesRewritten: Int,
+                         rowsDeleted: Long)
+
+  /** Targeted row deletion ("forget these keys" — the compliance /
+    * right-to-erasure job): rewrite ONLY the files that contain matching
+    * rows; every clean file is copied through BYTE-FOR-BYTE at the
+    * filesystem level, never decoded. This is the layout's pruning
+    * promise applied to the WRITE side: on a key-clustered 100 TB table
+    * a delete of k keys dirties the handful of files whose key ranges
+    * cover them, so the rewrite cost is proportional to the dirty data,
+    * not the table. On a random layout the same delete dirties every
+    * file — the spec measures exactly that contrast.
+    *
+    * Each dirty file is rewritten as its own single-file job, preserving
+    * the file's internal sort and the table's file granularity; the
+    * driver holds only file NAMES (bounded by the dirty-file count).
+    * Writes the full corrected table to `dstPath` — like [[compact]],
+    * the atomic swap of a live table belongs to the caller's table
+    * format, not a faked delete-in-place. */
+  def deleteRows(spark: SparkSession, srcPath: String, dstPath: String,
+                 keyCol: String, dropKeys: Seq[Any]): DeleteStats = {
+    require(dropKeys.nonEmpty, "layout: deleteRows with no keys — refusing " +
+      "to rewrite a table as a no-op")
+    require(dropKeys.size <= 1000000,
+      s"layout: ${dropKeys.size} delete keys held driver-side — stage " +
+        "larger deletions as a table and anti-join instead")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = src.getFileSystem(conf)
+    val dataFiles = fs.listStatus(src)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq
+    require(dataFiles.nonEmpty, s"layout: no parquet data under $srcPath")
+
+    // which files contain victims, and how many victim rows — ONE pruned
+    // scan (pushed filter; on a clustered layout the footer stats skip
+    // the clean files' row groups); collect_set is bounded by file count
+    val hit = spark.read.parquet(srcPath)
+      .filter(col(keyCol).isin(dropKeys: _*))
+      .select(input_file_name().as("__f"))
+      .agg(count(lit(1)), collect_set(col("__f"))).head
+    val deleted = hit.getLong(0)
+    val dirtyNames = hit.getSeq[String](1).map(f =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(f)).getName).toSet
+
+    fs.mkdirs(dst)
+    dataFiles.foreach { p =>
+      val out = new org.apache.hadoop.fs.Path(dst, p.getName)
+      if (!dirtyNames.contains(p.getName)) {
+        // clean file: byte-for-byte FS copy, never decoded
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, out, false, conf)
+        ()
+      } else {
+        val kept = spark.read.parquet(p.toString)
+          .filter(!col(keyCol).isin(dropKeys: _*))
+        val tmp = new org.apache.hadoop.fs.Path(dst,
+          s".rewrite_tmp_${p.getName}")
+        kept.coalesce(1).write
+          .mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        require(part.length == 1,
+          s"layout: expected one rewritten part for ${p.getName}")
+        fs.rename(part.head.getPath, out)
+        fs.delete(tmp, true)
+        ()
+      }
+    }
+    DeleteStats(dataFiles.size, dirtyNames.size, deleted)
+  }
+
   /** Distinct data files contributing at least one row to `df` — the
     * honest skip metric: planning-time `numFiles` counts only partition
     * pruning, while footer-stat pruning happens inside the reader. A

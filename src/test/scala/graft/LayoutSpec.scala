@@ -104,6 +104,61 @@ class LayoutSpec extends SparkSpec {
     assert(ts.sameElements(ts.sorted), "packed file lost the ts sort")
   }
 
+  test("targeted delete rewrites only the dirty files on a clustered layout; random layout dirties all") {
+    val tmp = java.nio.file.Files.createTempDirectory("layout_del").toString
+    val ev = Tables.events(spark, sf)
+    Layout.writeClustered(ev, s"$tmp/clustered", N, "user_id")
+    ev.repartition(N, col("event_id")).write.parquet(s"$tmp/random")
+
+    // three adjacent user ids — on the user-clustered layout their rows
+    // live in a couple of neighboring files; on the random layout, in
+    // essentially every file
+    val victims = ev.select("user_id").distinct()
+      .orderBy("user_id").limit(3).as[Long].collect().toSeq
+    val nVictimRows = ev.filter(col("user_id").isin(victims: _*)).count()
+    assert(nVictimRows > 0)
+
+    val sc = Layout.deleteRows(spark, s"$tmp/clustered", s"$tmp/clustered_del",
+      "user_id", victims)
+    val sr = Layout.deleteRows(spark, s"$tmp/random", s"$tmp/random_del",
+      "user_id", victims)
+    assert(sc.rowsDeleted == nVictimRows && sr.rowsDeleted == nVictimRows)
+    assert(sc.filesRewritten <= 3,
+      s"clustered delete rewrote ${sc.filesRewritten} of ${sc.filesTotal}")
+    assert(sr.filesRewritten >= N - 2,
+      s"random delete should dirty ~all files, got ${sr.filesRewritten}")
+
+    // corrected table: victims gone, everything else intact
+    val after = spark.read.parquet(s"$tmp/clustered_del")
+    assert(after.count() == ev.count() - nVictimRows)
+    assert(after.filter(col("user_id").isin(victims: _*)).count() == 0)
+    val want = ev.filter(!col("user_id").isin(victims: _*))
+    assert(after.exceptAll(want).count() == 0 &&
+      want.exceptAll(after).count() == 0)
+
+    // clean files came through byte-for-byte (FS copy, not re-encode)
+    def names(dir: String): Set[String] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val fileNames = names(s"$tmp/clustered")
+    assert(names(s"$tmp/clustered_del") == fileNames,
+      "file granularity preserved")
+    val identical = fileNames.count { n =>
+      java.nio.file.Files.mismatch(
+        java.nio.file.Paths.get(s"$tmp/clustered", n),
+        java.nio.file.Paths.get(s"$tmp/clustered_del", n)) == -1L
+    }
+    // range partitioning may leave some of the N requested partitions
+    // empty, so the honest denominator is the actual file count
+    assert(identical == sc.filesTotal - sc.filesRewritten,
+      s"clean files must be byte-identical copies ($identical of " +
+        s"${sc.filesTotal} identical, ${sc.filesRewritten} rewritten)")
+
+    intercept[IllegalArgumentException] {
+      Layout.deleteRows(spark, s"$tmp/clustered", s"$tmp/x", "user_id", Seq.empty)
+    }
+  }
+
   test("layout guardrails refuse degenerate requests") {
     val ev = Tables.events(spark, sf)
     intercept[IllegalArgumentException] {
