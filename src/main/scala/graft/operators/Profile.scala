@@ -58,9 +58,15 @@ object Profile {
     case _ => c.cast("double")
   }
 
-  /** Per-column profile of `df` — one row per column, one job total. */
-  def profile(df: DataFrame, thetaK: Int = 1024, kllK: Int = 200): DataFrame = {
-    val spark = df.sparkSession
+  /** The wide single-row aggregate every statistic lives in — exposed
+    * separately because it is STREAMING-SAFE: every column is either a
+    * plain mergeable aggregate or a mergeable sketch, so the same
+    * expression set runs as a complete-mode streaming aggregation
+    * (sketch buffers = state-store entries, exactly the
+    * tdigestStream/thetaStream pattern) and the wide row can be
+    * assembled into per-column rows by a foreachBatch consumer. */
+  def profileAggs(df: DataFrame, thetaK: Int = 1024,
+                  kllK: Int = 200): DataFrame = {
     val cols = df.schema.fields
     require(cols.nonEmpty, "profile: no columns")
     val aggs: Seq[Column] = cols.flatMap { f =>
@@ -79,7 +85,14 @@ object Profile {
         } else Seq.empty
       base ++ numeric
     }.toSeq
-    val row = df.agg(aggs.head, aggs.tail: _*).head
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-column profile of `df` — one row per column, one job total. */
+  def profile(df: DataFrame, thetaK: Int = 1024, kllK: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.schema.fields
+    val row = profileAggs(df, thetaK, kllK).head
     val out = cols.map { f =>
       def d(s: String): Double = row.getAs[Double](s"${f.name}__$s")
       val theta = row.getAs[Array[Byte]](s"${f.name}__theta")

@@ -826,6 +826,47 @@ class StreamingSpec extends SparkSpec {
     assert(a3.as[(Long, Long)].collect().toMap == again)
   }
 
+  test("streaming profile: the wide aggregate runs in complete mode, sketches merge to batch") {
+    // Profile.profileAggs is streaming-safe by construction (every column
+    // is a mergeable aggregate or a mergeable sketch buffer): run it over
+    // a forced two-micro-batch replay and hold the merged row to the
+    // batch row — counts/min/max exactly, theta BYTE-equal (order-free
+    // union), KLL p50 within the batch bound (order-dependent compaction)
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = stageBatches("prof_stream", Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 =!= 0)))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = operators.Profile.profileAggs(stream).writeStream
+      .outputMode("complete").format("memory").queryName("prof_stream_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2)
+    val got = spark.table("prof_stream_q").head
+    val want = operators.Profile.profileAggs(ev).head
+    assert(got.getAs[Long]("value__n") == want.getAs[Long]("value__n"))
+    assert(got.getAs[Double]("value__min") == want.getAs[Double]("value__min"))
+    assert(got.getAs[Double]("value__max") == want.getAs[Double]("value__max"))
+    assert(math.abs(got.getAs[Double]("value__mean")
+      - want.getAs[Double]("value__mean")) < 1e-9)
+    assert(java.util.Arrays.equals(
+      got.getAs[Array[Byte]]("user_id__theta"),
+      want.getAs[Array[Byte]]("user_id__theta")),
+      "streamed theta column must merge to the batch bytes")
+    val p50s = functions.KllUtil.quantileBytes(
+      got.getAs[Array[Byte]]("value__kll"), 0.5)
+    val p50b = functions.KllUtil.quantileBytes(
+      want.getAs[Array[Byte]]("value__kll"), 0.5)
+    val sorted = ev.select("value").as[Double].collect().sorted
+    def rankOf(v: Double): Double = {
+      val i = java.util.Arrays.binarySearch(sorted, v)
+      (if (i >= 0) i else -(i + 1)).toDouble / sorted.length
+    }
+    assert(math.abs(rankOf(p50s) - 0.5) <= 0.015, s"stream p50 $p50s vs $p50b")
+  }
+
   test("streaming theta sketch equals the batch sketch BYTE-FOR-BYTE across micro-batches") {
     // theta's union is order-independent (the k smallest hashes of a
     // union don't care how the union was micro-batched), so this twin —
