@@ -113,6 +113,42 @@ class ThetaSpec extends SparkSpec {
     assert(math.abs(ops.getDouble(1) - 6000) / 6000.0 <= 0.15)
   }
 
+  test("error envelope: estimate within 3/sqrt(k) across k and cardinality grid") {
+    // deterministic property sweep (xxhash64 is fixed): for every (k, n)
+    // cell the relative error must sit inside 3·RSE = 3/sqrt(k-2) — the
+    // three-sigma band of the KMV estimator. Disjoint id ranges per cell
+    // so every sketch sees fresh hash draws.
+    var offset = 0L
+    for (k <- Seq(256, 1024, 4096); n <- Seq(5000L, 20000L, 80000L)) {
+      val est = ThetaUtil.estimateBytes(
+        sketchOf(spark.range(offset, offset + n).toDF("id"), k))
+      val rel = math.abs(est - n) / n
+      val bound = 3.0 / math.sqrt(k - 2.0)
+      assert(rel <= bound,
+        f"k=$k n=$n: rel err $rel%.4f > 3*RSE $bound%.4f (est $est%.0f)")
+      offset += n
+    }
+  }
+
+  test("set-op error scales with 1/sqrt(k) too: intersection sweep over overlap fractions") {
+    // |A| = |B| = 20k with overlap fraction f in {0.1, 0.5, 0.9}: the
+    // theta intersection is a direct sample count below theta, so its
+    // error tracks the SAME 1/sqrt(k) envelope whatever f is — the
+    // property HLL inclusion-exclusion loses exactly when f is small.
+    val n = 20000L
+    for (f <- Seq(0.1, 0.5, 0.9)) {
+      val overlap = (n * f).toLong
+      val a = sketchOf(spark.range(0, n).toDF("id"), 4096)
+      val b = sketchOf(spark.range(n - overlap, 2 * n - overlap).toDF("id"), 4096)
+      val est = ThetaUtil.intersectBytes(a, b)
+      // union-scaled error bound: the sample is drawn over A∪B
+      val union = 2 * n - overlap
+      val bound = 3.0 / math.sqrt(4096 - 2.0) * union
+      assert(math.abs(est - overlap) <= bound,
+        f"f=$f: |A∩B| est $est%.0f vs $overlap (bound ±$bound%.0f)")
+    }
+  }
+
   test("guardrails: degenerate k and mixed-k set ops are refused") {
     intercept[IllegalArgumentException] { new graft.functions.ThetaBuffer(4) }
     val a = sketchOf(spark.range(5000).toDF("id"), k = 1024)
