@@ -129,7 +129,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (intersection and difference cardinalities). Raw keys are
     // xxhash64'd here, like graft_bloom_filter.
     inject("graft_theta_sketch", exprs =>
-      ThetaAgg(XxHash64(Seq(exprs(0)), 42L), litInt(exprs(1), "k"))
+      ThetaAgg(Theta.nullSafeHash(exprs(0)), litInt(exprs(1), "k"))
         .toAggregateExpression())
     inject("graft_theta_merge",
       exprs => ThetaMergeAgg(exprs(0)).toAggregateExpression())

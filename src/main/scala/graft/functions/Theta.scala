@@ -70,17 +70,26 @@ object ThetaUtil {
     (k, arr)
   }
 
-  /** θ and the retained sample set: below capacity every entry is a
-    * sample and θ = 1; at capacity the k-th smallest IS θ and the
-    * samples are the k−1 entries strictly below it. */
-  private def thetaAndSamples(k: Int, sorted: Array[Long]): (Double, Array[Long]) =
-    if (sorted.length < k) (1.0, sorted)
-    else (pos(sorted(sorted.length - 1)), sorted.dropRight(1))
+  /** θ as an EXACT flipped-long threshold plus the retained sample set:
+    * below capacity every entry is a sample and there is no threshold
+    * (Long.MaxValue sentinel ⇒ effective θ = 1); at capacity the k-th
+    * smallest IS the threshold and the samples are the k−1 entries
+    * strictly below it. All threshold comparisons stay in 64-bit long
+    * space — `pos()` rounds longs into 53-bit doubles, and a
+    * double-space compare can misclassify a sample within ~2^11 of the
+    * threshold (caught in self-review); pos() is only for the final
+    * 1/θ scaling, where rounding is harmless. */
+  private def thetaAndSamples(k: Int, sorted: Array[Long]): (Long, Array[Long]) =
+    if (sorted.length < k) (Long.MaxValue, sorted)
+    else (sorted(sorted.length - 1), sorted.dropRight(1))
+
+  private def scaleOf(thetaF: Long): Double =
+    if (thetaF == Long.MaxValue) 1.0 else pos(thetaF)
 
   def estimateBytes(bytes: Array[Byte]): Double = {
     val (k, sorted) = fromBytes(bytes)
-    val (theta, samples) = thetaAndSamples(k, sorted)
-    samples.length / theta
+    val (thetaF, samples) = thetaAndSamples(k, sorted)
+    samples.length / scaleOf(thetaF)
   }
 
   private def checkSameK(ka: Int, kb: Int): Unit =
@@ -97,15 +106,15 @@ object ThetaUtil {
     checkSameK(ka, kb)
     val (ta, smA) = thetaAndSamples(ka, sa)
     val (tb, smB) = thetaAndSamples(kb, sb)
-    val theta = math.min(ta, tb)
+    val thetaF = math.min(ta, tb)
     var i = 0; var j = 0; var common = 0
     while (i < smA.length && j < smB.length &&
-      pos(smA(i)) < theta && pos(smB(j)) < theta) {
+      smA(i) < thetaF && smB(j) < thetaF) {
       if (smA(i) == smB(j)) { common += 1; i += 1; j += 1 }
       else if (smA(i) < smB(j)) i += 1
       else j += 1
     }
-    common / theta
+    common / scaleOf(thetaF)
   }
 
   /** |A \ B| estimate: A's samples below θ = min(θA, θB) that are not in
@@ -116,13 +125,13 @@ object ThetaUtil {
     checkSameK(ka, kb)
     val (ta, smA) = thetaAndSamples(ka, sa)
     val (tb, smB) = thetaAndSamples(kb, sb)
-    val theta = math.min(ta, tb)
+    val thetaF = math.min(ta, tb)
     var i = 0; var kept = 0
-    while (i < smA.length && pos(smA(i)) < theta) {
+    while (i < smA.length && smA(i) < thetaF) {
       if (java.util.Arrays.binarySearch(smB, smA(i)) < 0) kept += 1
       i += 1
     }
-    kept / theta
+    kept / scaleOf(thetaF)
   }
 }
 
@@ -133,12 +142,19 @@ final class ThetaBuffer(val k: Int) {
     s"theta: k=$k out of range [16, 4194304] — under 16 the (k-1)/theta " +
       "estimator is all variance; above 4M the sketch stops being small")
   private val set = new java.util.TreeSet[java.lang.Long]()
+  // cached copy of set.last() once at capacity: the per-row hot path is
+  // overwhelmingly "hash above threshold, reject" — that common case must
+  // be one primitive compare, not an O(log k) tree descent + unboxing
+  // per input row (self-review finding)
+  private var threshold: Long = Long.MaxValue
 
   def add(hash: Long): Unit = {
     val f = ThetaUtil.flip(hash)
-    if (set.size < k) { set.add(f); () }
-    else if (f < set.last()) {
-      if (set.add(f)) { set.pollLast(); () }
+    if (set.size < k) {
+      set.add(f)
+      if (set.size == k) threshold = set.last()
+    } else if (f < threshold) {
+      if (set.add(f)) { set.pollLast(); threshold = set.last() }
     }
   }
 
@@ -148,9 +164,12 @@ final class ThetaBuffer(val k: Int) {
     val it = other.set.iterator()
     while (it.hasNext) {
       val f = it.next().longValue()
-      if (set.size < k) { set.add(f); () }
-      else if (f < set.last()) { if (set.add(f)) { set.pollLast(); () } }
-      else return // other is sorted ascending: the rest can't qualify
+      if (set.size < k) {
+        set.add(f)
+        if (set.size == k) threshold = set.last()
+      } else if (f < threshold) {
+        if (set.add(f)) { set.pollLast(); threshold = set.last() }
+      } else return // other is sorted ascending: the rest can't qualify
     }
   }
 
@@ -319,11 +338,24 @@ case class ThetaSetOp(left: Expression, right: Expression, intersect: Boolean)
 }
 
 object Theta {
+  /** NULL-transparent hash: `XxHash64` maps NULL to its seed rather than
+    * to NULL, which would count every nullable column's NULLs as one
+    * phantom distinct value (and make that phantom "intersect" across
+    * unrelated columns). NULL is not a value — null it out BEFORE the
+    * aggregate so ThetaAgg's null guard skips it, keeping the
+    * below-capacity == exact-countDistinct contract. */
+  private[graft] def nullSafeHash(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.expressions.If(
+      org.apache.spark.sql.catalyst.expressions.IsNull(e),
+      org.apache.spark.sql.catalyst.expressions.Literal(null, LongType),
+      XxHash64(Seq(e), 42L))
+
   /** Aggregate a group's values into a theta sketch; raw values are
     * xxhash64'd on the way in. k=1024 ≈ 3% RSE in 8 KB of state. */
   def sketch(e: Column, k: Int = 1024): Column =
     ColumnBridge.column(ThetaAgg(
-      XxHash64(Seq(ColumnBridge.expression(e)), 42L), k).toAggregateExpression())
+      nullSafeHash(ColumnBridge.expression(e)), k).toAggregateExpression())
 
   /** Union pre-built sketches (same k) — the rollup path. */
   def merge(sketch: Column): Column =

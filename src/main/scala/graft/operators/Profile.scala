@@ -100,8 +100,11 @@ object Profile {
       val kll =
         if (numeric) row.getAs[Array[Byte]](s"${f.name}__kll") else null
       def q(p: Double): Any =
-        if (kll == null || KllUtil.quantileBytes(kll, p).isNaN) null
-        else KllUtil.quantileBytes(kll, p)
+        if (kll == null) null
+        else {
+          val v = KllUtil.quantileBytes(kll, p)
+          if (v.isNaN) null else v
+        }
       def opt(s: String): Any =
         if (!numeric || row.isNullAt(row.fieldIndex(s"${f.name}__$s"))) null
         else d(s)
@@ -141,10 +144,17 @@ object Profile {
       .withColumn("new_frac",
         Theta.aNotB(col("tb"), col("ta")) / greatest(lit(1.0), col("db")))
     val deciles = (1 to 9).map(_ / 10.0)
+    // scale floor: a (near-)constant column has p50a == p99a, and a bare
+    // +eps denominator would amplify one new value's decile movement into
+    // an astronomic shift — a false-positive generator on status-code-like
+    // columns (self-review finding). Floor the normalizer at 1e-3 of the
+    // column's magnitude so flags require genuine decile movement.
+    val scale = greatest(
+      abs(col("p99a") - col("p50a")),
+      greatest(abs(col("p99a")), abs(col("p50a")), lit(1.0)) * lit(1e-3))
     val shift = deciles.map { p =>
       abs(Kll.quantile(col("kb"), p) - Kll.quantile(col("ka"), p))
-    }.reduce(greatest(_, _)) /
-      (abs(col("p99a") - col("p50a")) + lit(eps))
+    }.reduce(greatest(_, _)) / (scale + lit(eps))
     joined.withColumn("quantile_shift",
       when(col("is_numeric") && col("ka").isNotNull && col("kb").isNotNull,
         shift))

@@ -145,11 +145,22 @@ object Layout {
     * Each dirty file is rewritten as its own single-file job, preserving
     * the file's internal sort and the table's file granularity; the
     * driver holds only file NAMES (bounded by the dirty-file count).
-    * Writes the full corrected table to `dstPath` — like [[compact]],
-    * the atomic swap of a live table belongs to the caller's table
-    * format, not a faked delete-in-place. */
+    * Writes the corrected table to `dstPath` — like [[compact]], the
+    * atomic swap of a live table belongs to the caller's table format,
+    * not a faked delete-in-place.
+    *
+    * `copyClean` honesty note: with `copyClean = true` (the
+    * self-contained default, and what the spec exercises) the clean
+    * files are driver-streamed copies — fine for directory-sized
+    * tables, but at real scale that leg is proportional to the TABLE,
+    * not the dirty data. A 100 TB deployment runs `copyClean = false`:
+    * only the rewritten dirty files land in `dstPath`, and the caller's
+    * table format re-points the clean files by reference (rename /
+    * manifest swap — a metadata operation), keeping the whole delete
+    * dirty-proportional end to end. */
   def deleteRows(spark: SparkSession, srcPath: String, dstPath: String,
-                 keyCol: String, dropKeys: Seq[Any]): DeleteStats = {
+                 keyCol: String, dropKeys: Seq[Any],
+                 copyClean: Boolean = true): DeleteStats = {
     require(dropKeys.nonEmpty, "layout: deleteRows with no keys — refusing " +
       "to rewrite a table as a no-op")
     require(dropKeys.size <= 1000000,
@@ -179,12 +190,18 @@ object Layout {
     dataFiles.foreach { p =>
       val out = new org.apache.hadoop.fs.Path(dst, p.getName)
       if (!dirtyNames.contains(p.getName)) {
-        // clean file: byte-for-byte FS copy, never decoded
-        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, out, false, conf)
+        // clean file: byte-for-byte FS copy, never decoded (skipped
+        // entirely under copyClean = false — see the scaladoc)
+        if (copyClean) {
+          org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, out, false, conf)
+        }
         ()
       } else {
+        // NULL-key rows are NOT victims: a bare !isin() evaluates to NULL
+        // for NULL keys and the filter would silently drop them —
+        // unreported data loss in an erasure API (caught in self-review)
         val kept = spark.read.parquet(p.toString)
-          .filter(!col(keyCol).isin(dropKeys: _*))
+          .filter(col(keyCol).isNull || !col(keyCol).isin(dropKeys: _*))
         val tmp = new org.apache.hadoop.fs.Path(dst,
           s".rewrite_tmp_${p.getName}")
         kept.coalesce(1).write

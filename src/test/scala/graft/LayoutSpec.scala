@@ -159,6 +159,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("delete preserves NULL-key rows and supports the dirty-files-only mode") {
+    val tmp = java.nio.file.Files.createTempDirectory("layout_del_null").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("user_id",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
+    val nNull = ev.filter(col("user_id").isNull).count()
+    assert(nNull > 0)
+    Layout.writeClustered(ev, s"$tmp/src", 8, "user_id")
+    val victims = ev.filter(col("user_id").isNotNull)
+      .select("user_id").distinct().orderBy("user_id").limit(2)
+      .as[Long].collect().toSeq
+    val st = Layout.deleteRows(spark, s"$tmp/src", s"$tmp/dst", "user_id", victims)
+    val after = spark.read.parquet(s"$tmp/dst")
+    // NULL keys are not victims: every NULL-key row must survive, even
+    // the ones sharing a file with a victim (the silent-drop regression)
+    assert(after.filter(col("user_id").isNull).count() == nNull,
+      "NULL-key rows were silently deleted")
+    assert(after.count() == ev.count() - st.rowsDeleted)
+
+    // dirty-files-only mode: dst carries exactly the rewritten files
+    val st2 = Layout.deleteRows(spark, s"$tmp/src", s"$tmp/dst2", "user_id",
+      victims, copyClean = false)
+    val dirtyOnly = new java.io.File(s"$tmp/dst2").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dirtyOnly == st2.filesRewritten,
+      s"copyClean=false must emit only rewritten files ($dirtyOnly vs $st2)")
+  }
+
   test("layout guardrails refuse degenerate requests") {
     val ev = Tables.events(spark, sf)
     intercept[IllegalArgumentException] {

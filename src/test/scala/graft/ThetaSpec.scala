@@ -149,6 +149,25 @@ class ThetaSpec extends SparkSpec {
     }
   }
 
+  test("NULL is not a value: sketch over a nullable column equals the sketch of its non-null rows") {
+    // XxHash64 maps NULL to its seed, so an unguarded wrap would count
+    // one phantom distinct per nullable column (and that phantom would
+    // "intersect" across unrelated columns) — the wrappers null out
+    // before hashing instead (self-review fix). BYTE equality, the
+    // strongest form of the claim.
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", when(col("id") % 3 === 0, lit(null)).otherwise(col("id")))
+    val withNulls = df.agg(Theta.sketch(col("v"), 1024).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val withoutNulls = df.filter(col("v").isNotNull)
+      .agg(Theta.sketch(col("v"), 1024).as("s")).head.getAs[Array[Byte]]("s")
+    assert(java.util.Arrays.equals(withNulls, withoutNulls),
+      "NULLs must not contribute a phantom hash")
+    assert(ThetaUtil.estimateBytes(withNulls) ==
+      df.filter(col("v").isNotNull).select(countDistinct("v"))
+        .head.getLong(0).toDouble)
+  }
+
   test("guardrails: degenerate k and mixed-k set ops are refused") {
     intercept[IllegalArgumentException] { new graft.functions.ThetaBuffer(4) }
     val a = sketchOf(spark.range(5000).toDF("id"), k = 1024)
