@@ -75,6 +75,11 @@ object Conf {
     tuned ++ Map(
       "spark.sql.shuffle.partitions" -> (2L * nCores).toString,
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      // parallelismFirst defaults to TRUE, under which AQE coalesces
+      // toward default parallelism and IGNORES the advisory size — the
+      // profile's central sizing knob would silently never take effect
+      // (self-review catch); false = respect advisoryPartitionSizeInBytes
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
         (8L * nCores).toString,
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->

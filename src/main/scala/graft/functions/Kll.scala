@@ -237,7 +237,9 @@ final class KllBuffer(val k: Int) {
     var i = 0
     while (i < nLevels) {
       var sz = bb.getInt
-      require(sz >= 0 && sz * 8 <= bb.remaining,
+      // sz.toLong: an adversarial sz near 2^29 overflows `sz * 8` in Int
+      // space and slips past the guard it exists for (self-review catch)
+      require(sz >= 0 && sz.toLong * 8 <= bb.remaining,
         s"kll: corrupt level size $sz at level $i")
       val lvl = levels(i)
       while (sz > 0) { lvl.add(bb.getDouble); sz -= 1 }

@@ -711,9 +711,16 @@ object Dedup {
       .dropDuplicates("doc_id_a", "doc_id_b")
       .withColumn("common",
         graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .withColumn("jaccard", {
+        val j = col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common"))
+        // the probe leg must round (or not) EXACTLY like the matching
+        // full generator: minhashPairsMd5 filters on round(j, 6), so an
+        // unrounded probe would disagree with the full rebuild for pairs
+        // at the rounding margin of the threshold (self-review catch) —
+        // breaking the by-construction coherence this flag exists for
+        if (md5Family) round(j, 6) else j
+      })
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
     (nn, no)

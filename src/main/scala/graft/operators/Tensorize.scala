@@ -212,7 +212,6 @@ object Tensorize {
     // are dropped HERE, deliberately and visibly (the predicate pushes to
     // the scan), so the routing join below never decides their fate
     val in = df.filter(col(key).isNotNull)
-    val wKey = Window.partitionBy(col(key))
     val counts = in.groupBy(col(key)).agg(count(lit(1)).as("n_all"))
     val long = windowTensorize(
         in.join(counts.filter(col("n_all") >= padLen).select(col(key)), Seq(key)),
@@ -225,8 +224,29 @@ object Tensorize {
     // short branch: scale (scale_data runs BEFORE padding in the
     // reference, and padding repeats the scaled first observation), pad to
     // T·skip, then stride windows map-side out of the bounded array
-    val short = in
-      .join(counts.filter(col("n_all") < padLen).select(col(key)), Seq(key))
+    val short = shortPaddedWindows(in, key, order, valueCol, counts,
+        padLen, t, skip)
+      .select(col(key), col("j").cast("long").as("widx"),
+        least(lit(rulCap.toLong), lit((padLen - t).toLong) - col("j") * skip)
+          .cast("long").as("rul"),
+        (round((array_min(col("win")) - col("m")) / col("sd"), 6) + lit(0.0)).as("z_min"),
+        (round((array_max(col("win")) - col("m")) / col("sd"), 6) + lit(0.0)).as("z_max"),
+        (round((element_at(col("win"), -1) - col("m")) / col("sd"), 6) + lit(0.0)).as("z_last"))
+    long.unionByName(short)
+  }
+
+  /** The short-trajectory padded-window recurrence shared by
+    * [[windowTensorizePadded]] and [[augmentedTestWindows]] (factored in
+    * self-review — the two copies had already drifted once in spirit):
+    * scale → front-pad with the first scaled observation to `padLen` →
+    * stride windows out of the bounded array → per-window z moments,
+    * same fold order as [[windowTensorize]]. Emits
+    * (key, j, win, m, sd) for the caller's final projection. */
+  private def shortPaddedWindows(in: DataFrame, key: String,
+      order: Seq[String], valueCol: String, counts: DataFrame,
+      padLen: Int, t: Int, skip: Int): DataFrame = {
+    val wKey = Window.partitionBy(col(key))
+    in.join(counts.filter(col("n_all") < padLen).select(col(key)), Seq(key))
       .withColumn("_v", col(valueCol) / max(col(valueCol)).over(wKey))
       .groupBy(col(key))
       .agg(sort_array(collect_list(
@@ -240,18 +260,10 @@ object Tensorize {
         explode(sequence(lit(0), lit((padLen - t) / skip))).as("j"),
         col("padded"))
       .withColumn("win", slice(col("padded"), col("j") * skip + 1, lit(t)))
-      // same per-window z arithmetic (and fold order) as windowTensorize
       .withColumn("m", aggregate(col("win"), lit(0.0), (a, x) => a + x) / lit(t))
       .withColumn("sd0", sqrt(aggregate(col("win"), lit(0.0),
         (a, x) => a + (x - col("m")) * (x - col("m"))) / lit(t)))
       .withColumn("sd", when(col("sd0") <= lit(1e-12), lit(1.0)).otherwise(col("sd0")))
-      .select(col(key), col("j").cast("long").as("widx"),
-        least(lit(rulCap.toLong), lit((padLen - t).toLong) - col("j") * skip)
-          .cast("long").as("rul"),
-        (round((array_min(col("win")) - col("m")) / col("sd"), 6) + lit(0.0)).as("z_min"),
-        (round((array_max(col("win")) - col("m")) / col("sd"), 6) + lit(0.0)).as("z_max"),
-        (round((element_at(col("win"), -1) - col("m")) / col("sd"), 6) + lit(0.0)).as("z_last"))
-    long.unionByName(short)
   }
 
   def tsWindowTensorizePadded(spark: SparkSession, sfDir: String): DataFrame =
@@ -390,7 +402,6 @@ object Tensorize {
                            skip: Int, rulCap: Int): DataFrame = {
     val padLen = t * skip
     val in = df.filter(col(key).isNotNull)
-    val wKey = Window.partitionBy(col(key))
     val counts = in.groupBy(col(key)).agg(count(lit(1)).as("n_all"))
     // long branch: every window, with the UNCAPPED trajectory-relative
     // label (rulCap = MaxValue disables the inner least; the real cap is
@@ -400,29 +411,11 @@ object Tensorize {
         key, order, valueCol, t, skip, rulCap = Int.MaxValue)
       .select(col(key), col("widx"), col("features"),
         col("rul").cast("long").as("rel_rul"))
-    // short branch: scale → front-pad with the first scaled observation to
-    // T·skip → stride windows map-side out of the bounded array (the same
-    // arithmetic as windowTensorizePadded's short branch, emitting the
-    // full z-normed window instead of scalar digests)
-    val short = in
-      .join(counts.filter(col("n_all") < padLen).select(col(key)), Seq(key))
-      .withColumn("_v", col(valueCol) / max(col(valueCol)).over(wKey))
-      .groupBy(col(key))
-      .agg(sort_array(collect_list(
-        struct(order.map(col) :+ col("_v"): _*))).as("pts"))
-      .withColumn("vals", transform(col("pts"), p => p("_v")))
-      .withColumn("padded", concat(
-        array_repeat(element_at(col("vals"), 1),
-          (lit(padLen) - size(col("vals"))).cast("int")),
-        col("vals")))
-      .select(col(key),
-        explode(sequence(lit(0), lit((padLen - t) / skip))).as("j"),
-        col("padded"))
-      .withColumn("win", slice(col("padded"), col("j") * skip + 1, lit(t)))
-      .withColumn("m", aggregate(col("win"), lit(0.0), (a, x) => a + x) / lit(t))
-      .withColumn("sd0", sqrt(aggregate(col("win"), lit(0.0),
-        (a, x) => a + (x - col("m")) * (x - col("m"))) / lit(t)))
-      .withColumn("sd", when(col("sd0") <= lit(1e-12), lit(1.0)).otherwise(col("sd0")))
+    // short branch: the shared padded-window recurrence
+    // ([[shortPaddedWindows]]), emitting the full z-normed window
+    // instead of windowTensorizePadded's scalar digests
+    val short = shortPaddedWindows(in, key, order, valueCol, counts,
+        padLen, t, skip)
       .select(col(key), col("j").cast("long").as("widx"),
         transform(col("win"), x => (x - col("m")) / col("sd")).as("features"),
         (lit((padLen - t).toLong) - col("j") * skip).as("rel_rul"))

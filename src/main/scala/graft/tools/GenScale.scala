@@ -71,8 +71,16 @@ object GenScale {
     if (i == 0) s
     else {
       val arr = s.toCharArray
-      // class length folded into the seed so the three alphabet classes
-      // draw independent permutations for the same copy index
+      // seed folds in the class length, which separates digits (10) from
+      // letters (26) — but lower and upper share length 26 and therefore
+      // draw the SAME permutation (case-paired: 'A' maps to uppercase of
+      // wherever 'a' maps). That pairing is INTENTIONAL and load-bearing,
+      // not an oversight: it makes the cipher commute with lowercasing
+      // (lower(cipher(text)) == cipher(lower(text))), which is what
+      // preserves within-copy duplicate rates under the engine's
+      // lowercased shingling. Do not "fix" the seeds to decorrelate the
+      // cases — that silently changes the dup-rate invariance the
+      // generator exists to maintain (self-review).
       val rnd = new scala.util.Random(
         0x9E3779B97F4A7C15L * i + 0xD1B54A32D192ED03L * s.length)
       var j = arr.length - 1

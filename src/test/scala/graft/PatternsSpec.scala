@@ -51,6 +51,22 @@ class PatternsSpec extends SparkSpec {
     }
   }
 
+  test("NULL/empty symbols are excluded: no crash on ts ties, wildcards can't match missing data") {
+    // regression (self-review): the old NUL-placeholder design (a) NPE'd
+    // in the sort comparator when a null symbol tied on ts with a real
+    // one, and (b) let `.` match the placeholder, so missing event_types
+    // silently satisfied wildcard positions
+    val df = Seq((1L, 100L, null.asInstanceOf[String]), (1L, 100L, "v"),
+      (1L, 200L, ""), (1L, 300L, "p")).toDF("k", "t", "s")
+    val got = Patterns.matchRecognize(df, "k", "t", "s", "v.p")
+    assert(got.count() == 0,
+      "wildcard must not match a missing symbol")
+    // with the null/empty rows excluded, v follows directly to p
+    val got2 = Patterns.matchRecognize(df, "k", "t", "s", "vp")
+      .as[(Long, Int, Int, Int, Long, Long, String)].collect().toSeq
+    assert(got2.map(m => (m._5, m._6)) == Seq((100L, 300L)))
+  }
+
   test("per-user match count equals q_event_pattern's conversion count on the corpus") {
     val ev = Tables.events(spark, sf).withColumn("ts_us", unix_micros(col("ts")))
     val got = Patterns.matchRecognize(ev, "user_id", "ts_us", "event_type",
