@@ -124,6 +124,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => KllMergeAgg(exprs(0)).toAggregateExpression())
     inject("graft_kll_quantile", exprs =>
       KllQuantile(exprs(0), Literal(litDouble(exprs(1), "quantile"))))
+    // CDF probe (r10): the inverse of graft_kll_quantile; x is a full
+    // expression (not a literal) so a COLUMN can be scored per-row
+    // against one broadcast sketch
+    inject("graft_kll_rank", exprs =>
+      KllRank(exprs(0), org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(1), DoubleType)))
     // theta / KMV distinct sketch (r10): build / rollup-union / estimate,
     // plus the set expressions no other sketch in the family can answer
     // (intersection and difference cardinalities). Raw keys are

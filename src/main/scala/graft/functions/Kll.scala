@@ -67,6 +67,16 @@ object KllUtil {
     b.addSketch(bytes)
     b.quantile(q)
   }
+
+  /** CDF off the wire bytes — see [[KllBuffer.rank]]. */
+  def rankBytes(bytes: Array[Byte], x: Double): Double = {
+    require(bytes != null && bytes.length >= 4,
+      s"kll: ${if (bytes == null) "null" else s"${bytes.length}-byte"} input is not a KLL sketch")
+    val k = java.nio.ByteBuffer.wrap(bytes).getInt
+    val b = new KllBuffer(k)
+    b.addSketch(bytes)
+    b.rank(x)
+  }
 }
 
 /** Mutable aggregation buffer. `k` governs accuracy (ε ≈ O(1/k)). */
@@ -189,6 +199,27 @@ final class KllBuffer(val k: Int) {
       i += 1
     }
     max
+  }
+
+  /** CDF probe — the inverse of [[quantile]]: estimated fraction of the
+    * sketched mass that is <= x, same uniform O(1/k) rank-error bound
+    * (the estimate IS a rank, which is exactly what the sketch
+    * preserves). Answers "what percentile is THIS score" without any
+    * inverse-search over quantile probes. */
+  def rank(x: Double): Double = {
+    if (n == 0L) return Double.NaN
+    var below = 0L
+    var i = 0
+    while (i <= top) {
+      val lvl = levels(i)
+      var j = 0
+      while (j < lvl.size) {
+        if (lvl.get(j) <= x) below += 1L << i
+        j += 1
+      }
+      i += 1
+    }
+    below.toDouble / totalWeight
   }
 
   /** Exact total weight across levels — must equal n at all times
@@ -396,6 +427,34 @@ case class KllQuantile(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `kll_rank(sketch, x)`: CDF probe off the wire bytes, codegen'd — the
+  * inverse of [[KllQuantile]] ("what percentile is this score"), same
+  * uniform rank-error bound because the answer IS a rank. */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_rank expects (binary sketch, double value), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override protected def nullSafeEval(sketch: Any, x: Any): Any =
+    KllUtil.rankBytes(sketch.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, x) =>
+      s"graft.functions.KllUtil.rankBytes($s, $x)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Kll {
   /** Aggregate a group's values into a KLL sketch. k ≈ 200 gives ≲1.5%
     * uniform rank error in ~3k items of state. */
@@ -415,4 +474,13 @@ object Kll {
       ColumnBridge.expression(sketch),
       org.apache.spark.sql.catalyst.expressions.Literal(q)))
   }
+
+  /** CDF probe — estimated fraction of sketched mass <= x. Column-valued
+    * x on purpose: scoring a COLUMN of values against one broadcast
+    * sketch ("each document's quality percentile vs the corpus") is the
+    * per-row use a scalar-only API would forbid. */
+  def rank(sketch: Column, x: Column): Column =
+    ColumnBridge.column(KllRank(
+      ColumnBridge.expression(sketch),
+      ColumnBridge.expression(x.cast("double"))))
 }

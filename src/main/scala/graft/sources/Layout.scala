@@ -60,8 +60,22 @@ object Layout {
     * the (a, b) domain whatever the marginals look like. The per-row key
     * is codegen'd built-ins only (comparisons, shifts, bitwise or) — no
     * UDF on the 100 TB write path. */
-  def zOrderKey(df: DataFrame, aCol: String, bCol: String): Column = {
-    val bitsPerDim = 6
+  def zOrderKey(df: DataFrame, aCol: String, bCol: String): Column =
+    zOrderKeyN(df, Seq(aCol, bCol))
+
+  /** N-dimensional Morton key on the same equi-depth grid — for tables
+    * filtered along three-plus independent dimensions (tenant, time,
+    * score…). Bits per dimension shrink as dimensions grow (the key
+    * stays ≤ ~60 bits); past 4-5 dimensions each dimension's cells get
+    * too coarse to prune well — that is inherent to z-ordering, not
+    * this encoding — so the arity is capped where the curve still
+    * earns its keep. */
+  def zOrderKeyN(df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.size >= 2 && cols.size <= 5,
+      s"layout: z-order wants 2-5 dimensions, got ${cols.size} — one " +
+        "dimension is a plain sort (writeClustered); beyond 5 every " +
+        "dimension's grid is too coarse to prune")
+    val bitsPerDim = math.min(6, 12 / cols.size * 2) // 6,6,6,4 bits for n=2..5
     val cells = 1 << bitsPerDim
     def cellOf(c: String): Column = {
       val probs = (1 until cells).map(_.toDouble / cells).toArray
@@ -73,12 +87,15 @@ object Layout {
         acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)
       }
     }
-    val a = cellOf(aCol)
-    val b = cellOf(bCol)
+    val dims = cols.map(cellOf)
+    val n = dims.size
+    // interleave MSB-first across dimensions: bit i of dim d lands at
+    // position i*n + (n-1-d), so same-significance bits stay adjacent
     (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+      dims.zipWithIndex.foldLeft(acc) { case (a, (dcol, d)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(dcol, i).bitwiseAND(lit(1L)), i * n + (n - 1 - d)))
+      }
     }
   }
 
@@ -88,12 +105,17 @@ object Layout {
     * PLAIN a and b columns do the pruning — readers need no knowledge
     * that the table is z-ordered. */
   def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
-                    aCol: String, bCol: String): Unit = {
+                    aCol: String, bCol: String): Unit =
+    writeZOrderedN(df, path, nFiles, Seq(aCol, bCol))
+
+  /** N-dimensional variant of [[writeZOrdered]] (see [[zOrderKeyN]]). */
+  def writeZOrderedN(df: DataFrame, path: String, nFiles: Int,
+                     cols: Seq[String]): Unit = {
     require(nFiles > 0, s"layout: nFiles must be positive, got $nFiles")
     val zc = "__z_key"
     require(!df.columns.contains(zc),
       s"layout: reserves the column name $zc; rename that input column")
-    df.withColumn(zc, zOrderKey(df, aCol, bCol))
+    df.withColumn(zc, zOrderKeyN(df, cols))
       .repartitionByRange(nFiles, col(zc))
       .sortWithinPartitions(col(zc))
       .drop(zc)

@@ -150,5 +150,33 @@ class KllSpec extends SparkSpec {
     // empty sketch round-trips and answers NaN
     val empty = new KllBuffer(64).toBytes
     assert(KllUtil.quantileBytes(empty, 0.5).isNaN)
+    assert(KllUtil.rankBytes(empty, 0.5).isNaN)
+  }
+
+  test("rank is the CDF inverse of quantile within the same uniform bound") {
+    val rnd = new scala.util.Random(7L)
+    val values = Array.fill(20000)(rnd.nextGaussian() * 50.0 + 100.0)
+    val sk = sketchOf(values.toSeq)
+    val sorted = values.sorted
+    // rank(quantile(q)) ≈ q at every probe — round-tripping through the
+    // sketch must stay inside the same 1.5% uniform band
+    for (q <- probes) {
+      val v = KllUtil.quantileBytes(sk, q)
+      val r = KllUtil.rankBytes(sk, v)
+      assert(math.abs(r - rankOf(sorted, v)) <= 0.015,
+        f"rank(${v}%.2f) = $r%.4f vs exact ${rankOf(sorted, v)}%.4f")
+    }
+    // extremes are exact
+    assert(KllUtil.rankBytes(sk, sorted.last) == 1.0)
+    assert(KllUtil.rankBytes(sk, sorted.head - 1.0) == 0.0)
+    // the per-row scoring use: a COLUMN of values scored against one
+    // broadcast sketch — each document's percentile vs the corpus
+    val scored = values.take(100).toSeq.toDF("x")
+      .withColumn("pct", Kll.rank(lit(sk), col("x")))
+      .as[(Double, Double)].collect()
+    scored.foreach { case (x, pct) =>
+      assert(math.abs(pct - rankOf(sorted, x)) <= 0.02,
+        f"per-row rank of $x%.2f: $pct%.4f vs ${rankOf(sorted, x)}%.4f")
+    }
   }
 }

@@ -79,6 +79,33 @@ class LayoutSpec extends SparkSpec {
       s"z-order ($zSecondary) must beat linear ($linearSecondary) off the leading key")
   }
 
+  test("3-dim z-order prunes on every dimension; arity guardrails hold") {
+    val tmp = java.nio.file.Files.createTempDirectory("layout_z3").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    Layout.writeZOrderedN(ev, s"$tmp/z3", N,
+      Seq("user_id", "value", "ts_us"))
+    def touched(c: String, lo: Double, hi: Double): Long =
+      Layout.filesTouched(spark.read.parquet(s"$tmp/z3")
+        .filter(col(c).cast("double") >= lo && col(c).cast("double") <= hi))
+    // a one-octant band (inside [q28, q38]) in EACH dimension must prune:
+    // 16 files over a 3-d equal-mass grid leaves every dimension with
+    // coarse blocks, so the honest bar is "well under all files", not
+    // the 2-d four-file bar
+    for (c <- Seq("user_id", "value", "ts_us")) {
+      val Array(lo, hi) = ev.stat.approxQuantile(c, Array(0.28, 0.38), 0.001)
+      val t = touched(c, lo, hi)
+      assert(t <= (3 * N) / 4,
+        s"3-d z-order: 10% band on $c touched $t of $N files")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zOrderKeyN(ev, Seq("value")) // 1-d is a plain sort
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zOrderKeyN(ev, Seq("a", "b", "c", "d", "e", "f")) // > 5 dims
+    }
+  }
+
   test("compaction bin-packs small files to the target and preserves rows and cluster order") {
     val tmp = java.nio.file.Files.createTempDirectory("layout_compact").toString
     val ev = Tables.events(spark, sf)
