@@ -113,6 +113,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TdMergeAgg(exprs(0)).toAggregateExpression())
     inject("graft_td_quantile", exprs =>
       TdQuantile(exprs(0), Literal(litDouble(exprs(1), "quantile"))))
+    // CDF probe (r10): inverse of graft_td_quantile; x is a full
+    // expression so a column scores per-row against one broadcast digest
+    inject("graft_td_cdf", exprs =>
+      TdCdf(exprs(0), org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(1), DoubleType)))
     // KLL quantile sketch (r10): build / rollup-union / quantile probe —
     // the uniform-rank-bound complement to the t-digest, same
     // litInt/litDouble SQL-literal handling

@@ -151,6 +151,53 @@ object TdUtil {
     else prevVal + (max - prevVal) * ((target - prevMid) / span)
   }
 
+  /** CDF probe — the inverse of [[quantileBytes]], same midpoint-mass
+    * model walked the other way: estimated fraction of digested mass
+    * <= x, exact 0/1 outside [min, max]. Completes the probe pair on the
+    * t-digest exactly as `KllRank` does on the KLL side — the t-digest
+    * answers it with TAIL-weighted accuracy (smaller centroids near the
+    * extremes), the KLL with a uniform bound; same trade as the forward
+    * probes. */
+  def cdfBytes(bytes: Array[Byte], x: Double): Double = {
+    val (_, m) = dims(bytes)
+    if (m == 0) return Double.NaN
+    val min = getDouble(bytes, 8)
+    val max = getDouble(bytes, 16)
+    if (x < min) return 0.0
+    if (x >= max) return 1.0
+    def mean(i: Int) = getDouble(bytes, HEADER + i * 16)
+    def weight(i: Int) = getDouble(bytes, HEADER + i * 16 + 8)
+    var total = 0.0
+    var i = 0
+    while (i < m) { total += weight(i); i += 1 }
+    if (m == 1) return if (x >= mean(0)) 1.0 else 0.0
+    // walk centroid midpoints; interpolate rank linearly between the
+    // bracketing (value, rank-midpoint) knots — the inverse of the
+    // quantile walk, so cdf(quantile(q)) round-trips to ~q
+    var cum = 0.0
+    var prevMid = 0.0
+    var prevVal = min
+    i = 0
+    while (i < m) {
+      val mid = cum + weight(i) / 2.0
+      if (x < mean(i)) {
+        val span = mean(i) - prevVal
+        val r =
+          if (span <= 0.0) mid
+          else prevMid + (mid - prevMid) * ((x - prevVal) / span)
+        return math.min(1.0, math.max(0.0, r / total))
+      }
+      prevMid = mid; prevVal = mean(i)
+      cum += weight(i)
+      i += 1
+    }
+    val span = max - prevVal
+    val r =
+      if (span <= 0.0) total
+      else prevMid + (total - prevMid) * ((x - prevVal) / span)
+    math.min(1.0, math.max(0.0, r / total))
+  }
+
   private def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
     b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
@@ -401,6 +448,33 @@ case class TdQuantile(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `td_cdf(digest, x)`: CDF probe off the wire bytes — the inverse of
+  * [[TdQuantile]], codegen'd. NaN for an empty digest. */
+case class TdCdf(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"td_cdf expects (binary digest, double value), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override protected def nullSafeEval(sketch: Any, x: Any): Any =
+    TdUtil.cdfBytes(sketch.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, x) =>
+      s"graft.functions.TdUtil.cdfBytes($s, $x)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Td {
   /** Aggregate a group's values into a t-digest. δ ≈ 100 gives ≲1%
     * mid-range rank error in ~2δ centroids of state. */
@@ -421,4 +495,12 @@ object Td {
       ColumnBridge.expression(sketch),
       org.apache.spark.sql.catalyst.expressions.Literal(q)))
   }
+
+  /** CDF probe — estimated fraction of digested mass <= x. Column-valued
+    * x (like `Kll.rank`) so a column scores per-row against one
+    * broadcast digest. */
+  def cdf(sketch: Column, x: Column): Column =
+    ColumnBridge.column(TdCdf(
+      ColumnBridge.expression(sketch),
+      ColumnBridge.expression(x.cast("double"))))
 }

@@ -151,4 +151,31 @@ class TDigestSpec extends SparkSpec {
     }
     assert(e2.getMessage != null)
   }
+
+  test("cdf is the inverse of quantile, tail-accurate, exact outside [min, max]") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(11L)
+    val values = Array.fill(20000)(math.exp(rnd.nextGaussian()))
+    val d = digestOf(values.toSeq)
+    val sorted = values.sorted
+    for (q <- probes) {
+      val v = graft.functions.TdUtil.quantileBytes(d, q)
+      val r = graft.functions.TdUtil.cdfBytes(d, v)
+      // same tail-weighted contract as the forward probe
+      val bound = if (q <= 0.05 || q >= 0.95) 0.01 else 0.03
+      assert(math.abs(r - rankOf(sorted, v)) <= bound,
+        f"cdf(${v}%.3f) = $r%.4f vs exact ${rankOf(sorted, v)}%.4f (q=$q)")
+    }
+    assert(graft.functions.TdUtil.cdfBytes(d, sorted.head - 1.0) == 0.0)
+    assert(graft.functions.TdUtil.cdfBytes(d, sorted.last) == 1.0)
+    // per-row scoring: a column of values against one broadcast digest
+    val scored = values.take(100).toSeq.toDF("x")
+      .withColumn("pct", Td.cdf(lit(d), col("x")))
+      .as[(Double, Double)].collect()
+    scored.foreach { case (x, pct) =>
+      assert(math.abs(pct - rankOf(sorted, x)) <= 0.03,
+        f"per-row cdf of $x%.3f: $pct%.4f vs ${rankOf(sorted, x)}%.4f")
+    }
+  }
 }
