@@ -118,6 +118,24 @@ object Profile {
       spark.sparkContext.parallelize(out.toSeq, 1), profileSchema)
   }
 
+  /** Per-row percentile scoring: add `<valueCol>_pct` — each row's
+    * estimated rank within the WHOLE table's distribution of `valueCol`.
+    * Two jobs total at any scale: one aggregation builds the KLL sketch
+    * (KBs, collected driver-side like a broadcast LUT), then the scoring
+    * pass is pure map-side codegen'd expression work ([[graft.functions.Kll.rank]]
+    * with the sketch as a literal). The curation use: "keep documents
+    * above the corpus's 30th quality percentile" without a sort, a
+    * window, or a second shuffle — at 100 TB a global `percent_rank()`
+    * window is a single-partition catastrophe; this is two scans. */
+  def percentileScore(df: DataFrame, valueCol: String,
+                      kllK: Int = 200): DataFrame = {
+    val sk = df.agg(
+      Kll.sketch(col(valueCol).cast("double"), kllK).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    require(sk != null, s"percentileScore: no rows to sketch in $valueCol")
+    df.withColumn(s"${valueCol}_pct", Kll.rank(lit(sk), col(valueCol)))
+  }
+
   /** Sketch-to-sketch drift between two profiles of the SAME schema
     * (e.g. yesterday's snapshot vs today's): per column —
     *  - `jaccard`: value-domain overlap |A∩B| / |A∪B| from the theta

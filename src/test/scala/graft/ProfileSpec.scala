@@ -44,6 +44,30 @@ class ProfileSpec extends SparkSpec {
     assert(tsRow.getBoolean(4) && !tsRow.isNullAt(8))
   }
 
+  test("percentileScore ranks every row against the corpus without a window or sort") {
+    val ev = Tables.events(spark, sf)
+    val scored = Profile.percentileScore(ev, "value")
+    assert(scored.count() == ev.count())
+    // spot-check against exact ranks
+    val sorted = ev.select("value").as[Double].collect().sorted
+    def rankOf(v: Double): Double = {
+      val i = java.util.Arrays.binarySearch(sorted, v)
+      (if (i >= 0) i else -(i + 1)).toDouble / sorted.length
+    }
+    scored.select("value", "value_pct").as[(Double, Double)]
+      .collect().take(200).foreach { case (v, pct) =>
+        assert(math.abs(pct - rankOf(v)) <= 0.02,
+          f"row $v%.3f scored $pct%.4f vs exact ${rankOf(v)}%.4f")
+      }
+    // the plan is two scans and zero windows: no Window node, no global sort
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"percentileScore must not window:\n${plan.take(600)}")
+    // curation filter built on it: keep the top 70% by quality proxy
+    val kept = scored.filter(col("value_pct") >= 0.3).count()
+    val frac = kept.toDouble / ev.count()
+    assert(math.abs(frac - 0.7) <= 0.03, s"kept fraction $frac")
+  }
+
   test("drift: identical snapshots read as no drift; a shifted/churned one is flagged") {
     val ev = Tables.events(spark, sf)
     val p0 = Profile.profile(ev)

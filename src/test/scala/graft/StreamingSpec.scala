@@ -897,6 +897,36 @@ class StreamingSpec extends SparkSpec {
       functions.ThetaUtil.estimateBytes(batch))
   }
 
+  test("keyed streaming sketches: per-group theta state, each group byte-equal to batch") {
+    // the twins' scaladocs claim "add keys to groupBy for per-key
+    // sketches at the same cost" — pin it: per-event_type theta sketches
+    // across a forced two-micro-batch replay, every group's state-store
+    // entry merging to the batch sketch BYTE-for-byte (theta's
+    // order-independent union, now under keyed state)
+    val ev = Tables.events(spark, sf)
+    val dir = stageBatches("theta_keyed", Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 =!= 0)))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream.groupBy("event_type")
+      .agg(functions.Theta.sketch(col("user_id"), 64).as("t"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("theta_keyed_q").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2)
+    val got = spark.table("theta_keyed_q")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("t")).toMap
+    val want = ev.groupBy("event_type")
+      .agg(functions.Theta.sketch(col("user_id"), 64).as("t"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("t")).toMap
+    assert(got.keySet == want.keySet && got.size > 1)
+    got.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, want(k)),
+        s"group $k: streamed sketch diverged from batch")
+    }
+  }
+
   test("streaming KLL merges state across micro-batches within the uniform batch bound") {
     // the KLL aggregate as a streaming aggregation, mirroring the
     // t-digest twin above: serialized compactor hierarchy = state-store
