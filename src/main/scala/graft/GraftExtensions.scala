@@ -82,24 +82,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Seq("graft_heavy_hitters", "heavy_hitters").foreach(n =>
       inject(n, exprs => HeavyHittersAgg(exprs(0), litInt(exprs(1), "k"))
         .toAggregateExpression()))
-    // mergeable membership sketch + probe; values are xxhash64'd here so
-    // SQL users pass raw keys, exactly like the Column API
+    // mergeable membership sketch + probe; values are null-safe-hashed
+    // here so SQL users pass raw keys, exactly like the Column API (a
+    // bare XxHash64 maps NULL to its seed — a phantom member that makes
+    // might_contain(f, NULL) true and defeats NULL-probe filtering)
     inject("graft_bloom_filter", exprs => {
       val (nWords, nHashes) = BloomUtil.sizeFor(
         litLong(exprs(1), "expectedItems"), litDouble(exprs(2), "fpp"))
-      BloomFilterAgg(XxHash64(Seq(exprs(0)), 42L), nWords, nHashes)
+      BloomFilterAgg(HashIngest.nullSafeHash(exprs(0)), nWords, nHashes)
         .toAggregateExpression()
     })
     inject("graft_might_contain",
-      exprs => BloomMightContain(exprs(0), XxHash64(Seq(exprs(1)), 42L)))
+      exprs => BloomMightContain(exprs(0), HashIngest.nullSafeHash(exprs(1))))
     // count-min frequency sketch: build / rollup-union / point estimate
     inject("graft_cms_sketch", exprs =>
-      CountMinAgg(XxHash64(Seq(exprs(0)), 42L), litInt(exprs(1), "depth"),
+      CountMinAgg(HashIngest.nullSafeHash(exprs(0)), litInt(exprs(1), "depth"),
         litInt(exprs(2), "width")).toAggregateExpression())
     inject("graft_cms_merge",
       exprs => CmsMergeAgg(exprs(0)).toAggregateExpression())
     inject("graft_cms_estimate",
-      exprs => CmsEstimate(exprs(0), XxHash64(Seq(exprs(1)), 42L)))
+      exprs => CmsEstimate(exprs(0), HashIngest.nullSafeHash(exprs(1))))
     // t-digest quantile sketch: build / rollup-union / quantile probe.
     // The measure is cast to double here (SQL ints/decimals welcome), and
     // the probe quantile goes through litDouble — SQL `0.5` parses as a
@@ -138,9 +140,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // theta / KMV distinct sketch (r10): build / rollup-union / estimate,
     // plus the set expressions no other sketch in the family can answer
     // (intersection and difference cardinalities). Raw keys are
-    // xxhash64'd here, like graft_bloom_filter.
+    // null-safe-hashed here, like graft_bloom_filter.
     inject("graft_theta_sketch", exprs =>
-      ThetaAgg(Theta.nullSafeHash(exprs(0)), litInt(exprs(1), "k"))
+      ThetaAgg(HashIngest.nullSafeHash(exprs(0)), litInt(exprs(1), "k"))
         .toAggregateExpression())
     inject("graft_theta_merge",
       exprs => ThetaMergeAgg(exprs(0)).toAggregateExpression())

@@ -260,20 +260,24 @@ case class BloomMightContain(left: Expression, right: Expression)
 
 object Bloom {
   /** Aggregate a group's keys into a Bloom filter sized for
-    * `expectedItems` at false-positive rate `fpp`. Any key type:
-    * values are xxhash64'd on the way in. */
+    * `expectedItems` at false-positive rate `fpp`. Any key type: values
+    * are xxhash64'd on the way in via [[HashIngest.nullSafeHash]] —
+    * NULL keys are SKIPPED, not recorded as a phantom member (a NULL
+    * key can't join, so a filter that "contains" NULL defeats the
+    * semi-join use). */
   def bloomFilter(e: Column, expectedItems: Long, fpp: Double = 0.03): Column = {
     val (nWords, nHashes) = BloomUtil.sizeFor(expectedItems, fpp)
     ColumnBridge.column(BloomFilterAgg(
-      XxHash64(Seq(ColumnBridge.expression(e)), 42L), nWords, nHashes)
+      HashIngest.nullSafeHash(ColumnBridge.expression(e)), nWords, nHashes)
       .toAggregateExpression())
   }
 
   /** Membership probe against a [[bloomFilter]] result. The probe value
     * is xxhash64'd the same way the build side was, so types must match
-    * (xxhash64 of 1L and of "1" differ). */
+    * (xxhash64 of 1L and of "1" differ). A NULL probe answers NULL
+    * (three-valued), never a phantom true. */
   def mightContain(filter: Column, e: Column): Column =
     ColumnBridge.column(BloomMightContain(
       ColumnBridge.expression(filter),
-      XxHash64(Seq(ColumnBridge.expression(e)), 42L)))
+      HashIngest.nullSafeHash(ColumnBridge.expression(e))))
 }

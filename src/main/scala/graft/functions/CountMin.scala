@@ -318,11 +318,13 @@ case class CmsEstimate(left: Expression, right: Expression)
 
 object Cms {
   /** Aggregate a group's keys into a Count-Min sketch. Any key type:
-    * values are xxhash64'd on the way in. Default dims bound the
-    * additive error at ~ε·n for ε ≈ e/2048 ≈ 0.13% with δ ≈ 2%. */
+    * values are xxhash64'd on the way in via [[HashIngest.nullSafeHash]]
+    * (NULL keys skipped, not counted as a phantom value). Default dims
+    * bound the additive error at ~ε·n for ε ≈ e/2048 ≈ 0.13% with
+    * δ ≈ 2%. */
   def sketch(e: Column, depth: Int = 4, width: Int = 2048): Column =
     ColumnBridge.column(CountMinAgg(
-      XxHash64(Seq(ColumnBridge.expression(e)), 42L), depth, width)
+      HashIngest.nullSafeHash(ColumnBridge.expression(e)), depth, width)
       .toAggregateExpression())
 
   /** Union pre-built sketches (same dims) into one — the rollup path. */
@@ -332,9 +334,10 @@ object Cms {
 
   /** Point frequency estimate against a [[sketch]]/[[merge]] result. The
     * probe value is xxhash64'd the same way the build side was, so types
-    * must match (xxhash64 of 1L and of "1" differ). */
+    * must match (xxhash64 of 1L and of "1" differ). A NULL probe answers
+    * NULL, never the phantom's count. */
   def estimate(sketch: Column, e: Column): Column =
     ColumnBridge.column(CmsEstimate(
       ColumnBridge.expression(sketch),
-      XxHash64(Seq(ColumnBridge.expression(e)), 42L)))
+      HashIngest.nullSafeHash(ColumnBridge.expression(e))))
 }

@@ -68,14 +68,44 @@ object KllUtil {
     b.quantile(q)
   }
 
-  /** CDF off the wire bytes — see [[KllBuffer.rank]]. */
+  /** CDF off the wire bytes — one allocation-free read-only pass over
+    * the serialized levels (NOT a deserialize-into-buffer round-trip:
+    * rank is this sketch's per-ROW probe via `Kll.rank(sketch, col)`,
+    * and rebuilding a KllBuffer per input row — boxing ~3k doubles and
+    * possibly compacting — would make the scoring pass GC-bound; caught
+    * in self-review). Same estimate as [[KllBuffer.rank]]. */
   def rankBytes(bytes: Array[Byte], x: Double): Double = {
-    require(bytes != null && bytes.length >= 4,
+    require(bytes != null && bytes.length >= 32,
       s"kll: ${if (bytes == null) "null" else s"${bytes.length}-byte"} input is not a KLL sketch")
-    val k = java.nio.ByteBuffer.wrap(bytes).getInt
-    val b = new KllBuffer(k)
-    b.addSketch(bytes)
-    b.rank(x)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.getInt // k
+    val nLevels = bb.getInt
+    require(nLevels >= 1 && nLevels <= 64, s"kll: corrupt level count $nLevels")
+    val n = bb.getLong
+    if (n == 0L) return Double.NaN
+    bb.getDouble; bb.getDouble // min, max
+    var below = 0L
+    var total = 0L
+    var i = 0
+    while (i < nLevels) {
+      var sz = bb.getInt
+      require(sz >= 0 && sz.toLong * 8 <= bb.remaining,
+        s"kll: corrupt level size $sz at level $i")
+      total += sz.toLong << i
+      while (sz > 0) {
+        if (bb.getDouble <= x) below += 1L << i
+        sz -= 1
+      }
+      i += 1
+    }
+    below.toDouble / total
+  }
+
+  /** Item count straight off the wire header (bytes 8..15). */
+  def countBytes(bytes: Array[Byte]): Long = {
+    require(bytes != null && bytes.length >= 16,
+      s"kll: ${if (bytes == null) "null" else s"${bytes.length}-byte"} input is not a KLL sketch")
+    java.nio.ByteBuffer.wrap(bytes).getLong(8)
   }
 }
 

@@ -337,25 +337,32 @@ case class ThetaSetOp(left: Expression, right: Expression, intersect: Boolean)
     copy(left = newLeft, right = newRight)
 }
 
-object Theta {
-  /** NULL-transparent hash: `XxHash64` maps NULL to its seed rather than
-    * to NULL, which would count every nullable column's NULLs as one
-    * phantom distinct value (and make that phantom "intersect" across
-    * unrelated columns). NULL is not a value — null it out BEFORE the
-    * aggregate so ThetaAgg's null guard skips it, keeping the
-    * below-capacity == exact-countDistinct contract. */
-  private[graft] def nullSafeHash(e: org.apache.spark.sql.catalyst.expressions.Expression)
+/** Shared hashed-ingest wrapper for every sketch that takes a pre-hashed
+  * key (theta, Bloom, Count-Min): `XxHash64` maps NULL to its SEED
+  * rather than to NULL, which would record every nullable column's NULLs
+  * as one phantom key — a phantom distinct in theta (breaking the
+  * below-capacity == exact contract, and "intersecting" across unrelated
+  * columns), a phantom member in Bloom (`might_contain(f, NULL)` = true,
+  * defeating NULL-probe semi-join filtering), a phantom heavy value in
+  * CMS. NULL is not a value — null it out BEFORE the aggregate so the
+  * aggregates' null guards skip it. */
+private[graft] object HashIngest {
+  def nullSafeHash(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.catalyst.expressions.If(
       org.apache.spark.sql.catalyst.expressions.IsNull(e),
       org.apache.spark.sql.catalyst.expressions.Literal(null, LongType),
       XxHash64(Seq(e), 42L))
+}
 
+object Theta {
   /** Aggregate a group's values into a theta sketch; raw values are
-    * xxhash64'd on the way in. k=1024 ≈ 3% RSE in 8 KB of state. */
+    * xxhash64'd on the way in via [[HashIngest.nullSafeHash]] (NULLs
+    * skipped — NULL is not a value). k=1024 ≈ 3% RSE in 8 KB of state. */
   def sketch(e: Column, k: Int = 1024): Column =
     ColumnBridge.column(ThetaAgg(
-      nullSafeHash(ColumnBridge.expression(e)), k).toAggregateExpression())
+      HashIngest.nullSafeHash(ColumnBridge.expression(e)), k)
+      .toAggregateExpression())
 
   /** Union pre-built sketches (same k) — the rollup path. */
   def merge(sketch: Column): Column =

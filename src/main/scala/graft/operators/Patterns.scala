@@ -34,7 +34,16 @@ object Patterns {
   /** @param keyCol    sequence key (castable to long)
     * @param tsCol     total order within a key (castable to long, e.g.
     *                  epoch µs); ties break by symbol for determinism
-    * @param symbolCol per-event symbol — first character is used
+    * @param symbolCol per-event symbol — first character is used.
+    *                  NULL/empty-symbol events are EXCLUDED from the
+    *                  sequence (they carry no letter of the alphabet and
+    *                  a placeholder would let `.` match missing data) —
+    *                  which also means adjacency is over the SYMBOLED
+    *                  events only: "vp" matches v…p with an unsymboled
+    *                  event in between. Callers needing missing events
+    *                  to break adjacency should map them to an explicit
+    *                  sentinel symbol outside the pattern's alphabet
+    *                  before calling
     * @param pattern   Java regex over the symbol alphabet; validated on
     *                  the driver so a bad pattern fails at plan time, not
     *                  inside an executor. Zero-length matches are

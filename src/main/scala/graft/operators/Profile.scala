@@ -132,7 +132,11 @@ object Profile {
     val sk = df.agg(
       Kll.sketch(col(valueCol).cast("double"), kllK).as("s"))
       .head.getAs[Array[Byte]]("s")
-    require(sk != null, s"percentileScore: no rows to sketch in $valueCol")
+    // KllAgg is non-nullable (empty input evals to an empty-sketch wire),
+    // so the emptiness check must read the header's item count — a null
+    // check here is dead code (self-review catch)
+    require(KllUtil.countBytes(sk) > 0L,
+      s"percentileScore: no rows to sketch in $valueCol")
     df.withColumn(s"${valueCol}_pct", Kll.rank(lit(sk), col(valueCol)))
   }
 
@@ -146,7 +150,14 @@ object Profile {
     *  - `quantile_shift`: max over the probed deciles of
     *    |q_B − q_A| / (p99_A − p50_A + ε) — a scale-normalized location
     *    shift from the KLL sketches (numeric columns only).
-    * Pure expression work over KB-sized rows; neither table is read. */
+    * Pure expression work over KB-sized rows; neither table is read.
+    *
+    * Versioning caveat: drift compares sketch CONTENTS, so comparing a
+    * profile persisted under an older graft build against a fresh one
+    * reports any hash-ingest change as domain churn (e.g. the NULL-skip
+    * fix: a pre-fix profile of a nullable column carries one phantom
+    * hash a post-fix profile lacks). After upgrading, rebuild the
+    * baseline profile once before trusting cross-version drift. */
   def drift(before: DataFrame, after: DataFrame): DataFrame = {
     val eps = 1e-9
     val a = before.select(col("column"), col("distinct_est").as("da"),

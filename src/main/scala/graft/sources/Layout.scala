@@ -77,17 +77,20 @@ object Layout {
         "dimension's grid is too coarse to prune")
     val bitsPerDim = math.min(6, 12 / cols.size * 2) // 6,6,6,4 bits for n=2..5
     val cells = 1 << bitsPerDim
-    def cellOf(c: String): Column = {
-      val probs = (1 until cells).map(_.toDouble / cells).toArray
-      val bounds = df.select(col(c).cast("double").as("__q")).na.drop()
-        .stat.approxQuantile("__q", probs, 0.001)
+    val probs = (1 until cells).map(_.toDouble / cells).toArray
+    // ONE stats scan for every dimension (the multi-column approxQuantile
+    // overload) — the per-column form would run n sequential full-table
+    // jobs before the write even starts (self-review catch)
+    val casted = df.select(cols.map(c =>
+      col(c).cast("double").as(c)): _*)
+    val allBounds = casted.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val dims = cols.zip(allBounds).map { case (c, bounds) =>
       require(bounds.nonEmpty,
         s"layout: no rows to derive z-order quantiles for $c")
       bounds.foldLeft(lit(0L)) { (acc, b) =>
         acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)
       }
     }
-    val dims = cols.map(cellOf)
     val n = dims.size
     // interleave MSB-first across dimensions: bit i of dim d lands at
     // position i*n + (n-1-d), so same-significance bits stay adjacent

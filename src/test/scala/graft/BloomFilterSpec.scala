@@ -52,6 +52,16 @@ class BloomFilterSpec extends SparkSpec {
     val a = Seq("a").toDF("w")
       .select(Bloom.mightContain(lit(withNulls), col("w"))).head.getBoolean(0)
     assert(a, "non-null member lost when null rows present")
+    // NULL is not a member (self-review fix): bare XxHash64 hashed NULL
+    // to its seed, recording a phantom member — pin byte equality with
+    // the null-free build, and a NULL probe answering NULL, never true
+    val withoutNulls = Seq("a").toDF("w")
+      .agg(Bloom.bloomFilter(col("w"), 10, 0.01)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(withNulls, withoutNulls),
+      "NULL rows changed the filter bytes (phantom member)")
+    val nullProbe = Seq(Option.empty[String]).toDF("w")
+      .select(Bloom.mightContain(lit(withNulls), col("w"))).head
+    assert(nullProbe.isNullAt(0), "NULL probe must answer NULL, not a phantom hit")
   }
 
   test("semi-join reduction on real tables: filter scan == exact semi join + bounded overshoot") {

@@ -99,6 +99,23 @@ class CountMinSpec extends SparkSpec {
     assert(merged == 3L)
   }
 
+  test("NULL keys are skipped, not counted as a phantom value") {
+    // self-review fix: bare XxHash64 hashed NULL to its seed, so a
+    // mostly-NULL column reported the phantom as a heavy value — pin
+    // byte equality with the null-free build and a NULL probe -> NULL
+    val ss = spark
+    import ss.implicits._
+    val withNulls = Seq(Some("a"), Some("a"), None, None, None).toDF("k")
+      .agg(Cms.sketch(col("k"), 4, 64)).head.getAs[Array[Byte]](0)
+    val withoutNulls = Seq("a", "a").toDF("k")
+      .agg(Cms.sketch(col("k"), 4, 64)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(withNulls, withoutNulls),
+      "NULL rows changed the sketch bytes (phantom value)")
+    val nullProbe = Seq(Option.empty[String]).toDF("k")
+      .select(Cms.estimate(lit(withNulls), col("k"))).head
+    assert(nullProbe.isNullAt(0), "NULL probe must answer NULL")
+  }
+
   test("malformed input fails as a named error; sizing helper bounds") {
     intercept[IllegalArgumentException] {
       CmsUtil.estimateBytes(Array[Byte](1, 2, 3), 42L)
