@@ -232,6 +232,33 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] minhash_premium FAILED: $e")
     }
+    // forensics-only (r10): measured numbers for the lib-level additions
+    // that have no gated slot — the one-pass profiler over the events
+    // table, the theta distinct sketch, and the KLL-rank per-row
+    // percentile scoring pass — so the claims in SURVEY carry wall times
+    // at bench scale, not just spec assertions at sf0.001.
+    try {
+      val ev = graft.Tables.events(spark, sfDir)
+      def med(f: () => Unit): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      }
+      val profT = med(() => evaluate(graft.operators.Profile.profile(ev)))
+      val thetaT = med(() => {
+        ev.agg(graft.functions.Theta.sketch(
+          org.apache.spark.sql.functions.col("user_id"), 4096)).head
+        ()
+      })
+      val pctT = med(() => evaluate(
+        graft.operators.Profile.percentileScore(ev, "value")))
+      tee.log(f"[bench] lib_additions profile=$profT%.3f s " +
+        f"theta_sketch_k4096=$thetaT%.3f s percentile_score=$pctT%.3f s " +
+        "(med of 3, events table)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] lib_additions FAILED: $e")
+    }
     val sfName = new java.io.File(sfDir).getName
     val out = formatLine(results, failed, sfName)
     tee.log(s"[bench] done ${java.time.Instant.now()} total=${results.values.filter(_ > 0).sum}")
