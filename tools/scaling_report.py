@@ -51,6 +51,23 @@ def minhash_premium(path):
     return None
 
 
+def lib_additions(path):
+    """Lib-level components without a gated slot (r10): profiler, theta
+    sketch, percentile scoring — keep their wall times on the per-leg
+    record so their scaling is diffable like the gated queries'."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"lib_additions profile=([0-9.]+) s "
+                r"theta_sketch_k4096=([0-9.]+) s "
+                r"percentile_score=([0-9.]+) s", line)
+            if m:
+                return {"profile_sec": float(m.group(1)),
+                        "theta_sketch_sec": float(m.group(2)),
+                        "percentile_score_sec": float(m.group(3))}
+    return None
+
+
 def main():
     small_path, big_path, data_ratio, out_path = sys.argv[1:5]
     data_ratio = float(data_ratio)
@@ -70,10 +87,12 @@ def main():
         "small": {"sf_dir": small.get("sf"), "total_sec": small["value"],
                   "index_build_sec": index_build_sec(small_path),
                   "minhash_premium": minhash_premium(small_path),
+                  "lib_additions": lib_additions(small_path),
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
                 "index_build_sec": index_build_sec(big_path),
                 "minhash_premium": minhash_premium(big_path),
+                "lib_additions": lib_additions(big_path),
                 "queries": qb},
         "total_ratio": round(big["value"] / small["value"], 2),
         "median_query_ratio": median,
