@@ -259,6 +259,37 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions FAILED: $e")
     }
+    // forensics-only (r10): the native as-of operator (plans.AsofJoin,
+    // declared-requirements merge) against the oracle-gated union+window
+    // formulation it shadows — same inputs, same result (AsofPlanSpec
+    // pins equality), two plans. The gated ts_asof_join slot stays on the
+    // composed path (its DuckDB oracle mirrors that construction); this
+    // line keeps the native operator's claimed advantage measured.
+    try {
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val d = graft.Tables.events(spark, sfDir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select("user_id", "ts_us", "event_id", "event_type", "value")
+      val p = d.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value").as("pv"))
+      def med(f: () => Unit): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      }
+      val composed = med(() => evaluate(
+        graft.operators.TimeSeriesOps.asofJoin(d, p, "user_id", "ts_us",
+          "pv", tieCols = Seq("event_id"))))
+      val native = med(() => evaluate(
+        graft.plans.AsofJoin(d, p, "user_id", "ts_us", "pv",
+          rightTieCols = Seq("event_id"))))
+      tee.log(f"[bench] asof_native union_window=$composed%.3f s " +
+        f"native_merge=$native%.3f s (med of 3, events⋈purchases)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] asof_native FAILED: $e")
+    }
     val sfName = new java.io.File(sfDir).getName
     val out = formatLine(results, failed, sfName)
     tee.log(s"[bench] done ${java.time.Instant.now()} total=${results.values.filter(_ > 0).sum}")

@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(getClass.getName, name),
         builder))
 
+    // native plan strategies (tier (c) operators) — the Column-API entry
+    // points (plans.Ewma / plans.AsofJoin) install these lazily into
+    // `experimental.extraStrategies`, but a conf-configured session gets
+    // them up front so pre-built AsofJoinNode/EwmaNode plans are always
+    // plannable
+    e.injectPlannerStrategy(_ => graft.plans.EwmaStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+
     inject("graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)))
     inject("graft_dist_sq", exprs => DistSq(exprs(0), exprs(1)))
     inject("graft_char_entropy", exprs => CharEntropy(exprs(0)))

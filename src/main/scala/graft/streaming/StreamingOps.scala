@@ -506,4 +506,75 @@ object StreamingOps {
                   k: Int = 1024): DataFrame =
     events.groupBy()
       .agg(graft.functions.Theta.sketch(col(keyCol), k).as("theta"))
+
+  case class AsofEv(event_id: Long, ts_us: Long, user_id: Long,
+                    event_type: String, value: Double)
+  case class AsofState(ts_us: Long, event_id: Long, v: Double)
+  case class AsofOut(user_id: Long, event_id: Long, event_type: String,
+                     value: Double, asof_val: Option[Double])
+
+  /** As-of enrichment as a streaming state machine — the incremental twin
+    * of TimeSeriesOps.asofJoin / plans.AsofJoin on the gated ts_asof_join
+    * shape (right side = the `rightType` rows of the same stream): every
+    * event is emitted with the most recent `rightType` value of its key
+    * at-or-before it. State per key is ONE (ts, event_id, value) triple —
+    * the newest right row seen — so state is O(keys) forever, the
+    * streaming analog of the batch operator's O(1) merge state.
+    *
+    * Batch parity (spec-pinned): each micro-batch slice replays the exact
+    * union ordering of the batch formulation — every event is a
+    * left-role entry, `rightType` events ALSO a right-role entry sorting
+    * BEFORE left roles at an equal timestamp — so a static directory
+    * replayed in one batch (or split in event-time order) reproduces
+    * TimeSeriesOps.asofJoin row for row, including the equal-timestamp
+    * contract (a right row at ts t is visible to every left row at t,
+    * the highest-event_id right row winning among ties).
+    *
+    * Late-data contract (pinned by the out-of-order StreamingSpec, same
+    * family as ewma/debounce): the horizon never rewinds — a cross-batch
+    * late right row older than the stored (ts, event_id) is ignored for
+    * state (emitted history stays immutable), and a late left row is
+    * enriched against the CURRENT horizon, which on out-of-order input
+    * may postdate it. That is the price of O(1)-per-key state; in-order
+    * replay is exact. `toleranceUs` nulls matches farther than the bound,
+    * measured against the stored right timestamp, exactly as in batch. */
+  def asofStream(events: Dataset[AsofEv], rightType: String = "purchase",
+                 toleranceUs: Option[Long] = None)(
+      implicit enc1: org.apache.spark.sql.Encoder[Long],
+      enc2: org.apache.spark.sql.Encoder[AsofState],
+      enc3: org.apache.spark.sql.Encoder[AsofOut]): Dataset[AsofOut] = {
+
+    def handle(userId: Long, evs: Iterator[AsofEv],
+               state: GroupState[AsofState]): Iterator[AsofOut] = {
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+      // the batch union relation, reconstructed per slice: right roles
+      // (side 0) sort before left roles (side 1) at an equal timestamp
+      val entries = evs.toSeq.flatMap { e =>
+        val left = (e.ts_us, 1, e.event_id, e)
+        if (e.event_type == rightType) Seq((e.ts_us, 0, e.event_id, e), left)
+        else Seq(left)
+      }.sortBy(t => (t._1, t._2, t._3))
+      entries.foreach { case (_, side, _, e) =>
+        if (side == 0) {
+          // newest-(ts, event_id) wins; a late older right row must not
+          // rewind the horizon (in-order input: always newer)
+          if (cur.forall(s => s.ts_us < e.ts_us ||
+              (s.ts_us == e.ts_us && s.event_id < e.event_id)))
+            cur = Some(AsofState(e.ts_us, e.event_id, e.value))
+        } else {
+          val v = cur.collect {
+            case s if toleranceUs.forall(t => e.ts_us - s.ts_us <= t) => s.v
+          }
+          out += AsofOut(userId, e.event_id, e.event_type, e.value, v)
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+  }
 }

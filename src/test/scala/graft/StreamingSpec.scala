@@ -961,4 +961,79 @@ class StreamingSpec extends SparkSpec {
         f"stream KLL q=$p: rank error $err%.4f > 0.015 (est=$est%.3f)")
     }
   }
+
+  /** The corpus as the asof-stream input type, and the batch formulation
+    * it must reproduce (the gated ts_asof_join shape: right side = the
+    * purchase rows of the same stream). */
+  private def asofFixture = {
+    val d = Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    val purchases = d.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value").as("pv"))
+    val want = operators.TimeSeriesOps.asofJoin(d, purchases, "user_id",
+        "ts_us", "pv", tieCols = Seq("event_id"))
+      .select(col("event_id"), col("asof_val"))
+      .as[(Long, Option[Double])].collect().toMap
+    (d, want)
+  }
+
+  private def runAsofStream(dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      name: String): Map[Long, Option[Double]] = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[StreamingOps.AsofEv]
+    val q = StreamingOps.asofStream(stream).toDF().writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).select(col("event_id"), col("asof_val"))
+      .as[(Long, Option[Double])].collect().toMap
+  }
+
+  test("asof stream one-batch replay reproduces the batch as-of join on the corpus") {
+    val (d, want) = asofFixture
+    val dir = stageBatches("asof_one", Seq(d))
+    val got = runAsofStream(dir, d.schema, "asof_stream_one")
+    assert(got.size == want.size, s"${got.size} vs ${want.size}")
+    want.foreach { case (id, v) =>
+      assert(got(id) == v, s"event $id: got ${got(id)} want $v") }
+  }
+
+  test("asof stream split in event-time order carries the horizon across batches") {
+    val (d, want) = asofFixture
+    // an event-time-ordered split: state (the last purchase of each key)
+    // must carry from the early batch into the late one
+    val cut = d.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    val dir = stageBatches("asof_split", Seq(
+      d.filter(col("ts_us") <= cut), d.filter(col("ts_us") > cut)))
+    val got = runAsofStream(dir, d.schema, "asof_stream_split")
+    assert(got.size == want.size, s"${got.size} vs ${want.size}")
+    want.foreach { case (id, v) =>
+      assert(got(id) == v, s"event $id: got ${got(id)} want $v") }
+  }
+
+  test("asof stream never rewinds the horizon on a cross-batch late right row") {
+    val sec = 1000000L
+    def ev(id: Long, ts: Long, tpe: String, v: Double) =
+      StreamingOps.AsofEv(id, ts, 7L, tpe, v)
+    val b1 = Seq(ev(1L, 100L * sec, "purchase", 5.0),
+      ev(2L, 200L * sec, "view", 0.0)).toDF()
+    // batch 2: a LATE purchase (ts 50 s < stored horizon 100 s) plus an
+    // on-time event after it
+    val b2 = Seq(ev(3L, 50L * sec, "purchase", 9.0),
+      ev(4L, 300L * sec, "view", 0.0)).toDF()
+    val dir = stageBatches("asof_late", Seq(b1, b2))
+    val got = runAsofStream(dir, b1.schema, "asof_stream_late")
+    assert(got == Map(
+      1L -> Some(5.0), // the purchase sees itself
+      2L -> Some(5.0),
+      // the late purchase must NOT take over the state: it is emitted
+      // enriched against the current horizon, and the later event still
+      // sees the t=100 s purchase, not the late t=50 s one
+      3L -> Some(5.0),
+      4L -> Some(5.0)), s"$got")
+  }
 }

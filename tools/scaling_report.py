@@ -68,6 +68,22 @@ def lib_additions(path):
     return None
 
 
+def asof_native(path):
+    """Native-merge as-of operator vs the gated union+window formulation
+    (r10): same inputs, same result, two plans — keep both wall times on
+    the per-leg record so the native operator's advantage is a measured
+    curve, not a plan-shape claim."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"asof_native union_window=([0-9.]+) s "
+                r"native_merge=([0-9.]+) s", line)
+            if m:
+                return {"union_window_sec": float(m.group(1)),
+                        "native_merge_sec": float(m.group(2))}
+    return None
+
+
 def main():
     small_path, big_path, data_ratio, out_path = sys.argv[1:5]
     data_ratio = float(data_ratio)
@@ -88,11 +104,13 @@ def main():
                   "index_build_sec": index_build_sec(small_path),
                   "minhash_premium": minhash_premium(small_path),
                   "lib_additions": lib_additions(small_path),
+                  "asof_native": asof_native(small_path),
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
                 "index_build_sec": index_build_sec(big_path),
                 "minhash_premium": minhash_premium(big_path),
                 "lib_additions": lib_additions(big_path),
+                "asof_native": asof_native(big_path),
                 "queries": qb},
         "total_ratio": round(big["value"] / small["value"], 2),
         "median_query_ratio": median,
