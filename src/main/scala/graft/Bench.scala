@@ -286,7 +286,7 @@ object Bench {
         graft.plans.AsofJoin(d, p, "user_id", "ts_us", "pv",
           rightTieCols = Seq("event_id"))))
       tee.log(f"[bench] asof_native union_window=$composed%.3f s " +
-        f"native_merge=$native%.3f s (med of 3, events⋈purchases)")
+        f"native_merge=$native%.3f s (med of 3, events-join-purchases)")
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] asof_native FAILED: $e")
     }
