@@ -17,6 +17,15 @@ object Bench {
   def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Median-of-3 wall time for the forensics side-lines (minhash premium,
+    * lib additions, asof_native) — one timing protocol for all of them. */
+  private def med(f: () => Unit): Double = {
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }.sorted
+    ts(1)
+  }
+
   /** The one-line JSON the driver parses, with its degrade ladder:
     * centisecond per-query detail → decisecond (slow values cost precision,
     * not the map) → headline + failures → bare headline. The driver
@@ -216,12 +225,6 @@ object Bench {
     // the oracle-replay premium can never be mistaken for engine cost.
     try {
       val docs = graft.Tables.documents(spark, sfDir)
-      def med(f: () => Unit): Double = {
-        val ts = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
-        }.sorted
-        ts(1)
-      }
       val prod = med(() => evaluate(
         graft.operators.Dedup.minhashPairs(docs, "text")))
       val md5 = med(() => evaluate(
@@ -239,12 +242,6 @@ object Bench {
     // at bench scale, not just spec assertions at sf0.001.
     try {
       val ev = graft.Tables.events(spark, sfDir)
-      def med(f: () => Unit): Double = {
-        val ts = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
-        }.sorted
-        ts(1)
-      }
       val profT = med(() => evaluate(graft.operators.Profile.profile(ev)))
       val thetaT = med(() => {
         ev.agg(graft.functions.Theta.sketch(
@@ -273,12 +270,6 @@ object Bench {
       val p = d.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us"), col("event_id"),
           col("value").as("pv"))
-      def med(f: () => Unit): Double = {
-        val ts = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
-        }.sorted
-        ts(1)
-      }
       val composed = med(() => evaluate(
         graft.operators.TimeSeriesOps.asofJoin(d, p, "user_id", "ts_us",
           "pv", tieCols = Seq("event_id"))))

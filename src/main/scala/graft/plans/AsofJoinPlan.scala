@@ -46,18 +46,26 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * scan). Name resolution is self-healing under any such rewrite; the
   * wrapper enforces name uniqueness per side so it is unambiguous.
   *
-  * Matching contract (identical to asofCore, spec-pinned by whole-corpus
-  * equality): each left row gets the LAST (backward) / FIRST (forward)
-  * non-null right value whose timestamp is <= (resp. >=) the left
-  * timestamp; right rows at an equal timestamp are visible (standard
-  * allow_exact_matches); `rightTieCols` total-order equal-timestamp right
-  * rows so the survivor is deterministic; `toleranceUs` nulls out matches
-  * farther than the bound, measured against the timestamp of the row that
-  * PROVIDED the value. Null-valued right rows never contribute a value nor
-  * a tolerance timestamp. Rows with a null timestamp on either side
-  * cannot be ordered on the time axis and produce (left) / provide
-  * (right) no match — the wrapper filters null-ts right rows scan-side so
-  * the filter pushes down.
+  * Matching contract (equal to asofCore on time-orderable rows,
+  * spec-pinned by whole-corpus equality): each left row gets the LAST
+  * (backward) / FIRST (forward) non-null right value whose timestamp is
+  * <= (resp. >=) the left timestamp; right rows at an equal timestamp are
+  * visible (standard allow_exact_matches); `rightTieCols` total-order
+  * equal-timestamp right rows so the survivor is deterministic;
+  * `toleranceUs` nulls out matches farther than the bound, measured
+  * against the timestamp of the row that PROVIDED the value. Null-valued
+  * right rows never contribute a value nor a tolerance timestamp.
+  *
+  * ONE deliberate divergence (spec-pinned): rows with a NULL timestamp.
+  * The composed form happens to let a null-ts right row act as a
+  * negative-infinity fallback for every backward match of its key — not
+  * a designed behavior, just NULLS FIRST window ordering putting the row
+  * at the front of every frame (and symmetrically a null-ts LEFT row
+  * matches the whole partition forward). This operator takes the
+  * position that a row without a time cannot participate in a time join:
+  * null-ts right rows provide no match (filtered scan-side by the
+  * wrapper so the filter pushes down, skipped defensively at ingest) and
+  * null-ts left rows produce none.
   */
 case class AsofJoinNode(key: String, tsCol: String, rightValCol: String,
                         rightTieCols: Seq[String],
@@ -250,9 +258,7 @@ object AsofJoin {
       s"as-of key types differ: ${left.schema(key).dataType} vs " +
         s"${right.schema(key).dataType}")
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    Ewma.installStrategy(spark, AsofJoinStrategy)
     // shape the right side scan-side: only the consumed columns (which
     // also guarantees unique right names), value cast to double, null
     // value/ts rows dropped HERE so the filter is a plain Filter the

@@ -96,14 +96,24 @@ object EwmaStrategy extends SparkStrategy {
 }
 
 object Ewma {
+  /** Lazy strategy installation shared by the native-plan entry points
+    * (this and [[AsofJoin]]): consult the session PLANNER, not just
+    * `experimental.extraStrategies` — a GraftExtensions-configured
+    * session already carries the strategies via injectPlannerStrategy,
+    * and appending a second copy would make the planner generate
+    * duplicate candidates for every native node. */
+  private[plans] def installStrategy(spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit =
+    if (!spark.sessionState.planner.strategies.contains(s))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ s
+
   /** Append an `ewma` column via the native operator. Installs the planner
     * strategy into the session on first use (idempotent). */
   def apply(df: DataFrame, key: String, order: Seq[String], valueCol: String,
             alpha: Double): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(EwmaStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ EwmaStrategy
+    installStrategy(spark, EwmaStrategy)
     val lp = org.apache.spark.sql.graftbridge.PlanBridge.logicalPlan(df)
     def attr(name: String): Attribute = lp.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"column $name not found"))

@@ -507,11 +507,15 @@ object StreamingOps {
     events.groupBy()
       .agg(graft.functions.Theta.sketch(col(keyCol), k).as("theta"))
 
+  // value is an Option so a null-valued event cannot kill the query at
+  // deserialization — the batch operators this twins explicitly tolerate
+  // null-valued right rows (they contribute nothing), and the stream must
+  // match that contract, not crash on it
   case class AsofEv(event_id: Long, ts_us: Long, user_id: Long,
-                    event_type: String, value: Double)
+                    event_type: String, value: Option[Double])
   case class AsofState(ts_us: Long, event_id: Long, v: Double)
   case class AsofOut(user_id: Long, event_id: Long, event_type: String,
-                     value: Double, asof_val: Option[Double])
+                     value: Option[Double], asof_val: Option[Double])
 
   /** As-of enrichment as a streaming state machine — the incremental twin
     * of TimeSeriesOps.asofJoin / plans.AsofJoin on the gated ts_asof_join
@@ -552,7 +556,9 @@ object StreamingOps {
       // (side 0) sort before left roles (side 1) at an equal timestamp
       val entries = evs.toSeq.flatMap { e =>
         val left = (e.ts_us, 1, e.event_id, e)
-        if (e.event_type == rightType) Seq((e.ts_us, 0, e.event_id, e), left)
+        // null-valued right rows contribute nothing, exactly as in batch
+        if (e.event_type == rightType && e.value.nonEmpty)
+          Seq((e.ts_us, 0, e.event_id, e), left)
         else Seq(left)
       }.sortBy(t => (t._1, t._2, t._3))
       entries.foreach { case (_, side, _, e) =>
@@ -561,7 +567,7 @@ object StreamingOps {
           // rewind the horizon (in-order input: always newer)
           if (cur.forall(s => s.ts_us < e.ts_us ||
               (s.ts_us == e.ts_us && s.event_id < e.event_id)))
-            cur = Some(AsofState(e.ts_us, e.event_id, e.value))
+            cur = Some(AsofState(e.ts_us, e.event_id, e.value.get))
         } else {
           val v = cur.collect {
             case s if toleranceUs.forall(t => e.ts_us - s.ts_us <= t) => s.v

@@ -124,6 +124,31 @@ class AsofPlanSpec extends SparkSpec {
     assert(tolBack(4L) == Some(4.0), s"exact match inside tolerance: $tolBack")
   }
 
+  test("null-timestamp rows: the documented divergence from the composed form") {
+    // The composed union+window form accidentally treats a null-ts right
+    // row as a negative-infinity fallback (NULLS FIRST ordering puts it
+    // at the front of every backward frame). The native operator takes
+    // the documented position that a row without a time cannot
+    // participate in a time join: null-ts right rows provide no match,
+    // null-ts left rows produce none. Pin BOTH behaviors so the
+    // divergence stays a recorded decision, not an accident.
+    val l = Seq(("a", Some(10L), 1L), ("a", Option.empty[Long], 2L))
+      .toDF("k", "ts_us", "id")
+    val r = Seq(("a", Option.empty[Long], 3L, Some(5.0)))
+      .toDF("k", "ts_us", "id", "v")
+    val native = AsofJoin(l, r, "k", "ts_us", "v", rightTieCols = Seq("id"))
+      .select(col("id"), col("asof_val")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(native == Map(1L -> None, 2L -> None), s"native: $native")
+    val composed = TimeSeriesOps.asofJoin(l, r, "k", "ts_us", "v",
+        tieCols = Seq("id"))
+      .select(col("id"), col("asof_val")).as[(Long, Option[Double])]
+      .collect().toMap
+    // the composed form's accident, pinned as documentation: the null-ts
+    // right row matches every left row of the key
+    assert(composed(1L) == Some(5.0), s"composed: $composed")
+  }
+
   test("plan shape: one exchange per unclustered side, left reuse when chained") {
     val plan = AsofJoin(events, purchases, "user_id", "ts_us", "pv",
       rightTieCols = Seq("event_id")).queryExecution.executedPlan.toString
@@ -173,6 +198,31 @@ class AsofPlanSpec extends SparkSpec {
       .select(col("id"), col("asof_val")).as[(Long, Option[Double])]
       .collect().toMap
     assert(got == Map(1L -> None, 2L -> Some(1.5)), s"$got")
+  }
+
+  test("bucketed inputs join with ZERO exchanges (the 100 TB ingest-once path)") {
+    // the SURVEY claim this pins: both sides written bucketed+sorted by
+    // the key report their bucket hash-partitioning from the scan, so
+    // EnsureRequirements inserts sorts (bucket sort is by key alone, the
+    // operator needs (key, ts)) but NO exchange — shuffle the corpus once
+    // at ingest, never again per as-of query
+    val tmp = java.nio.file.Files.createTempDirectory("asof_bucketed")
+    graft.sources.Bucketing.writeBucketed(events, s"$tmp/ev",
+      "asof_ev_bucketed", "user_id", 4)
+    graft.sources.Bucketing.writeBucketed(purchases, s"$tmp/pu",
+      "asof_pu_bucketed", "user_id", 4)
+    val l = graft.sources.Bucketing.readTable(spark, "asof_ev_bucketed")
+    val r = graft.sources.Bucketing.readTable(spark, "asof_pu_bucketed")
+    val df = AsofJoin(l, r, "user_id", "ts_us", "pv",
+      rightTieCols = Seq("event_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of must not shuffle:\n$plan")
+    val want = byId(TimeSeriesOps.asofJoin(events, purchases, "user_id",
+      "ts_us", "pv", tieCols = Seq("event_id")))
+    val got = byId(df)
+    assert(got == want, "bucketed result diverged from the composed join")
   }
 
   test("right side is pruned and null-filtered at the scan") {

@@ -1017,14 +1017,17 @@ class StreamingSpec extends SparkSpec {
 
   test("asof stream never rewinds the horizon on a cross-batch late right row") {
     val sec = 1000000L
-    def ev(id: Long, ts: Long, tpe: String, v: Double) =
+    def ev(id: Long, ts: Long, tpe: String, v: Option[Double]) =
       StreamingOps.AsofEv(id, ts, 7L, tpe, v)
-    val b1 = Seq(ev(1L, 100L * sec, "purchase", 5.0),
-      ev(2L, 200L * sec, "view", 0.0)).toDF()
-    // batch 2: a LATE purchase (ts 50 s < stored horizon 100 s) plus an
-    // on-time event after it
-    val b2 = Seq(ev(3L, 50L * sec, "purchase", 9.0),
-      ev(4L, 300L * sec, "view", 0.0)).toDF()
+    val b1 = Seq(ev(1L, 100L * sec, "purchase", Some(5.0)),
+      ev(2L, 200L * sec, "view", Some(0.0))).toDF()
+    // batch 2: a LATE purchase (ts 50 s < stored horizon 100 s), a
+    // NULL-valued purchase past the horizon (must neither crash the
+    // query nor advance the state — the batch null-skip contract), and
+    // an on-time event after both
+    val b2 = Seq(ev(3L, 50L * sec, "purchase", Some(9.0)),
+      ev(5L, 250L * sec, "purchase", None),
+      ev(4L, 300L * sec, "view", Some(0.0))).toDF()
     val dir = stageBatches("asof_late", Seq(b1, b2))
     val got = runAsofStream(dir, b1.schema, "asof_stream_late")
     assert(got == Map(
@@ -1034,6 +1037,8 @@ class StreamingSpec extends SparkSpec {
       // enriched against the current horizon, and the later event still
       // sees the t=100 s purchase, not the late t=50 s one
       3L -> Some(5.0),
+      // the null-valued purchase contributes nothing, to itself or after
+      5L -> Some(5.0),
       4L -> Some(5.0)), s"$got")
   }
 }
