@@ -39,6 +39,48 @@ object RangeJoin {
       .drop("bucket")
   }
 
+  /** Interval×interval OVERLAP join — the two-sided generalization of
+    * [[rangeJoin]] (sessions × maintenance windows, downtime × incident
+    * ranges). Every pair with `aStart <= bEnd && bStart <= aEnd` comes out
+    * exactly once.
+    *
+    * Same bucketization: both sides explode to the fixed-width buckets
+    * they span, the join is an equi-join on the bucket key, and the exact
+    * overlap predicate post-filters. The subtlety two-sided explosion adds
+    * is DUPLICATES — an overlapping pair co-occurs in every bucket their
+    * spans share — and the standard fix costs a dropDuplicates shuffle.
+    * This implementation is duplicate-free by construction instead: a
+    * pair is kept only in the bucket of `max(aStart, bStart)` — the first
+    * bucket of the overlap region, which both sides provably cover
+    * (max(aStart, bStart) lies inside both intervals whenever they
+    * overlap) — so each surviving pair appears in exactly one bucket and
+    * no post-join dedup exchange exists in the plan.
+    *
+    * Contract: the four interval columns are epoch-µs longs; `a` and `b`
+    * must have disjoint column names (rename before joining — the output
+    * carries both sides' columns). Scale shape is [[rangeJoin]]'s: one
+    * shuffle per side on the bucket key (or a broadcast when one exploded
+    * side is dim-sized), fan-out governed by `bucketUs` vs interval
+    * lengths. */
+  def intervalJoin(a: DataFrame, aStart: String, aEnd: String,
+                   b: DataFrame, bStart: String, bEnd: String,
+                   bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"intervalJoin: bucketUs must be positive, got $bucketUs")
+    val clash = a.columns.toSet.intersect(b.columns.toSet)
+    require(clash.isEmpty,
+      s"intervalJoin: column name clash ${clash.mkString(", ")} — rename " +
+        "one side so the output is unambiguous")
+    def bucketOf(c: Column): Column = floor(c / bucketUs).cast("long")
+    val aB = a.withColumn("_bucket",
+      explode(sequence(bucketOf(col(aStart)), bucketOf(col(aEnd)))))
+    val bB = b.withColumn("_bucket",
+      explode(sequence(bucketOf(col(bStart)), bucketOf(col(bEnd)))))
+    aB.join(bB, Seq("_bucket"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("_bucket") === bucketOf(greatest(col(aStart), col(bStart))))
+      .drop("_bucket")
+  }
+
   // ---------- SparkEntry glue ----------
 
   private val BaseUs = 1704067200000000L // 2024-01-01T00:00:00Z

@@ -41,6 +41,85 @@ object Skew {
       ("v_sum", (c: Column) => sum(c), (c: Column) => sum(c)),
       ("v_n", (c: Column) => count(c), (c: Column) => sum(c))), valueCol)
 
+  /** Joins [[skewJoin]] supports: splitting the LEFT side into hot/cold
+    * legs partitions the OUTPUT only when every output row is anchored to
+    * exactly one left row. Right/full-outer joins break that invariant —
+    * an unmatched right row would be emitted by BOTH legs (each leg sees
+    * it unmatched against its slice of the left). */
+  private val LeftAnchoredJoins =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
+  /** Explicit hot-key split join — the join-side complement of
+    * [[saltedAgg]] for the skew AQE cannot always save you from.
+    *
+    * AQE's skew-join handling splits oversized sort-merge partitions at
+    * runtime, but it only triggers inside an SMJ whose statistics cross
+    * its thresholds, and it still sorts the hot key's rows. The
+    * production-grade alternative when the hot keys are KNOWN (one mega
+    * user, a handful of dominant event types): route the hot keys' rows
+    * through a broadcast join — no shuffle, no sort, each hot key's rows
+    * stay spread across whatever partitions they already occupy — and
+    * only the well-distributed remainder through the ordinary shuffle
+    * join. At 100 TB this turns "one reducer owns the mega-key's 2 TB"
+    * into "the mega-key never shuffles at all".
+    *
+    * Contract: equi-join on `key`; `joinType` must be left-anchored
+    * (inner / left_outer / left_semi / left_anti — see
+    * [[LeftAnchoredJoins]]); the RIGHT side's hot-key slice must be
+    * broadcast-sized (it is `|hotKeys|` keys' worth of dim rows — small
+    * by construction when hotKeys is the short head of a skewed
+    * distribution). Row-level semantics are EXACTLY the plain join's:
+    * NULL left keys ride the cold leg (where the equi-join treats them as
+    * matchless, same as unsplit), and the legs partition the left side,
+    * so output multiplicity per left row is unchanged.
+    */
+  def skewJoin(left: DataFrame, right: DataFrame, key: String,
+               hotKeys: Seq[Any], joinType: String = "inner"): DataFrame = {
+    require(hotKeys.nonEmpty, "skewJoin: hotKeys must be non-empty — " +
+      "use a plain join when there is nothing to split")
+    require(LeftAnchoredJoins.contains(joinType.toLowerCase),
+      s"skewJoin: joinType '$joinType' is not left-anchored; splitting the " +
+        "left side would duplicate or drop unmatched right rows " +
+        s"(supported: ${LeftAnchoredJoins.toSeq.sorted.mkString(", ")})")
+    // isin is three-valued: NULL key => NULL, which would vanish from BOTH
+    // legs under filter(). Coalesce to false so NULL keys ride the cold leg.
+    def isHot(df: DataFrame): Column =
+      coalesce(df(key).isin(hotKeys: _*), lit(false))
+    val hotLeft = left.filter(isHot(left))
+    val coldLeft = left.filter(!isHot(left))
+    // cold left rows cannot match hot right keys (equi-join), so the cold
+    // leg's shuffled right side shrinks by exactly the hot rows
+    val hotRight = right.filter(isHot(right))
+    val coldRight = right.filter(!isHot(right))
+    hotLeft.join(broadcast(hotRight), Seq(key), joinType)
+      .unionByName(coldLeft.join(coldRight, Seq(key), joinType))
+  }
+
+  /** [[skewJoin]] with the hot set DETECTED from the left side: one
+    * column-pruned count-by-key pass (partial aggregation keeps even the
+    * hot key map-side safe — the scan this profile is cheap for is the
+    * same reason [[keyProfile]] is), keys with ≥ `hotThreshold` rows,
+    * capped at the `maxHot` largest. The driver holds at most `maxHot`
+    * key values — bounded planner state, same budget class as a broadcast
+    * hint. Falls back to the plain join when nothing crosses the
+    * threshold, so it is always safe to leave in a pipeline. */
+  def skewJoinAuto(left: DataFrame, right: DataFrame, key: String,
+                   hotThreshold: Long, maxHot: Int = 64,
+                   joinType: String = "inner"): DataFrame = {
+    require(hotThreshold > 0 && maxHot > 0,
+      s"skewJoinAuto: need positive hotThreshold/maxHot, " +
+        s"got $hotThreshold/$maxHot")
+    val hot = left.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= hotThreshold)
+      .orderBy(col("_n").desc, col(key)) // deterministic under count ties
+      .limit(maxHot)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    if (hot.isEmpty) left.join(right, Seq(key), joinType)
+    else skewJoin(left, right, key, hot, joinType)
+  }
+
   /** Key-distribution skew profile — the diagnostic run BEFORE choosing a
     * mitigation (salting, broadcast, AQE skew-join) for a join/agg key at
     * scale. One row out:

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-statistics manifest — the metadata layer that makes planning-time
+  * data skipping possible WITHOUT opening a single data file.
+  *
+  * Parquet footers already carry min/max, and [[Layout]] makes them tight
+  * — but footer pruning still costs one open+read per FILE per query. At
+  * 100 TB a table is millions of files; "skip 99.9% of the data" via
+  * footers alone still means millions of S3 GETs just to decide what to
+  * skip. Table formats (Delta, Iceberg, Hudi) all converge on the same
+  * fix: hoist per-file stats into a separate, tiny manifest consulted at
+  * PLANNING time, so the scan is constructed from the surviving file list
+  * and the object store never hears about the rest. This is that layer in
+  * its minimal honest form:
+  *
+  *  - [[build]] — one distributed scan of the table computes per-file
+  *    (row count, per-column min/max/null-count). O(files) rows out.
+  *  - [[prune]] — interval predicates evaluated against the manifest;
+  *    returns the surviving file list. Runs ON THE MANIFEST (KBs-MBs),
+  *    never the table.
+  *  - [[readPruned]] — constructs a scan over only the surviving files,
+  *    re-applies the exact predicate (manifest pruning is conservative:
+  *    a surviving file may still hold zero matching rows), and — because
+  *    a stale manifest silently DROPS data — refuses to serve a
+  *    directory whose file set no longer matches the manifest.
+  *
+  * The driver-side file list is planner state, the same object a table
+  * format's log replay holds; it is bounded by the table's file count at
+  * build time and by predicate selectivity at read time.
+  */
+object Manifest {
+
+  private val FileCol = "_file"
+
+  /** Per-file stats in ONE scan: `groupBy(input_file_name())` makes every
+    * statistic a partial (map-side) aggregate, so each file's stats are
+    * computed by the tasks that read it and only O(files × cols) summary
+    * rows move. Columns beyond `cols` cost nothing (column-pruned scan). */
+  def build(spark: SparkSession, tablePath: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest: need at least one stats column")
+    val df = spark.read.parquet(tablePath)
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"manifest: column(s) ${missing.mkString(", ")} not in $tablePath " +
+        s"(has: ${df.columns.mkString(", ")})")
+    val aggs =
+      cols.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"))
+      }
+    df.groupBy(input_file_name().as(FileCol))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Persist a manifest as a single small parquet file (it is O(files)
+    * rows — planner metadata, not data). */
+  def write(manifest: DataFrame, manifestPath: String): Unit =
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath)
+
+  def read(spark: SparkSession, manifestPath: String): DataFrame =
+    spark.read.parquet(manifestPath)
+
+  /** Surviving files for a conjunction of closed-interval predicates
+    * `col BETWEEN lo AND hi` (either bound may be null for one-sided
+    * ranges). A file survives unless some interval PROVABLY excludes it:
+    * its max below lo or its min above hi. Files where the column is
+    * entirely null have null min/max and cannot satisfy a range
+    * predicate on any row — they are excluded for that interval, which
+    * is exactly what the re-applied exact predicate would do row-wise.
+    * Conservative by construction: never drops a file that could hold a
+    * matching row. */
+  def prune(manifest: DataFrame, intervals: Map[String, (Any, Any)],
+            maxFiles: Int = 1 << 20): Seq[String] = {
+    require(intervals.nonEmpty, "manifest: no intervals to prune on")
+    val cond = intervals.map { case (c, (lo, hi)) =>
+      val minC = col(s"${c}__min")
+      val maxC = col(s"${c}__max")
+      val loOk = if (lo == null) minC.isNotNull else maxC >= lit(lo)
+      val hiOk = if (hi == null) minC.isNotNull else minC <= lit(hi)
+      loOk && hiOk
+    }.reduce(_ && _)
+    val survivors = manifest.filter(cond).select(col(FileCol))
+      .limit(maxFiles + 1).collect().map(_.getString(0)).toSeq
+    require(survivors.length <= maxFiles,
+      s"manifest: more than $maxFiles files survive pruning — this file " +
+        "list is driver/planner state; raise maxFiles deliberately or " +
+        "tighten the predicate")
+    survivors
+  }
+
+  /** The staleness gate: the set of data files on disk must EQUAL the
+    * manifest's file set. A manifest missing new files would silently
+    * drop their rows from every pruned read — the one failure mode a
+    * skipping layer must never have quietly. (Table formats solve this
+    * by making the manifest the source of truth for commits; for a plain
+    * directory, refusing loudly is the honest contract.) Flat (unpartitioned)
+    * directories — the layout [[Layout]] writes; hive-partitioned trees
+    * should manifest each leaf. */
+  def requireFresh(spark: SparkSession, tablePath: String,
+                   manifest: DataFrame): Unit = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new Path(tablePath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).toSet
+    val inManifest = manifest.select(col(FileCol))
+      .collect().map(r => normalize(r.getString(0))).toSet
+    val diskNorm = onDisk.map(normalize)
+    val missing = diskNorm -- inManifest
+    val gone = inManifest -- diskNorm
+    require(missing.isEmpty && gone.isEmpty,
+      s"manifest: stale vs $tablePath — ${missing.size} file(s) on disk " +
+        s"missing from manifest, ${gone.size} manifest file(s) gone from " +
+        "disk. Rebuild the manifest before pruned reads.")
+  }
+
+  /** `input_file_name()` and Hadoop listings render the same file with
+    * different scheme spellings (`file:///x` vs `file:/x`); compare on
+    * scheme-stripped paths. */
+  private def normalize(uri: String): String =
+    uri.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+
+  /** A scan over only the files that can satisfy `intervals`, with the
+    * exact closed-interval predicates re-applied row-wise. Fails loudly
+    * on a stale manifest (see [[requireFresh]]); `staleCheck = false` is
+    * for callers whose ingest already guarantees manifest/table atomicity.
+    * Returns an empty Dataset with the table's schema when nothing
+    * survives. */
+  def readPruned(spark: SparkSession, tablePath: String, manifest: DataFrame,
+                 intervals: Map[String, (Any, Any)],
+                 staleCheck: Boolean = true): DataFrame = {
+    if (staleCheck) requireFresh(spark, tablePath, manifest)
+    val files = prune(manifest, intervals)
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(tablePath).limit(0)
+      else spark.read.parquet(files: _*)
+    val exact = intervals.map { case (c, (lo, hi)) =>
+      val loOk = if (lo == null) col(c).isNotNull else col(c) >= lit(lo)
+      val hiOk = if (hi == null) col(c).isNotNull else col(c) <= lit(hi)
+      loOk && hiOk
+    }.reduce(_ && _)
+    base.filter(exact)
+  }
+}

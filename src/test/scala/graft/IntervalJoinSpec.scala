@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Interval-overlap join: exact pair-set equality with the naive
+  * cross-join formulation (the semantics oracle), duplicate-freedom by
+  * construction (no dropDuplicates in the plan), and bucket-width
+  * invariance — the tuning knob must never change the answer. */
+class IntervalJoinSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  private val HourUs = 3600000000L
+
+  // deterministic pseudo-random intervals: id-derived starts/lengths with
+  // enough variety to exercise containment, partial overlap, touching
+  // endpoints, and disjoint pairs across many buckets
+  private def mk(n: Int, seedMul: Long, idCol: String, s: String, e: String) =
+    spark.range(n).select(
+      col("id").as(idCol),
+      (col("id") * seedMul % 400 * HourUs).as(s),
+      (col("id") * seedMul % 400 * HourUs +
+        (col("id") * 31 % 37 + 1) * HourUs).as(e))
+
+  private lazy val a = mk(120, 97L, "a_id", "a_s", "a_e")
+  private lazy val b = mk(150, 61L, "b_id", "b_s", "b_e")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+  test("intervalJoin == naive cross-join overlap, with zero duplicate pairs") {
+    val naive = a.crossJoin(b)
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+    for (bucketHours <- Seq(1L, 7L, 24L, 1000L)) {
+      val got = RangeJoin.intervalJoin(a, "a_s", "a_e", b, "b_s", "b_e",
+        bucketUs = bucketHours * HourUs)
+      val rows = got.select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      assert(rows.length == rows.toSet.size,
+        s"duplicate pairs at bucket=${bucketHours}h")
+      assert(rows.toSet == pairSet(naive),
+        s"pair drift at bucket=${bucketHours}h: got ${rows.length}, " +
+          s"want ${pairSet(naive).size}")
+    }
+  }
+
+  test("touching endpoints count as overlap; disjoint sides produce nothing") {
+    val x = Seq((1L, 0L, 10L * HourUs)).toDF("a_id", "a_s", "a_e")
+    val touch = Seq((2L, 10L * HourUs, 20L * HourUs)).toDF("b_id", "b_s", "b_e")
+    assert(RangeJoin.intervalJoin(x, "a_s", "a_e", touch, "b_s", "b_e", HourUs)
+      .count() == 1)
+    val apart = Seq((3L, 11L * HourUs, 20L * HourUs)).toDF("b_id", "b_s", "b_e")
+    assert(RangeJoin.intervalJoin(x, "a_s", "a_e", apart, "b_s", "b_e", HourUs)
+      .count() == 0)
+  }
+
+  test("plan is an equi-join with no dedup exchange and no cartesian product") {
+    val plan = RangeJoin.intervalJoin(a, "a_s", "a_e", b, "b_s", "b_e",
+      bucketUs = 24L * HourUs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // duplicate-freedom comes from the canonical-bucket filter, not a
+    // dropDuplicates aggregate — no HashAggregate may appear
+    assert(!plan.contains("HashAggregate"),
+      s"intervalJoin must not pay a dedup aggregate:\n${plan.take(1500)}")
+  }
+
+  test("column-name clash and bad bucket width are refused") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(a, "a_s", "a_e",
+        a.withColumnRenamed("a_id", "x"), "a_s", "a_e", HourUs)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(a, "a_s", "a_e", b, "b_s", "b_e", 0L)
+    }
+  }
+}

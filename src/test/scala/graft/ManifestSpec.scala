@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Layout, Manifest}
+
+/** Manifest pruning is measured the way LayoutSpec measures footers: the
+  * same band query over the same rows must survive to a handful of files
+  * on a clustered layout and to ~all files on a random one — but here the
+  * skipping happens at PLANNING time, off the manifest, before any data
+  * file is opened. Correctness bar: the pruned read equals the full-scan
+  * filter row-for-row, and a stale manifest is refused, never silently
+  * wrong. */
+class ManifestSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  private val N = 16
+
+  test("manifest prune: few files on a clustered layout, all on random; pruned read == full filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+
+    Layout.writeClustered(ev, s"$tmp/clustered", N, "ts_us")
+    ev.repartition(N, col("event_id")).write.parquet(s"$tmp/random")
+
+    val mC = Manifest.build(spark, s"$tmp/clustered", Seq("ts_us", "value"))
+    val mR = Manifest.build(spark, s"$tmp/random", Seq("ts_us", "value"))
+    assert(mC.count() == N && mR.count() == N)
+
+    // manifest round-trips through its persisted form
+    Manifest.write(mC, s"$tmp/clustered_manifest")
+    val mC2 = Manifest.read(spark, s"$tmp/clustered_manifest")
+
+    val Array(lo, hi) = ev.stat.approxQuantile("ts_us", Array(0.45, 0.55), 0.001)
+    val band = Map("ts_us" -> (lo.toLong: Any, hi.toLong: Any))
+
+    val survC = Manifest.prune(mC2, band)
+    val survR = Manifest.prune(mR, band)
+    assert(survC.length <= 3,
+      s"clustered: 10% band should survive to <=3 of $N files, got ${survC.length}")
+    assert(survR.length >= N - 2,
+      s"random: ~all files should survive, got ${survR.length} of $N")
+
+    val expected = ev.filter(col("ts_us") >= lo.toLong && col("ts_us") <= hi.toLong)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val gotC = Manifest.readPruned(spark, s"$tmp/clustered", mC2, band)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(gotC == expected, "pruned read drifted from the full-scan filter")
+  }
+
+  test("one-sided intervals, multi-column conjunctions, and the empty-survivor path") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest2").toString
+    val df = (0 until 1000)
+      .map(i => (i.toLong, i.toDouble, if (i % 7 == 0) None else Some(i % 50)))
+      .toDF("id", "v", "maybe")
+    Layout.writeClustered(df, s"$tmp/t", 8, "id")
+    val m = Manifest.build(spark, s"$tmp/t", Seq("id", "v"))
+
+    // one-sided: id >= 900 -> the tail file(s) only on an 8-file
+    // range-cluster (sampled range boundaries may put the 900 cut inside
+    // either of the last two files)
+    val oneSided = Manifest.prune(m, Map("id" -> (900L, null)))
+    assert(oneSided.nonEmpty && oneSided.length <= 2, s"got ${oneSided.length}")
+    val got = Manifest.readPruned(spark, s"$tmp/t", m, Map("id" -> (900L, null)))
+    assert(got.count() == 100)
+
+    // conjunction: id in last file AND v in first file's range -> nothing
+    val none = Manifest.prune(m, Map("id" -> (900L, null), "v" -> (null, 10.0)))
+    assert(none.isEmpty)
+    assert(Manifest.readPruned(spark, s"$tmp/t", m,
+      Map("id" -> (900L, null), "v" -> (null, 10.0))).count() == 0)
+  }
+
+  test("a stale manifest is refused loudly, not silently wrong") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest3").toString
+    val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    Layout.writeClustered(df, s"$tmp/t", 4, "id")
+    val m = Manifest.build(spark, s"$tmp/t", Seq("id"))
+    // new data lands WITHOUT a manifest rebuild
+    (100 until 200).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/t")
+    val err = intercept[IllegalArgumentException] {
+      Manifest.readPruned(spark, s"$tmp/t", m, Map("id" -> (0L, 1000L)))
+    }
+    assert(err.getMessage.contains("stale"))
+    // rebuild clears it and sees everything
+    val m2 = Manifest.build(spark, s"$tmp/t", Seq("id"))
+    assert(Manifest.readPruned(spark, s"$tmp/t", m2,
+      Map("id" -> (0L, 1000L))).count() == 200)
+  }
+
+  test("entirely-null stats columns never match a range predicate; maxFiles guard fires") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest4").toString
+    // file 1: all-null v; file 2: real values — write separately for
+    // deterministic file contents
+    Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "v").coalesce(1).write.parquet(s"$tmp/t")
+    Seq((3L, Some(1.5)), (4L, Some(2.5)))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(s"$tmp/t")
+    val m = Manifest.build(spark, s"$tmp/t", Seq("v"))
+    val surv = Manifest.prune(m, Map("v" -> (0.0, 10.0)))
+    assert(surv.length == 1, s"all-null file must be pruned, got ${surv.length}")
+    assert(Manifest.readPruned(spark, s"$tmp/t", m, Map("v" -> (0.0, 10.0)))
+      .count() == 2)
+    intercept[IllegalArgumentException] {
+      Manifest.prune(m, Map("v" -> (null, null)), maxFiles = 0)
+    }
+  }
+}
