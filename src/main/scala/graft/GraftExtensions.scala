@@ -159,6 +159,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ThetaSetOp(exprs(0), exprs(1), intersect = true))
     inject("graft_theta_anotb",
       exprs => ThetaSetOp(exprs(0), exprs(1), intersect = false))
+    // mergeable distinct-uniform sample (r10): the value-carrying KMV
+    // sibling of theta — build / rollup-union / values probe; the child
+    // is cast to string like the Column API so any key type samples
+    inject("graft_sample_sketch", exprs =>
+      ReservoirAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(0), org.apache.spark.sql.types.StringType),
+        litInt(exprs(1), "k")).toAggregateExpression())
+    inject("graft_sample_merge",
+      exprs => ReservoirMergeAgg(exprs(0)).toAggregateExpression())
+    inject("graft_sample_values", exprs => ReservoirValues(exprs(0)))
     inject("graft_vector_avg",
       exprs => VectorSumAgg(exprs(0), avg = true).toAggregateExpression())
     inject("graft_vector_sum",

@@ -507,6 +507,21 @@ object StreamingOps {
     events.groupBy()
       .agg(graft.functions.Theta.sketch(col(keyCol), k).as("theta"))
 
+  /** Streaming distinct-uniform sample: the value-carrying reservoir
+    * aggregate ([[graft.functions.Reservoir]]) as a streaming
+    * aggregation — bottom-k-by-hash set = state-store entry, union =
+    * batch-over-batch update, O(k · value size) state per group forever.
+    * A live "k example values per group" panel over an unbounded stream,
+    * stable across restarts and micro-batch boundaries.
+    *
+    * Like [[thetaStream]] (and unlike the t-digest/KLL twins), the
+    * bottom-k-of-union construction is ORDER-INDEPENDENT, so the
+    * equivalence contract is BYTE equality with the batch sketch. */
+  def sampleStream(events: DataFrame, valueCol: String = "user_id",
+                   k: Int = 64): DataFrame =
+    events.groupBy()
+      .agg(graft.functions.Reservoir.sample(col(valueCol), k).as("sample"))
+
   // value is an Option so a null-valued event cannot kill the query at
   // deserialization — the batch operators this twins explicitly tolerate
   // null-valued right rows (they contribute nothing), and the stream must

@@ -897,6 +897,34 @@ class StreamingSpec extends SparkSpec {
       functions.ThetaUtil.estimateBytes(batch))
   }
 
+  test("streaming reservoir sample equals the batch sample BYTE-FOR-BYTE across micro-batches") {
+    // bottom-k-of-union is order-independent like theta's union, so this
+    // twin also pins byte equality — the streamed panel of "k example
+    // values" is exactly the batch sample, however the stream was batched
+    val ev = Tables.events(spark, sf)
+    val dir = stageBatches("sample_stream", Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 =!= 0)))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingOps.sampleStream(stream, "user_id", k = 32).writeStream
+      .outputMode("complete").format("memory").queryName("sample_stream_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2,
+      s"expected >= 2 micro-batches, got ${q.recentProgress.length}")
+    val streamed = spark.table("sample_stream_q").head.getAs[Array[Byte]]("sample")
+    val batch = ev.agg(functions.Reservoir.sample(col("user_id"), 32).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    assert(java.util.Arrays.equals(streamed, batch),
+      "streamed sample must be byte-identical to the batch sample")
+    // below capacity the sample IS the distinct set — the small corpus's
+    // user population fits in k=32, so pin exactness, not just size
+    val users = ev.select("user_id").distinct().count()
+    assert(functions.ReservoirUtil.valuesOf(streamed).length ==
+      math.min(32L, users))
+  }
+
   test("keyed streaming sketches: per-group theta state, each group byte-equal to batch") {
     // the twins' scaladocs claim "add keys to groupBy for per-key
     // sketches at the same cost" — pin it: per-event_type theta sketches
