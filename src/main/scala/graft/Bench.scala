@@ -256,6 +256,33 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions FAILED: $e")
     }
+    // forensics-only (r10, second wave): the post-probe additions —
+    // interval-overlap join (per-user-hour activity spans × the 200
+    // maintenance windows), the file-stats manifest build over the
+    // events parquet directory (the real per-file aggregation a 100 TB
+    // manifest pays at ingest), and the k=64 mergeable reservoir sample.
+    try {
+      import org.apache.spark.sql.functions.{col, floor => ffloor, max => fmax, min => fmin, unix_micros}
+      val ev = graft.Tables.events(spark, sfDir)
+      val spans = ev.withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("user_id"), ffloor(col("us") / 3600000000L).as("hr"))
+        .agg(fmin(col("us")).as("u_s"), fmax(col("us")).as("u_e"))
+      val iv = graft.operators.RangeJoin.intervals(spark)
+        .withColumnRenamed("start_us", "m_s").withColumnRenamed("end_us", "m_e")
+      val ivT = med(() => evaluate(graft.operators.RangeJoin.intervalJoin(
+        spans, "u_s", "u_e", iv, "m_s", "m_e", bucketUs = 24L * 3600000000L)))
+      val manT = med(() => evaluate(graft.sources.Manifest.build(
+        spark, s"$sfDir/events.parquet", Seq("user_id", "value"))))
+      val resT = med(() => {
+        ev.agg(graft.functions.Reservoir.sample(col("user_id"), 64)).head
+        ()
+      })
+      tee.log(f"[bench] lib_additions2 interval_join=$ivT%.3f s " +
+        f"manifest_build=$manT%.3f s reservoir_k64=$resT%.3f s " +
+        "(med of 3, events table)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] lib_additions2 FAILED: $e")
+    }
     // forensics-only (r10): the native as-of operator (plans.AsofJoin,
     // declared-requirements merge) against the oracle-gated union+window
     // formulation it shadows — same inputs, same result (AsofPlanSpec

@@ -11,6 +11,11 @@ import graft.Tables
   * column-wise coalesce — the lakehouse MERGE primitive expressed on plain
   * DataFrames. At 100 TB the join keys both sides by the merge key; with
   * bucketed targets (sources.Bucketing) the target side never re-shuffles.
+  *
+  * Coalesce semantics caveat: a NULL in a matched source row means "keep
+  * the target's value", so scd1 cannot NULL OUT a populated column — the
+  * standard SCD1-by-coalesce contract (surfaced by SnapshotDiffSpec's
+  * round-trip, which replays whole rows for exactly that reason).
   */
 object Upsert {
 
@@ -26,6 +31,62 @@ object Upsert {
     t.join(s, Seq(key), "full_outer")
       .select(col(key) +: cols.filter(_ != key).map(c =>
         coalesce(col(s"_s_$c"), col(s"_t_$c")).as(c)): _*)
+  }
+
+  /** Snapshot diff — the read-side inverse of [[scd1]]: given two
+    * snapshots of a keyed table, emit what changed. One row per key whose
+    * state differs, tagged `op` ∈ {added, removed, changed}, with the
+    * non-key columns of BOTH sides (`before_*` / `after_*`; null on the
+    * absent side). This is the CDC extraction a pipeline runs between
+    * ingests — "what did this crawl change" — and the input
+    * `Dedup.incrementalLabels` / `Similarity.ivfAssign` style incremental
+    * operators want, derived from plain snapshots when no log exists.
+    *
+    * Shape: ONE full-outer shuffle join on the key. Change detection
+    * compares a single xxhash64 over the non-key columns computed
+    * map-side on each side BEFORE the join output is inspected — wide
+    * rows don't need column-by-column comparison logic, and the
+    * hash-equal fast path discards unchanged keys with one long compare.
+    * (Hash equality standing in for row equality accepts the 2^-64
+    * collision mistaking one changed row for unchanged — the standard
+    * CDC-by-hash tradeoff. Spark's multi-argument xxhash64 SKIPS null
+    * inputs — `(null, "x")` and `("x", null)` would hash identically —
+    * so each column is preceded by its own is-null marker in the hash
+    * input, making null position part of the digest.) At 100 TB both
+    * snapshots
+    * shuffle once by key; bucketed snapshots (sources.Bucketing) would
+    * shuffle neither.
+    *
+    * NULL keys never equi-join: a null-key row in each snapshot surfaces
+    * as one `removed` and one `added`, not a comparison — keys are meant
+    * to be keys. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   key: String): DataFrame = {
+    val cols = before.columns
+    require(cols.sameElements(after.columns),
+      s"snapshotDiff: schemas must match (${cols.mkString(",")} vs " +
+        s"${after.columns.mkString(",")})")
+    require(cols.contains(key), s"snapshotDiff: no key column '$key'")
+    val dataCols = cols.filter(_ != key)
+    def tagged(df: DataFrame, tag: String): DataFrame = {
+      val hashInputs = dataCols.flatMap(c =>
+        Seq(col(c).isNull.cast("int"), col(c)))
+      val withHash = df
+        .withColumn(s"_${tag}_hash", xxhash64(hashInputs: _*))
+        .withColumn(s"_${tag}_present", lit(true))
+      dataCols.foldLeft(withHash) { (d, c) =>
+        d.withColumnRenamed(c, s"${tag}_$c")
+      }
+    }
+    tagged(before, "before").join(tagged(after, "after"), Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("_before_present").isNull, lit("added"))
+          .when(col("_after_present").isNull, lit("removed"))
+          .when(col("_before_hash") =!= col("_after_hash"), lit("changed")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: col(key) +:
+        (dataCols.map(c => col(s"before_$c")) ++
+          dataCols.map(c => col(s"after_$c"))): _*)
   }
 
   /** SparkEntry glue: customers upserted with a derived update set (every

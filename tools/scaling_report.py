@@ -68,6 +68,22 @@ def lib_additions(path):
     return None
 
 
+def lib_additions2(path):
+    """Second-wave lib additions (r10): interval-overlap join, manifest
+    build, reservoir sample — same per-leg treatment."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"lib_additions2 interval_join=([0-9.]+) s "
+                r"manifest_build=([0-9.]+) s "
+                r"reservoir_k64=([0-9.]+) s", line)
+            if m:
+                return {"interval_join_sec": float(m.group(1)),
+                        "manifest_build_sec": float(m.group(2)),
+                        "reservoir_sec": float(m.group(3))}
+    return None
+
+
 def asof_native(path):
     """Native-merge as-of operator vs the gated union+window formulation
     (r10): same inputs, same result, two plans — keep both wall times on
@@ -104,12 +120,14 @@ def main():
                   "index_build_sec": index_build_sec(small_path),
                   "minhash_premium": minhash_premium(small_path),
                   "lib_additions": lib_additions(small_path),
+                  "lib_additions2": lib_additions2(small_path),
                   "asof_native": asof_native(small_path),
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
                 "index_build_sec": index_build_sec(big_path),
                 "minhash_premium": minhash_premium(big_path),
                 "lib_additions": lib_additions(big_path),
+                "lib_additions2": lib_additions2(big_path),
                 "asof_native": asof_native(big_path),
                 "queries": qb},
         "total_ratio": round(big["value"] / small["value"], 2),
