@@ -70,6 +70,9 @@ object RangeJoin {
     require(clash.isEmpty,
       s"intervalJoin: column name clash ${clash.mkString(", ")} — rename " +
         "one side so the output is unambiguous")
+    require(!a.columns.contains("_bucket") && !b.columns.contains("_bucket"),
+      "intervalJoin: '_bucket' is reserved — a pre-existing column of " +
+        "that name would be silently overwritten and dropped")
     def bucketOf(c: Column): Column = floor(c / bucketUs).cast("long")
     val aB = a.withColumn("_bucket",
       explode(sequence(bucketOf(col(aStart)), bucketOf(col(aEnd)))))

@@ -103,7 +103,14 @@ object Skew {
     * capped at the `maxHot` largest. The driver holds at most `maxHot`
     * key values — bounded planner state, same budget class as a broadcast
     * hint. Falls back to the plain join when nothing crosses the
-    * threshold, so it is always safe to leave in a pipeline. */
+    * threshold, so it is always safe to leave in a pipeline.
+    *
+    * Scan accounting, honestly: the detection pass reads the key column
+    * once, and [[skewJoin]]'s legs then each re-evaluate the `left`
+    * lineage under their hot/cold filters. On a plain scan the legs read
+    * disjoint row sets of the same files; for an EXPENSIVE derived
+    * `left`, persist it before calling — otherwise the upstream pipeline
+    * recomputes per leg. */
   def skewJoinAuto(left: DataFrame, right: DataFrame, key: String,
                    hotThreshold: Long, maxHot: Int = 64,
                    joinType: String = "inner"): DataFrame = {

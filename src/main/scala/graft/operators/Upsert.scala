@@ -63,16 +63,24 @@ object Upsert {
   def snapshotDiff(before: DataFrame, after: DataFrame,
                    key: String): DataFrame = {
     val cols = before.columns
-    require(cols.sameElements(after.columns),
-      s"snapshotDiff: schemas must match (${cols.mkString(",")} vs " +
-        s"${after.columns.mkString(",")})")
+    // names AND types: a type drift between snapshots (int -> long schema
+    // evolution) hashes every row differently and would flood the diff
+    // with false 'changed' rows — refuse loudly instead
+    def sig(df: DataFrame) = df.schema.map(f => (f.name, f.dataType))
+    require(sig(before) == sig(after),
+      s"snapshotDiff: schemas must match, got ${sig(before).mkString(",")} " +
+        s"vs ${sig(after).mkString(",")}")
     require(cols.contains(key), s"snapshotDiff: no key column '$key'")
     val dataCols = cols.filter(_ != key)
     def tagged(df: DataFrame, tag: String): DataFrame = {
       val hashInputs = dataCols.flatMap(c =>
         Seq(col(c).isNull.cast("int"), col(c)))
+      // key-only snapshot: no data columns means no change is possible —
+      // a constant digest makes the diff pure adds/removes (zero-arg
+      // xxhash64 would throw)
+      val hash = if (dataCols.isEmpty) lit(0L) else xxhash64(hashInputs: _*)
       val withHash = df
-        .withColumn(s"_${tag}_hash", xxhash64(hashInputs: _*))
+        .withColumn(s"_${tag}_hash", hash)
         .withColumn(s"_${tag}_present", lit(true))
       dataCols.foldLeft(withHash) { (d, c) =>
         d.withColumnRenamed(c, s"${tag}_$c")

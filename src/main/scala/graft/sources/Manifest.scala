@@ -83,8 +83,11 @@ object Manifest {
       val hiOk = if (hi == null) minC.isNotNull else minC <= lit(hi)
       loOk && hiOk
     }.reduce(_ && _)
+    // maxFiles + 1 would overflow at Int.MaxValue — which the error
+    // message below explicitly invites callers to raise it to
+    val lim = if (maxFiles >= Int.MaxValue) Int.MaxValue else maxFiles + 1
     val survivors = manifest.filter(cond).select(col(FileCol))
-      .limit(maxFiles + 1).collect().map(_.getString(0)).toSeq
+      .limit(lim).collect().map(_.getString(0)).toSeq
     require(survivors.length <= maxFiles,
       s"manifest: more than $maxFiles files survive pruning — this file " +
         "list is driver/planner state; raise maxFiles deliberately or " +
@@ -118,6 +121,14 @@ object Manifest {
         "disk. Rebuild the manifest before pruned reads.")
   }
 
+  /** Materialize a manifest's rows into a driver-local relation so
+    * downstream consultations cost zero jobs. */
+  private def localize(manifest: DataFrame): DataFrame = {
+    val spark = manifest.sparkSession
+    val rows = java.util.Arrays.asList(manifest.collect(): _*)
+    spark.createDataFrame(rows, manifest.schema)
+  }
+
   /** `input_file_name()` and Hadoop listings render the same file with
     * different scheme spellings (`file:///x` vs `file:/x`); compare on
     * scheme-stripped paths. */
@@ -133,8 +144,16 @@ object Manifest {
   def readPruned(spark: SparkSession, tablePath: String, manifest: DataFrame,
                  intervals: Map[String, (Any, Any)],
                  staleCheck: Boolean = true): DataFrame = {
-    if (staleCheck) requireFresh(spark, tablePath, manifest)
-    val files = prune(manifest, intervals)
+    // evaluate the manifest's lineage ONCE: a freshly built (unpersisted)
+    // manifest is a whole-table aggregation, and consulting it lazily in
+    // both the staleness gate and the prune would re-run that scan twice
+    // — the planning layer re-reading the table it exists to avoid. The
+    // manifest is O(files) rows (bounded planner state by design), so
+    // snapshotting it to a local relation is the same budget class as
+    // prune's own collect.
+    val snap = localize(manifest)
+    if (staleCheck) requireFresh(spark, tablePath, snap)
+    val files = prune(snap, intervals)
     val base =
       if (files.isEmpty)
         spark.read.parquet(tablePath).limit(0)

@@ -65,13 +65,19 @@ class IntervalJoinSpec extends SparkSpec {
       s"intervalJoin must not pay a dedup aggregate:\n${plan.take(1500)}")
   }
 
-  test("column-name clash and bad bucket width are refused") {
+  test("column-name clash, reserved '_bucket', and bad bucket width are refused") {
     intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(a, "a_s", "a_e",
         a.withColumnRenamed("a_id", "x"), "a_s", "a_e", HourUs)
     }
     intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(a, "a_s", "a_e", b, "b_s", "b_e", 0L)
+    }
+    // a pre-existing _bucket column would be silently overwritten and
+    // dropped — reserved, refused
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(a.withColumn("_bucket", lit(1)),
+        "a_s", "a_e", b, "b_s", "b_e", HourUs)
     }
   }
 }

@@ -106,5 +106,9 @@ class ManifestSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Manifest.prune(m, Map("v" -> (null, null)), maxFiles = 0)
     }
+    // the guard's message invites raising maxFiles — Int.MaxValue must
+    // not overflow the survivor limit
+    assert(Manifest.prune(m, Map("v" -> (null, null)),
+      maxFiles = Int.MaxValue).length == 1)
   }
 }

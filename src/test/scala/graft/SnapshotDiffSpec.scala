@@ -58,7 +58,7 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(d.length == 1 && d.head.getString(0) == "changed")
   }
 
-  test("identical snapshots diff to zero rows; schema/key mismatches are refused") {
+  test("identical snapshots diff to zero rows; schema/key/type mismatches are refused") {
     assert(Upsert.snapshotDiff(before, before, "k").count() == 0)
     intercept[IllegalArgumentException] {
       Upsert.snapshotDiff(before, after.drop("v"), "k")
@@ -66,6 +66,20 @@ class SnapshotDiffSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Upsert.snapshotDiff(before, after, "nope")
     }
+    // same names, drifted type: int vs long would silently hash every
+    // row as 'changed' — must refuse loudly instead
+    intercept[IllegalArgumentException] {
+      Upsert.snapshotDiff(before,
+        after.withColumn("v", col("v").cast("float")), "k")
+    }
+  }
+
+  test("key-only snapshots diff to pure adds/removes (no data columns, no crash)") {
+    val b = Seq(1L, 2L, 3L).toDF("k")
+    val a = Seq(2L, 3L, 4L).toDF("k")
+    val d = Upsert.snapshotDiff(b, a, "k")
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(d == Map(1L -> "removed", 4L -> "added"))
   }
 
   test("corpus-scale sanity on documents: injected churn is recovered exactly") {
