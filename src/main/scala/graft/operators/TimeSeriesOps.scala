@@ -356,6 +356,34 @@ object TimeSeriesOps {
         (l2, b2)
       })
 
+  /** Per-key 1-D Kalman filter on a random-walk state model — the
+    * principled smoother between EWMA (fixed gain) and Holt (level +
+    * trend): the gain ADAPTS, starting high (trust early measurements)
+    * and converging to the steady state the noise ratio q/r implies, and
+    * the filter carries its own uncertainty (`p`, the posterior
+    * variance) per row — the quantity an anomaly gate thresholds on
+    * (|z − x̂|/√(p+r)) that EWMA simply does not have.
+    *
+    *   predict:  x̂⁻ = x̂,         P⁻ = P + q
+    *   update:   K  = P⁻/(P⁻+r),  x̂ = x̂⁻ + K(z − x̂⁻),  P = (1−K)P⁻
+    *
+    * with x̂₁ = z₁, P₁ = r. `q` is process variance per step (how fast
+    * the latent level drifts), `r` measurement variance (sensor noise).
+    * Same execution shape as every recurrence here: one shuffle on the
+    * key, one sorted fold, O(1) state ([[recurrence2]]). */
+  def kalman1d(df: DataFrame, key: String, order: Seq[String],
+               valueCol: String, q: Double, r: Double,
+               outCols: (String, String) = ("kalman", "kalman_p")): DataFrame = {
+    require(q > 0 && r > 0, s"kalman1d: need positive variances, got q=$q r=$r")
+    recurrence2(df, key, order, valueCol, outCols,
+      init = z => (z, r),
+      step = { case ((xh, p), z) =>
+        val pPred = p + q
+        val k = pPred / (pPred + r)
+        (xh + k * (z - xh), (1.0 - k) * pPred)
+      })
+  }
+
   /** One-sided CUSUM change-point statistic (predictive-maintenance drift
     * detection): s_t = max(0, s_{t-1} + (x_t - target - slack)), s_1 from
     * x_1. Alarms where s exceeds a threshold chosen downstream. `target`

@@ -32,6 +32,46 @@ class TimeSeriesExtrasSpec extends SparkSpec {
     assert(got(4L) == 26.0)  // 13 + 25-12
   }
 
+  test("kalman1d replays the exact driver-side fold and resets per key") {
+    val vals = Seq(10.0, 12.0, 9.5, 14.0, 11.0, 10.5, 13.0)
+    val df = (vals.zipWithIndex.map { case (v, i) => (1, i.toLong, v) } ++
+      Seq((2, 0L, 100.0), (2, 1L, 90.0))).toDF("k", "t", "v")
+      .repartition(4)
+    val (q, r) = (0.05, 1.0)
+    val got = TimeSeriesOps.kalman1d(df, "k", Seq("t"), "v", q, r)
+      .select("k", "t", "kalman", "kalman_p")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    // driver replay of the identical recurrence
+    var st = (vals.head, r)
+    assert(got((1, 0L)) == st)
+    vals.tail.zipWithIndex.foreach { case (z, i) =>
+      val pPred = st._2 + q
+      val kGain = pPred / (pPred + r)
+      st = (st._1 + kGain * (z - st._1), (1.0 - kGain) * pPred)
+      assert(got((1, i.toLong + 1)) == st, s"row ${i + 1}")
+    }
+    // per-key reset: key 2 starts fresh from its own first observation
+    assert(got((2, 0L)) == ((100.0, r)))
+  }
+
+  test("kalman1d posterior variance converges to the steady state q/r implies") {
+    val (q, r) = (0.05, 1.0)
+    val n = 300
+    val df = (0 until n).map(i => (1, i.toLong, math.sin(i * 0.1) * 5))
+      .toDF("k", "t", "v")
+    val pLast = TimeSeriesOps.kalman1d(df, "k", Seq("t"), "v", q, r)
+      .filter(col("t") === (n - 1)).select("kalman_p").as[Double].head()
+    // fixed point of P = (1-K)(P+q): P* = (-q + sqrt(q^2 + 4qr)) / 2
+    val pStar = (-q + math.sqrt(q * q + 4 * q * r)) / 2
+    assert(math.abs(pLast - pStar) < 1e-9, s"p=$pLast vs P*=$pStar")
+    // constant series: the estimate pins to the constant
+    val const = (0 until 50).map(i => (1, i.toLong, 7.25)).toDF("k", "t", "v")
+    val xs = TimeSeriesOps.kalman1d(const, "k", Seq("t"), "v", q, r)
+      .select("kalman").as[Double].collect()
+    assert(xs.forall(_ == 7.25))
+  }
+
   test("interpolate fills gaps time-weighted, leaves edges null") {
     val df = Seq(
       (1, 0L, Some(0.0)), (1, 10L, None), (1, 40L, Some(4.0)), (1, 50L, None)
