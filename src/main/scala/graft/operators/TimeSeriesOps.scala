@@ -162,6 +162,47 @@ object TimeSeriesOps {
       .drop("rn", "n_all")
   }
 
+  /** Walk-forward (expanding-window) validation folds — the time-series
+    * cross-validation [[ratioSplit]] is one slice of: the time axis is cut
+    * into `nFolds` contiguous segments and model i trains on segments
+    * 1..i, tests on segment i+1, so every evaluation respects causality
+    * (no future leaks into training) and later folds measure how the
+    * model improves with history.
+    *
+    * Scale shape: the segment boundaries come from ONE approxQuantile
+    * stats pass (nFolds−1 cut points of bounded driver state — the same
+    * budget [[graft.sources.Layout]]'s equi-depth grids pay at ingest);
+    * assignment is then a pure map-side comparison against the broadcast
+    * cuts. No global sort, no single-partition window — the two ways a
+    * naive ntile() formulation dies at 100 TB. Segments are equal-MASS
+    * (equal row counts within quantile-sketch error), not equal-duration;
+    * rows tie-ing exactly on a cut value all land in the earlier segment,
+    * so the causality invariant max(train time) <= min(test time) holds
+    * with equality only on ties. `timeCol` must be numeric (epoch-µs;
+    * pass `unix_micros(ts)` for timestamps). */
+  def walkForwardFolds(df: DataFrame, timeCol: String,
+                       nFolds: Int): DataFrame = {
+    require(nFolds >= 2 && nFolds <= 1000,
+      s"walkForwardFolds: nFolds=$nFolds out of [2, 1000]")
+    require(!df.columns.contains("fold"),
+      "walkForwardFolds: df already has a 'fold' column")
+    val probs = (1 until nFolds).map(_.toDouble / nFolds).toArray
+    val cuts = df.stat.approxQuantile(timeCol, probs, 0.001)
+    // fold = 1 + number of cuts strictly below the row's time
+    val foldExpr = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(timeCol) > c, 1).otherwise(0)
+    }
+    df.withColumn("fold", foldExpr)
+  }
+
+  /** The (train, test) pair for walk-forward step i (1-based): train on
+    * folds 1..i, test on fold i+1. */
+  def walkForwardSplit(dfWithFold: DataFrame, i: Int): (DataFrame, DataFrame) = {
+    require(i >= 1, s"walkForwardSplit: step must be >= 1, got $i")
+    (dfWithFold.filter(col("fold") <= i),
+      dfWithFold.filter(col("fold") === i + 1))
+  }
+
   /** MSE evaluation of forecasts (trainer eval-loop analog): naive
     * persistence forecast (previous value) and rolling-mean forecast. */
   def mseEval(df: DataFrame, key: String, order: Seq[String],

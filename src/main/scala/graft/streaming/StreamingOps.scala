@@ -105,6 +105,42 @@ object StreamingOps {
         unix_millis(col("c_ts")).as("c_ts_ms"), col("p_value"), col("c_value"))
   }
 
+  /** Gap-sessionization via the BUILT-IN `session_window` — the
+    * declarative twin of [[sessionizeStream]]'s explicit state machine,
+    * and the preference-order exhibit: when Catalyst has the operator,
+    * compose it (the state store, merge logic and watermark eviction come
+    * from Spark's native session-window exec, not hand-written state).
+    * The hand-rolled twin remains the template for session semantics the
+    * built-in cannot express (per-session custom state, mid-session
+    * emission).
+    *
+    * Contract alignment with the batch operator
+    * (TimeSeriesOps.sessionize, gap semantics "diff > gapUs starts a new
+    * session", i.e. diff == gapUs still merges): `session_window` merges
+    * INCLUSIVELY — an event landing exactly on the current window's end
+    * (diff == gap) extends the session (probed empirically, pinned by
+    * the boundary spec) — which is precisely the batch contract, so the
+    * gap passes through unadjusted. The emitted `sess_end_us` maps back
+    * from the window's end (last event + gap) to the last event
+    * timestamp. Batch inputs skip the watermark (it is streaming-only
+    * metadata); streaming output modes for session windows are
+    * append/update, so closed sessions emit as the watermark passes
+    * them. */
+  def sessionWindowAgg(events: DataFrame, gapUs: Long = 1800000000L,
+                       watermark: String = "2 hours"): DataFrame = {
+    require(gapUs > 0, s"sessionWindowAgg: gapUs must be positive, got $gapUs")
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark)
+             else events
+    in.groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapUs microseconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("v_sum"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("sess_start_us"),
+        (unix_micros(col("w.end")) - gapUs).as("sess_end_us"),
+        col("n_events"), col("v_sum"))
+  }
+
   case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
   case class SessState(startUs: Long, lastUs: Long, n: Long, vSum: Double)
   case class Session(user_id: Long, sess_start_us: Long, sess_end_us: Long,

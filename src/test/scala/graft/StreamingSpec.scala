@@ -897,6 +897,56 @@ class StreamingSpec extends SparkSpec {
       functions.ThetaUtil.estimateBytes(batch))
   }
 
+  test("built-in session_window twin matches the batch sessionize contract exactly") {
+    // batch parity on the whole corpus: sessions derived from the batch
+    // operator (group by the per-event session_idx) == sessionWindowAgg
+    // run as a plain batch aggregation
+    val ev = Tables.events(spark, sf)
+    val gapUs = 1800000000L
+    val batchSessions = operators.TimeSeriesOps
+      .sessionize(ev, "user_id", "ts", gapUs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("sess_start_us"),
+        max(col("ts_us")).as("sess_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("v_sum"))
+      .drop("session_idx")
+    val got = StreamingOps.sessionWindowAgg(ev, gapUs)
+    assert(got.count() == batchSessions.count())
+    assert(got.exceptAll(batchSessions).count() == 0)
+    assert(batchSessions.exceptAll(got).count() == 0)
+
+    // the gap-boundary contract, pinned: diff == gap merges (batch
+    // semantics), diff == gap + 1us splits
+    def sess(ts2OffsetUs: Long): Long = {
+      val base = 1704067200000000L
+      val two = Seq((1L, base), (1L, base + ts2OffsetUs))
+        .toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          lit(1.0).as("value"))
+      StreamingOps.sessionWindowAgg(two, gapUs).count()
+    }
+    assert(sess(gapUs) == 1, "diff == gap must merge, like batch")
+    assert(sess(gapUs + 1) == 2, "diff == gap + 1us must split")
+  }
+
+  test("streaming session_window emits closed sessions that match batch sessions") {
+    val ev = Tables.events(spark, sf)
+    val gapUs = 1800000000L
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.sessionWindowAgg(stream, gapUs).writeStream
+      .outputMode("append").format("memory").queryName("sess_win_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_win_q")
+    val batchSessions = StreamingOps.sessionWindowAgg(ev, gapUs)
+    // append mode emits sessions the final watermark closed; each must
+    // match a batch session exactly, and the replay must close most
+    assert(got.count() > 0, "no sessions emitted")
+    assert(got.exceptAll(batchSessions).count() == 0,
+      "every emitted session must equal a batch session")
+  }
+
   test("streaming reservoir sample equals the batch sample BYTE-FOR-BYTE across micro-batches") {
     // bottom-k-of-union is order-independent like theta's union, so this
     // twin also pins byte equality — the streamed panel of "k example

@@ -72,6 +72,32 @@ class TimeSeriesExtrasSpec extends SparkSpec {
     assert(xs.forall(_ == 7.25))
   }
 
+  test("walk-forward folds respect causality and cover every row") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts")))
+    val n = 5
+    val folded = TimeSeriesOps.walkForwardFolds(ev, "us", n)
+    assert(folded.count() == ev.count(), "folds must cover every row")
+    val range = folded.agg(min("fold"), max("fold")).head
+    assert(range.getInt(0) == 1 && range.getInt(1) == n)
+    // equal-mass within sketch error: no fold under half the fair share
+    val sizes = folded.groupBy("fold").count()
+      .select("count").as[Long].collect()
+    assert(sizes.min > ev.count() / n / 2, s"degenerate fold: ${sizes.toSeq}")
+    // causality at every step: max(train time) <= min(test time)
+    for (i <- 1 until n) {
+      val (train, test) = TimeSeriesOps.walkForwardSplit(folded, i)
+      val tMax = train.agg(max("us")).head.getLong(0)
+      val tMin = test.agg(min("us")).head.getLong(0)
+      assert(tMax <= tMin, s"fold $i leaks: train max $tMax > test min $tMin")
+      assert(train.count() + (i + 1 to n).map(j =>
+        folded.filter(col("fold") === j).count()).sum == ev.count())
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.walkForwardFolds(folded, "us", 3) // 'fold' collision
+    }
+  }
+
   test("interpolate fills gaps time-weighted, leaves edges null") {
     val df = Seq(
       (1, 0L, Some(0.0)), (1, 10L, None), (1, 40L, Some(4.0)), (1, 50L, None)
