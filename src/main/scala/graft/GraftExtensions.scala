@@ -169,6 +169,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_sample_merge",
       exprs => ReservoirMergeAgg(exprs(0)).toAggregateExpression())
     inject("graft_sample_values", exprs => ReservoirValues(exprs(0)))
+    // weighted (A-ES) variant: inclusion probability proportional to the
+    // weight column; same cast-on-the-way-in treatment
+    inject("graft_wsample_sketch", exprs =>
+      WeightedReservoirAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs(0), org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs(1), org.apache.spark.sql.types.DoubleType),
+        litInt(exprs(2), "k")).toAggregateExpression())
+    inject("graft_wsample_merge",
+      exprs => WeightedReservoirMergeAgg(exprs(0)).toAggregateExpression())
+    inject("graft_wsample_values", exprs => WeightedReservoirValues(exprs(0)))
     inject("graft_vector_avg",
       exprs => VectorSumAgg(exprs(0), avg = true).toAggregateExpression())
     inject("graft_vector_sum",

@@ -92,6 +92,71 @@ class ReservoirSpec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("weighted sample: kept set == independently replayed top-k by ln(u)/w") {
+    val rows = (0 until 400).map(i =>
+      (s"d_$i", if (i % 20 == 0) 50.0 else 1.0)) // 20 heavy items
+    val df = rows.toDF("v", "w")
+    val bytes = df.agg(Reservoir.weighted(col("v"), col("w"), 40).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val got = graft.functions.WeightedReservoirUtil.valuesOf(bytes)
+      .map(_.toString).toSeq
+    // independent replay: same key function, driver-side
+    def keyOf(v: String, w: Double): Double =
+      graft.functions.WeightedReservoirUtil.keyOf(
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8), w)
+    val want = rows.map { case (v, w) => (keyOf(v, w), v) }
+      .sortBy(-_._1).take(40).map(_._2)
+    assert(got == want, "weighted sample must be the exact A-ES top-k, best-first")
+    // weight bias is real: heavy items are 5% of the population but must
+    // dominate the sample (each has u^(1/50) vs u — enormously larger keys)
+    val heavy = got.count(v => v.stripPrefix("d_").toInt % 20 == 0)
+    assert(heavy >= 15, s"only $heavy/20 heavy items sampled in k=40")
+  }
+
+  test("weighted sample: byte-determinism, max-weight dedup, and rollup union") {
+    // the same value under different weights must compete at its MAX
+    // weight, independent of row order or partitioning
+    val rows = (0 until 300).map(i => (s"x_${i % 100}", 1.0 + (i % 7))) // dups, varied w
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(Reservoir.weighted(col("v"), col("w"), 32).as("s"))
+        .head.getAs[Array[Byte]]("s")
+    val a = bytesOf(rows.toDF("v", "w").repartition(1))
+    val b = bytesOf(scala.util.Random.shuffle(rows).toDF("v", "w").repartition(11))
+    assert(java.util.Arrays.equals(a, b))
+    // rollup: per-part weighted samples union to the whole, byte-for-byte
+    val df = rows.zipWithIndex.map { case ((v, w), i) => (i % 3, v, w) }
+      .toDF("part", "v", "w")
+    val whole = df.agg(Reservoir.weighted(col("v"), col("w"), 32).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val rolled = df.groupBy("part")
+      .agg(Reservoir.weighted(col("v"), col("w"), 32).as("s"))
+      .agg(Reservoir.weightedMerge(col("s")).as("m"))
+      .head.getAs[Array[Byte]]("m")
+    assert(java.util.Arrays.equals(whole, rolled))
+  }
+
+  test("weighted sample: SQL surface and non-positive-weight refusal") {
+    val s2 = try {
+      spark
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .create()
+    } catch { case _: Throwable => null }
+    assume(s2 != null, "no extensions-enabled session available")
+    val n = s2.sql(
+      "SELECT size(graft_wsample_values(graft_wsample_sketch(id, 1.0 + id, 7))) " +
+        "FROM range(100)").head.getInt(0)
+    assert(n == 7)
+    val err = intercept[Exception] {
+      (1 to 5).map(i => (s"v$i", 0.0)).toDF("v", "w")
+        .agg(Reservoir.weighted(col("v"), col("w"), 3)).head
+    }
+    assert(err.getMessage != null)
+  }
+
   test("guardrails: k bounds, value-size cap, mixed-k merge, corrupt wire") {
     intercept[IllegalArgumentException] { new ReservoirBuffer(0) }
     intercept[IllegalArgumentException] { new ReservoirBuffer(1 << 17) }
