@@ -324,7 +324,10 @@ object WeightedReservoirUtil {
   }
 
   /** The A-ES key of a value at weight w: ln(u)/w with u = the value's
-    * hash-uniform in (0, 1]. Deterministic per value. */
+    * hash-uniform in [0, 1]. Deterministic per value. The u == 0 corner
+    * (the one hash mapping to pos() == 0.0) yields key = −∞ — a valid
+    * worst key, evicted first — and can never be NaN because weights are
+    * required finite at ingest. */
   def keyOf(valueBytes: Array[Byte], w: Double): Double = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       UTF8String.fromBytes(valueBytes), StringType, 42L)
@@ -361,7 +364,11 @@ final class WeightedReservoirBuffer(val k: Int) {
   private val byValue = new java.util.HashMap[java.nio.ByteBuffer, WrEntry]()
 
   def add(value: Array[Byte], w: Double): Unit = {
-    require(w > 0 && !w.isNaN,
+    // finite required for real: w = Infinity would give every such value
+    // key = -0.0 — all infinite weights tie at the top and inclusion
+    // degenerates to byte order, the exact invisible bias this refusal
+    // exists to prevent (NaN fails w > 0 on its own)
+    require(w > 0 && java.lang.Double.isFinite(w),
       s"weighted reservoir: weight must be positive and finite, got $w — " +
         "filter or fix weights upstream; silently skipping bad weights " +
         "would bias the sample invisibly")

@@ -188,17 +188,41 @@ object TimeSeriesOps {
       "walkForwardFolds: df already has a 'fold' column")
     val probs = (1 until nFolds).map(_.toDouble / nFolds).toArray
     val cuts = df.stat.approxQuantile(timeCol, probs, 0.001)
-    // fold = 1 + number of cuts strictly below the row's time
-    val foldExpr = cuts.foldLeft(lit(1)) { (acc, c) =>
-      acc + when(col(timeCol) > c, 1).otherwise(0)
-    }
-    df.withColumn("fold", foldExpr)
+    // a repeated cut value means more than 1/nFolds of the mass shares
+    // one timestamp — the intermediate folds would be silently EMPTY and
+    // every walk-forward step across them would evaluate nothing; refuse
+    // loudly (the caller wants fewer folds, or a finer time column)
+    require(cuts.distinct.length == cuts.length,
+      s"walkForwardFolds: time values too concentrated for $nFolds " +
+        s"equal-mass segments (duplicate quantile cuts " +
+        s"${cuts.mkString(", ")}) — reduce nFolds or refine $timeCol")
+    // fold = 1 + number of cuts strictly below the row's time; a NULL
+    // time gets a NULL fold (every split comparison then excludes the
+    // row) rather than silently landing in fold 1 and leaking an
+    // undated row into every training set
+    val foldExpr = when(col(timeCol).isNull, lit(null))
+      .otherwise(cuts.foldLeft(lit(1)) { (acc, c) =>
+        acc + when(col(timeCol) > c, 1).otherwise(0)
+      })
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.nFolds", nFolds.toLong).build()
+    df.withColumn("fold", foldExpr).withMetadata("fold", md)
   }
 
   /** The (train, test) pair for walk-forward step i (1-based): train on
-    * folds 1..i, test on fold i+1. */
+    * folds 1..i, test on fold i+1 — so valid steps are 1 .. nFolds−1,
+    * enforced against the nFolds recorded in the fold column's metadata
+    * by [[walkForwardFolds]] (a silent empty test set is the one thing a
+    * CV loop must never produce). */
   def walkForwardSplit(dfWithFold: DataFrame, i: Int): (DataFrame, DataFrame) = {
     require(i >= 1, s"walkForwardSplit: step must be >= 1, got $i")
+    val meta = dfWithFold.schema("fold").metadata
+    if (meta.contains("graft.nFolds")) {
+      val n = meta.getLong("graft.nFolds")
+      require(i < n,
+        s"walkForwardSplit: step $i has no test fold — valid steps are " +
+          s"1 .. ${n - 1} for $n folds (test = fold ${i + 1})")
+    }
     (dfWithFold.filter(col("fold") <= i),
       dfWithFold.filter(col("fold") === i + 1))
   }

@@ -155,6 +155,12 @@ class ReservoirSpec extends SparkSpec {
         .agg(Reservoir.weighted(col("v"), col("w"), 3)).head
     }
     assert(err.getMessage != null)
+    // w = Infinity would make every such value tie at key -0.0 and turn
+    // inclusion into byte order — refused like non-positive weights
+    intercept[IllegalArgumentException] {
+      new graft.functions.WeightedReservoirBuffer(4)
+        .add("x".getBytes, Double.PositiveInfinity)
+    }
   }
 
   test("guardrails: k bounds, value-size cap, mixed-k merge, corrupt wire") {

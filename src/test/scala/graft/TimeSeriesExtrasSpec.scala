@@ -96,6 +96,31 @@ class TimeSeriesExtrasSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeSeriesOps.walkForwardFolds(folded, "us", 3) // 'fold' collision
     }
+    // step with no test fold is refused (metadata-carried nFolds), not a
+    // silent empty evaluation
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.walkForwardSplit(folded, n)
+    }
+  }
+
+  test("walk-forward edge contracts: concentrated times refused, NULL times excluded") {
+    // 70% of rows share one timestamp -> duplicate quantile cuts ->
+    // intermediate folds would be silently empty; must refuse
+    val ties = ((1 to 700).map(_ => (1, 50L)) ++
+      (1 to 300).map(i => (1, 1000L + i))).toDF("k", "us")
+    val err = intercept[IllegalArgumentException] {
+      TimeSeriesOps.walkForwardFolds(ties, "us", 5)
+    }
+    assert(err.getMessage.contains("concentrated"))
+    // NULL time -> NULL fold, excluded from every split (never fold 1)
+    val withNull = (Seq(Some(1L), Some(2L), Some(3L), Some(4L), None))
+      .map(t => (1, t)).toDF("k", "us")
+    val folded = TimeSeriesOps.walkForwardFolds(withNull, "us", 2)
+    assert(folded.filter(col("fold").isNull).count() == 1)
+    val (train, test) = TimeSeriesOps.walkForwardSplit(folded, 1)
+    assert(train.filter(col("us").isNull).count() == 0)
+    assert(test.filter(col("us").isNull).count() == 0)
+    assert(train.count() + test.count() == 4)
   }
 
   test("interpolate fills gaps time-weighted, leaves edges null") {
