@@ -110,6 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CmsMergeAgg(exprs(0)).toAggregateExpression())
     inject("graft_cms_estimate",
       exprs => CmsEstimate(exprs(0), HashIngest.nullSafeHash(exprs(1))))
+    // inner-product join-size estimate off two same-dim sketches — the
+    // "how big is this join" planner probe (never under-counts)
+    inject("graft_cms_join_size", exprs => CmsJoinSize(exprs(0), exprs(1)))
     // t-digest quantile sketch: build / rollup-union / quantile probe.
     // The measure is cast to double here (SQL ints/decimals welcome), and
     // the probe quantile goes through litDouble — SQL `0.5` parses as a

@@ -125,6 +125,39 @@ object CmsUtil {
     min
   }
 
+  /** Join-size estimate from two sketches of identical dimensions: the
+    * Count-Min inner product (Cormode & Muthukrishnan, J. Alg. 2005,
+    * §4.2) — est = min over rows r of Σ_c a[r][c]·b[r][c]. Every key
+    * pair that joins lands in the same cell of every row (same hash
+    * family by construction), so each row's dot product counts the TRUE
+    * join size plus nonnegative collision cross-terms: the estimate
+    * NEVER under-counts, and est ≤ true + ε·N_a·N_b with probability
+    * ≥ 1−δ at the [[sizeFor]] dimensions (N = each side's row count).
+    *
+    * This is the "how big is this join going to be" question answered
+    * from two KB-sized summaries BEFORE committing a 100 TB shuffle —
+    * the planner input that decides broadcast vs shuffle vs
+    * salt-the-hot-keys. Accumulated in double (row sums are KB-scale
+    * loops; exact below 2^53 — join sizes beyond that are approximate
+    * in any representation you'd act on). */
+  def joinSizeBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val (ca, da, wa) = fromBytes(a)
+    val (cb, db, wb) = fromBytes(b)
+    require(da == db && wa == wb,
+      s"cms: join-size needs sketches of identical dimensions, got " +
+        s"${da}x$wa vs ${db}x$wb")
+    var min = Double.MaxValue
+    var r = 0
+    while (r < da) {
+      var s = 0.0
+      var c = 0
+      while (c < wa) { s += ca(r * wa + c).toDouble * cb(r * wa + c); c += 1 }
+      if (s < min) min = s
+      r += 1
+    }
+    min
+  }
+
   /** Standard sizing: width = ⌈e/ε⌉ columns (additive error ≤ ε·n),
     * depth = ⌈ln(1/δ)⌉ rows (with probability ≥ 1−δ). */
   def sizeFor(eps: Double, delta: Double): (Int, Int) = {
@@ -316,6 +349,33 @@ case class CmsEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cms_join_size(a, b)` — inner-product join-size estimate off two
+  * same-dimension sketch byte arrays, codegen'd. */
+case class CmsJoinSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms_join_size expects two binary sketches, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CmsUtil.joinSizeBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CmsUtil.joinSizeBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Cms {
   /** Aggregate a group's keys into a Count-Min sketch. Any key type:
     * values are xxhash64'd on the way in via [[HashIngest.nullSafeHash]]
@@ -340,4 +400,11 @@ object Cms {
     ColumnBridge.column(CmsEstimate(
       ColumnBridge.expression(sketch),
       HashIngest.nullSafeHash(ColumnBridge.expression(e))))
+
+  /** Join-size estimate from two same-dimension sketches built over the
+    * two sides' join keys — never under-counts; see
+    * [[CmsUtil.joinSizeBytes]]. */
+  def joinSize(a: Column, b: Column): Column =
+    ColumnBridge.column(CmsJoinSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

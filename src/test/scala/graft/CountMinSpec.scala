@@ -17,6 +17,37 @@ class CountMinSpec extends SparkSpec {
     df.agg(Cms.sketch(col(c), depth, width).as("sk"))
       .head.getAs[Array[Byte]]("sk")
 
+  test("join-size estimate: never under-counts, lands inside the inner-product bound") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(7L)
+    // two skewed multisets over an overlapping key domain
+    val a = (1 to 3000).map(_ => s"k${rnd.nextInt(rnd.nextInt(80) + 1)}")
+    val b = (1 to 2000).map(_ => s"k${rnd.nextInt(rnd.nextInt(120) + 1)}")
+    val fa = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val trueJoin = fa.map { case (k, n) => n * fb.getOrElse(k, 0L) }.sum
+    val (depth, width) = (5, 512)
+    val ska = sketchBytes(a.toDF("k"), "k", depth, width)
+    val skb = sketchBytes(b.toDF("k"), "k", depth, width)
+    val est = CmsUtil.joinSizeBytes(ska, skb)
+    assert(est >= trueJoin, s"join-size undercounted: $est < $trueJoin")
+    val bound = trueJoin + math.E / width * a.size.toDouble * b.size.toDouble
+    assert(est <= bound, s"join-size over bound: $est > $bound")
+    // the exact join count agrees with the driver-side truth (sanity on
+    // the oracle itself)
+    val exact = a.toDF("k").join(b.toDF("k"), "k").count()
+    assert(exact == trueJoin)
+    // Column + SQL surfaces agree with the util
+    val viaCol = ss.range(1)
+      .select(Cms.joinSize(lit(ska), lit(skb)).as("j")).head.getDouble(0)
+    assert(viaCol == est)
+    // dimension mismatch is refused
+    intercept[IllegalArgumentException] {
+      CmsUtil.joinSizeBytes(ska, sketchBytes(b.toDF("k"), "k", 4, 256))
+    }
+  }
+
   test("one-sided with the eps*n additive bound on seeded skewed data") {
     val ss = spark
     import ss.implicits._
