@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.{Kll, KllUtil, Theta, ThetaUtil}
+import graft.functions.{Kll, KllUtil, Reservoir, ReservoirUtil, Theta, ThetaUtil}
 
 /** One-pass, sketch-backed table profiling + snapshot drift detection —
   * the operational layer a 100 TB pipeline runs on every ingest.
@@ -39,7 +39,9 @@ object Profile {
     StructField("p95", DoubleType, nullable = true),
     StructField("p99", DoubleType, nullable = true),
     StructField("theta", BinaryType, nullable = true),
-    StructField("kll", BinaryType, nullable = true)))
+    StructField("kll", BinaryType, nullable = true),
+    StructField("examples", ArrayType(StringType, containsNull = false),
+      nullable = true)))
 
   private def isNumericType(dt: DataType): Boolean = dt match {
     case _: NumericType => true
@@ -66,7 +68,7 @@ object Profile {
     * tdigestStream/thetaStream pattern) and the wide row can be
     * assembled into per-column rows by a foreachBatch consumer. */
   def profileAggs(df: DataFrame, thetaK: Int = 1024,
-                  kllK: Int = 200): DataFrame = {
+                  kllK: Int = 200, exampleK: Int = 5): DataFrame = {
     val cols = df.schema.fields
     require(cols.nonEmpty, "profile: no columns")
     val aggs: Seq[Column] = cols.flatMap { f =>
@@ -74,7 +76,16 @@ object Profile {
       val base = Seq(
         count(lit(1)).as(s"${f.name}__n"),
         count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
-        Theta.sketch(c, thetaK).as(s"${f.name}__theta"))
+        Theta.sketch(c, thetaK).as(s"${f.name}__theta"),
+        // deterministic example values per column (the "what does this
+        // column actually look like" a profile reader asks first) — a
+        // mergeable reservoir, so this stays streaming-safe; values over
+        // 120 chars are elided to keep the profile a summary, not a dump
+        Reservoir.sample(
+          when(length(c.cast(StringType)) > 120,
+            concat(substring(c.cast(StringType), 1, 117), lit("..."))
+          ).otherwise(c.cast(StringType)), exampleK)
+          .as(s"${f.name}__sample"))
       val numeric =
         if (isNumericType(f.dataType)) {
           val v = numView(c, f.dataType)
@@ -89,10 +100,11 @@ object Profile {
   }
 
   /** Per-column profile of `df` — one row per column, one job total. */
-  def profile(df: DataFrame, thetaK: Int = 1024, kllK: Int = 200): DataFrame = {
+  def profile(df: DataFrame, thetaK: Int = 1024, kllK: Int = 200,
+              exampleK: Int = 5): DataFrame = {
     val spark = df.sparkSession
     val cols = df.schema.fields
-    val row = profileAggs(df, thetaK, kllK).head
+    val row = profileAggs(df, thetaK, kllK, exampleK).head
     val out = cols.map { f =>
       def d(s: String): Double = row.getAs[Double](s"${f.name}__$s")
       val theta = row.getAs[Array[Byte]](s"${f.name}__theta")
@@ -108,11 +120,13 @@ object Profile {
       def opt(s: String): Any =
         if (!numeric || row.isNullAt(row.fieldIndex(s"${f.name}__$s"))) null
         else d(s)
+      val examples = ReservoirUtil.valuesOf(
+        row.getAs[Array[Byte]](s"${f.name}__sample")).map(_.toString).toSeq
       Row(f.name, row.getAs[Long](s"${f.name}__n"),
         row.getAs[Long](s"${f.name}__nulls"),
         ThetaUtil.estimateBytes(theta), numeric,
         opt("min"), opt("mean"), opt("max"),
-        q(0.50), q(0.95), q(0.99), theta, kll)
+        q(0.50), q(0.95), q(0.99), theta, kll, examples)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq, 1), profileSchema)

@@ -44,6 +44,27 @@ class ProfileSpec extends SparkSpec {
     assert(tsRow.getBoolean(4) && !tsRow.isNullAt(8))
   }
 
+  test("profile carries deterministic example values per column") {
+    val ev = Tables.events(spark, sf)
+    val prof = Profile.profile(ev, exampleK = 5).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](r.fieldIndex("examples")))
+      .toMap
+    // every column has 1..k examples drawn from its actual (stringified)
+    // values
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(prof("event_type").nonEmpty && prof("event_type").size <= 5)
+    assert(prof("event_type").forall(types.contains))
+    val users = ev.select("user_id").distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    assert(prof("user_id").forall(users.contains))
+    // deterministic: a reprofile yields the identical example lists
+    val again = Profile.profile(ev, exampleK = 5).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](r.fieldIndex("examples")))
+      .toMap
+    assert(again == prof)
+  }
+
   test("percentileScore ranks every row against the corpus without a window or sort") {
     val ev = Tables.events(spark, sf)
     val scored = Profile.percentileScore(ev, "value")
