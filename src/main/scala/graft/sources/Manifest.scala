@@ -121,6 +121,28 @@ object Manifest {
         "disk. Rebuild the manifest before pruned reads.")
   }
 
+  /** Write `df` AND its manifest in one call — the ingest path that
+    * leaves no staleness window for a single writer: data lands first,
+    * the manifest is built from exactly the files just written, then
+    * persisted. With concurrent writers to the same directory this is
+    * NOT a transaction (that is what table formats' commit logs are
+    * for — see [[requireFresh]]'s scaladoc); for the single-ingest-job
+    * pattern the layout writers serve, the pair is consistent by
+    * construction and [[readPruned]]'s staleness gate passes without a
+    * rebuild. Returns the manifest. */
+  def writeWithManifest(df: DataFrame, tablePath: String,
+                        manifestPath: String, cols: Seq[String],
+                        nFiles: Int, clusterBy: Seq[String]): DataFrame = {
+    require(clusterBy.nonEmpty,
+      "manifest: clusterBy must be non-empty — an unclustered write " +
+        "gives every file full-domain stats and the manifest prunes nothing")
+    Layout.writeClustered(df, tablePath, nFiles, clusterBy: _*)
+    val spark = df.sparkSession
+    val m = build(spark, tablePath, cols)
+    write(m, manifestPath)
+    read(spark, manifestPath)
+  }
+
   /** Materialize a manifest's rows into a driver-local relation so
     * downstream consultations cost zero jobs. */
   private def localize(manifest: DataFrame): DataFrame = {

@@ -72,6 +72,21 @@ class ManifestSpec extends SparkSpec {
       Map("id" -> (900L, null), "v" -> (null, 10.0))).count() == 0)
   }
 
+  test("writeWithManifest: the ingest pair passes the staleness gate and prunes immediately") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest_ingest").toString
+    val df = (0 until 800).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val m = Manifest.writeWithManifest(df, s"$tmp/t", s"$tmp/m",
+      cols = Seq("id"), nFiles = 8, clusterBy = Seq("id"))
+    // no rebuild needed: the gate passes and the band prunes
+    val got = Manifest.readPruned(spark, s"$tmp/t", m, Map("id" -> (700L, null)))
+    assert(got.count() == 100)
+    assert(Manifest.prune(m, Map("id" -> (700L, null))).length <= 2)
+    intercept[IllegalArgumentException] {
+      Manifest.writeWithManifest(df, s"$tmp/t2", s"$tmp/m2",
+        Seq("id"), 8, clusterBy = Seq.empty)
+    }
+  }
+
   test("a stale manifest is refused loudly, not silently wrong") {
     val tmp = java.nio.file.Files.createTempDirectory("manifest3").toString
     val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
