@@ -61,6 +61,33 @@ class SkewJoinSpec extends SparkSpec {
     assert(rows(flat) == rows(left.join(right, Seq("k"))))
   }
 
+  test("seeded fuzz: 12 random skew shapes x 4 join types, all equal to the plain join") {
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed * 77L)
+      val nKeys = 5 + rnd.nextInt(40)
+      val l = (0 until 300 + rnd.nextInt(700)).map { i =>
+        // zipf-ish key draw + occasional nulls and right-missing keys
+        val k = if (rnd.nextInt(50) == 0) None
+                else Some((nKeys * math.pow(rnd.nextDouble(), 3)).toLong)
+        (k, i.toDouble)
+      }.toDF("k", "v")
+      val r = (0L until nKeys.toLong)
+        .filter(_ => rnd.nextInt(10) > 0) // some keys missing from right
+        .map(k => (k, s"d$k")).toDF("k", "name")
+      val hot = l.groupBy("k").count().orderBy(col("count").desc)
+        .limit(1 + rnd.nextInt(3)).collect().map(_.get(0)).filter(_ != null).toSeq
+      if (hot.nonEmpty) {
+        for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+          val plain = l.join(r, Seq("k"), jt).collect()
+            .map(_.mkString("|")).sorted.toSeq
+          val split = Skew.skewJoin(l, r, "k", hot, jt).collect()
+            .map(_.mkString("|")).sorted.toSeq
+          assert(split == plain, s"seed $seed type $jt hot=$hot")
+        }
+      }
+    }
+  }
+
   test("skewJoin refuses non-left-anchored join types and empty hot sets") {
     intercept[IllegalArgumentException] {
       Skew.skewJoin(left, right, "k", Seq(7L), "full_outer")
