@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-statistics manifest — the metadata layer that makes planning-time
@@ -142,6 +142,55 @@ object Manifest {
     write(m, manifestPath)
     read(spark, manifestPath)
   }
+
+  /** Incremental manifest maintenance: bring `manifest` up to date with
+    * the directory by scanning ONLY the files the manifest has not seen
+    * — stats rows for gone files are dropped, stats for new files are
+    * computed from a scan of just those files, everything else is reused
+    * untouched. After an append-style ingest the maintenance cost tracks
+    * the INCREMENT, not the table — the property that keeps a manifest
+    * viable at 100 TB where a full [[build]] per ingest would re-scan
+    * everything. The stats columns are taken from the existing
+    * manifest's schema, so the update is column-consistent by
+    * construction. Returns the refreshed manifest (localized — pass it
+    * straight to [[prune]]/[[readPruned]] or persist via [[write]]). */
+  def update(spark: SparkSession, tablePath: String,
+             manifest: DataFrame): DataFrame = {
+    val snap = localize(manifest)
+    val statCols = snap.columns.filter(_.endsWith("__min"))
+      .map(_.stripSuffix("__min")).toSeq
+    require(statCols.nonEmpty,
+      "manifest: no stats columns recognized — was this built by Manifest.build?")
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new Path(tablePath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString)
+    val known = snap.select(col(FileCol)).collect()
+      .map(r => normalize(r.getString(0))).toSet
+    val newFiles = onDisk.filterNot(f => known.contains(normalize(f)))
+    val diskNorm = onDisk.map(normalize).toSet
+    val kept = snap.filter(
+      udfFree(snap(FileCol), diskNorm))
+    if (newFiles.isEmpty) localize(kept)
+    else {
+      val fresh = spark.read.parquet(newFiles.toSeq: _*)
+        .groupBy(input_file_name().as(FileCol))
+        .agg(count(lit(1)).as("n_rows"),
+          statCols.flatMap { c =>
+            Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"))
+          }: _*)
+      localize(kept.unionByName(fresh))
+    }
+  }
+
+  /** Membership test on normalized paths without a UDF: the set is
+    * driver-side (bounded planner state), so render it as an isin over
+    * the normalized file column. */
+  private def udfFree(fileCol: Column, diskNorm: Set[String]): Column =
+    regexp_replace(fileCol, "^[a-zA-Z0-9+.-]+:/+", "/")
+      .isin(diskNorm.toSeq: _*)
 
   /** Materialize a manifest's rows into a driver-local relation so
     * downstream consultations cost zero jobs. */

@@ -87,6 +87,35 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("incremental update: new files' stats computed, old rows reused, gone rows dropped") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest_upd").toString
+    val df = (0 until 400).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    Layout.writeClustered(df, s"$tmp/t", 4, "id")
+    val m0 = Manifest.build(spark, s"$tmp/t", Seq("id"))
+    // append new data WITHOUT a rebuild, then update incrementally
+    (400 until 500).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/t")
+    val m1 = Manifest.update(spark, s"$tmp/t", m0)
+    assert(m1.count() == 5)
+    // old stats rows are REUSED byte-for-byte, not recomputed
+    val oldRows = m0.collect().map(_.mkString("|")).toSet
+    val newRows = m1.collect().map(_.mkString("|")).toSet
+    assert(oldRows.subsetOf(newRows), "update must reuse existing stats rows")
+    // the refreshed manifest passes the gate and prunes across both eras
+    assert(Manifest.readPruned(spark, s"$tmp/t", m1,
+      Map("id" -> (450L, null))).count() == 50)
+    assert(Manifest.prune(m1, Map("id" -> (450L, null))).length == 1)
+    // deletion: drop one data file, update again -> its row disappears
+    val victim = new org.apache.hadoop.fs.Path(
+      Manifest.prune(m1, Map("id" -> (450L, null))).head)
+    victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(victim, false)
+    val m2 = Manifest.update(spark, s"$tmp/t", m1)
+    assert(m2.count() == 4)
+    assert(Manifest.readPruned(spark, s"$tmp/t", m2,
+      Map("id" -> (0L, null))).count() == 400)
+  }
+
   test("a stale manifest is refused loudly, not silently wrong") {
     val tmp = java.nio.file.Files.createTempDirectory("manifest3").toString
     val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
