@@ -47,13 +47,50 @@ object Manifest {
     require(missing.isEmpty,
       s"manifest: column(s) ${missing.mkString(", ")} not in $tablePath " +
         s"(has: ${df.columns.mkString(", ")})")
-    val aggs =
-      cols.flatMap { c =>
-        Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"))
+    val stats = df.groupBy(input_file_name().as(FileCol))
+      .agg(count(lit(1)).as("n_rows"), statsAggs(cols): _*)
+    // a ZERO-ROW parquet file (metadata-only part file of an empty
+    // append) contributes no group above but exists on disk — without a
+    // manifest row it would permanently fail the staleness gate with no
+    // way to converge. Give it an explicit n_rows=0 row (null min/max,
+    // so every interval prunes it — correct, it holds nothing).
+    completeWithEmpty(spark, stats, listDataFiles(spark, tablePath))
+  }
+
+  /** The per-column stats expressions — ONE definition shared by the
+    * full build and the incremental update, so the stats layout cannot
+    * drift between the two construction paths. */
+  private def statsAggs(cols: Seq[String]): Seq[Column] =
+    cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"))
+    }
+
+  /** The directory's data files — ONE definition of what counts as a
+    * data file, shared by build/update/requireFresh. */
+  private def listDataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(tablePath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).toSeq
+  }
+
+  /** Localize `stats` and add n_rows=0 rows (null min/max, 0 nulls) for
+    * any of `allFiles` the aggregation could not see (zero-row files). */
+  private def completeWithEmpty(spark: SparkSession, stats: DataFrame,
+                                allFiles: Seq[String]): DataFrame = {
+    val rows = stats.collect()
+    val seen = rows.map(r => normalize(r.getString(0))).toSet
+    val emptyRows = allFiles.filterNot(f => seen.contains(normalize(f)))
+      .map { f =>
+        val tail: Seq[Any] = stats.schema.fields.drop(2).toSeq.map { fld =>
+          if (fld.name.endsWith("__nnull")) 0L else null
+        }
+        org.apache.spark.sql.Row.fromSeq(f +: 0L +: tail)
       }
-    df.groupBy(input_file_name().as(FileCol))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    spark.createDataFrame(
+      java.util.Arrays.asList((rows.toSeq ++ emptyRows): _*), stats.schema)
   }
 
   /** Persist a manifest as a single small parquet file (it is O(files)
@@ -105,14 +142,9 @@ object Manifest {
     * should manifest each leaf. */
   def requireFresh(spark: SparkSession, tablePath: String,
                    manifest: DataFrame): Unit = {
-    val fs = new Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val onDisk = fs.listStatus(new Path(tablePath))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString).toSet
     val inManifest = manifest.select(col(FileCol))
       .collect().map(r => normalize(r.getString(0))).toSet
-    val diskNorm = onDisk.map(normalize)
+    val diskNorm = listDataFiles(spark, tablePath).map(normalize).toSet
     val missing = diskNorm -- inManifest
     val gone = inManifest -- diskNorm
     require(missing.isEmpty && gone.isEmpty,
@@ -136,6 +168,15 @@ object Manifest {
     require(clusterBy.nonEmpty,
       "manifest: clusterBy must be non-empty — an unclustered write " +
         "gives every file full-domain stats and the manifest prunes nothing")
+    // validate the stats columns BEFORE the destructive overwrite: a
+    // typo'd column failing inside build() AFTER the write would leave
+    // new data paired with the old manifest — the exact inconsistent
+    // state this function exists to prevent
+    val badCols = cols.filterNot(df.columns.contains)
+    require(badCols.isEmpty,
+      s"manifest: stats column(s) ${badCols.mkString(", ")} not in the " +
+        s"DataFrame (has: ${df.columns.mkString(", ")}) — refusing before " +
+        "the table write")
     Layout.writeClustered(df, tablePath, nFiles, clusterBy: _*)
     val spark = df.sparkSession
     val m = build(spark, tablePath, cols)
@@ -156,41 +197,32 @@ object Manifest {
     * straight to [[prune]]/[[readPruned]] or persist via [[write]]). */
   def update(spark: SparkSession, tablePath: String,
              manifest: DataFrame): DataFrame = {
-    val snap = localize(manifest)
-    val statCols = snap.columns.filter(_.endsWith("__min"))
+    val snapRows = manifest.collect() // evaluate the lineage exactly once
+    val schema = manifest.schema
+    val fileIdx = schema.fieldIndex(FileCol)
+    val statCols = schema.fieldNames.filter(_.endsWith("__min"))
       .map(_.stripSuffix("__min")).toSeq
     require(statCols.nonEmpty,
       "manifest: no stats columns recognized — was this built by Manifest.build?")
-    val fs = new Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val onDisk = fs.listStatus(new Path(tablePath))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString)
-    val known = snap.select(col(FileCol)).collect()
-      .map(r => normalize(r.getString(0))).toSet
-    val newFiles = onDisk.filterNot(f => known.contains(normalize(f)))
-    val diskNorm = onDisk.map(normalize).toSet
-    val kept = snap.filter(
-      udfFree(snap(FileCol), diskNorm))
-    if (newFiles.isEmpty) localize(kept)
+    val diskFiles = listDataFiles(spark, tablePath)
+    val diskNorm = diskFiles.map(normalize).toSet
+    // both directions driver-side over the already-collected rows — the
+    // rows ARE local; routing a million-literal isin through Catalyst to
+    // re-derive a set intersection would be planner abuse
+    val keptRows = snapRows.filter(r =>
+      diskNorm.contains(normalize(r.getString(fileIdx))))
+    val known = snapRows.map(r => normalize(r.getString(fileIdx))).toSet
+    val newFiles = diskFiles.filterNot(f => known.contains(normalize(f)))
+    val kept = spark.createDataFrame(
+      java.util.Arrays.asList(keptRows.toSeq: _*), schema)
+    if (newFiles.isEmpty) kept
     else {
-      val fresh = spark.read.parquet(newFiles.toSeq: _*)
+      val fresh = spark.read.parquet(newFiles: _*)
         .groupBy(input_file_name().as(FileCol))
-        .agg(count(lit(1)).as("n_rows"),
-          statCols.flatMap { c =>
-            Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
-              sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"))
-          }: _*)
-      localize(kept.unionByName(fresh))
+        .agg(count(lit(1)).as("n_rows"), statsAggs(statCols): _*)
+      localize(kept.unionByName(completeWithEmpty(spark, fresh, newFiles)))
     }
   }
-
-  /** Membership test on normalized paths without a UDF: the set is
-    * driver-side (bounded planner state), so render it as an isin over
-    * the normalized file column. */
-  private def udfFree(fileCol: Column, diskNorm: Set[String]): Column =
-    regexp_replace(fileCol, "^[a-zA-Z0-9+.-]+:/+", "/")
-      .isin(diskNorm.toSeq: _*)
 
   /** Materialize a manifest's rows into a driver-local relation so
     * downstream consultations cost zero jobs. */

@@ -42,6 +42,27 @@ class CountMinSpec extends SparkSpec {
     val viaCol = ss.range(1)
       .select(Cms.joinSize(lit(ska), lit(skb)).as("j")).head.getDouble(0)
     assert(viaCol == est)
+    val s2 = try {
+      spark // force the shared context first
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .create()
+    } catch { case _: Throwable => null }
+    assume(s2 != null, "no extensions-enabled session available")
+    s2.createDataset(a)(org.apache.spark.sql.Encoders.STRING).toDF("k")
+      .createOrReplaceTempView("cms_js_a")
+    val viaSql = s2.sql(
+      s"""SELECT graft_cms_join_size(
+         |  (SELECT graft_cms_sketch(k, $depth, $width) FROM cms_js_a),
+         |  (SELECT graft_cms_sketch(k, $depth, $width) FROM cms_js_a)) AS j
+         |""".stripMargin).head.getDouble(0)
+    // self-join size of A, via pure SQL: never under the true Σ f²
+    val selfTrue = fa.values.map(n => n * n).sum.toDouble
+    assert(viaSql >= selfTrue && viaSql <= selfTrue +
+      math.E / width * a.size.toDouble * a.size.toDouble)
     // dimension mismatch is refused
     intercept[IllegalArgumentException] {
       CmsUtil.joinSizeBytes(ska, sketchBytes(b.toDF("k"), "k", 4, 256))

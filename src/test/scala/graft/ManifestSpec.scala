@@ -116,6 +116,32 @@ class ManifestSpec extends SparkSpec {
       Map("id" -> (0L, null))).count() == 400)
   }
 
+  test("zero-row parquet files get explicit n_rows=0 rows; cols are validated before the write") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest_empty").toString
+    val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    Layout.writeClustered(df, s"$tmp/t", 2, "id")
+    // an empty append lands a metadata-only part file
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/t")
+    val m = Manifest.build(spark, s"$tmp/t", Seq("id"))
+    assert(m.count() == 3, "the empty file must carry an explicit row")
+    assert(m.filter(col("n_rows") === 0).count() == 1)
+    // the gate passes (no permanent staleness), pruning excludes it
+    assert(Manifest.readPruned(spark, s"$tmp/t", m,
+      Map("id" -> (0L, null))).count() == 100)
+    // update converges too: nothing new, same 3 rows
+    assert(Manifest.update(spark, s"$tmp/t", m).count() == 3)
+    // stats columns validated BEFORE the destructive overwrite
+    val before = spark.read.parquet(s"$tmp/t").count()
+    intercept[IllegalArgumentException] {
+      Manifest.writeWithManifest(df, s"$tmp/t", s"$tmp/m",
+        Seq("not_a_column"), 2, Seq("id"))
+    }
+    assert(spark.read.parquet(s"$tmp/t").count() == before,
+      "the table must be untouched after a refused writeWithManifest")
+  }
+
   test("a stale manifest is refused loudly, not silently wrong") {
     val tmp = java.nio.file.Files.createTempDirectory("manifest3").toString
     val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
