@@ -980,4 +980,82 @@ object Dedup {
       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
       |FROM embeddings a JOIN embeddings b
       |  ON a.label = b.label AND a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 50""".stripMargin
+
+  // ---------- substring-span dedup (fine-grained) ----------
+
+  /** Cross-document EXACT SUBSTRING dedup at the token level — the
+    * fine-grained third axis next to exact-doc and near-doc dedup: find,
+    * for every document, the token spans whose n-gram content appears in
+    * OTHER documents too (the boilerplate headers, license blocks and
+    * quoted passages that survive document-level dedup because the
+    * surrounding text differs). This is the distributed shape of the
+    * "deduplicate repeated substrings" pass LLM curation pipelines run
+    * after doc-level dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 — their suffix-array pass;
+    * here the practical n-gram-anchor formulation: any shared substring
+    * of ≥ n tokens necessarily shares all its length-n windows, so
+    * marking positions whose n-gram is cross-document-repeated and
+    * merging overlapping [p, p+n) windows recovers exactly the maximal
+    * shared spans, modulo hash collisions).
+    *
+    * Scale shape: tokenization and gram hashing are map-side
+    * (codegen'd built-ins — split, slice, concat_ws, xxhash64 over a
+    * transform); ONE shuffle on the 8-byte gram hash finds
+    * cross-document repeats (ids only — text never shuffles); one
+    * shuffle back on doc_id re-assembles per-doc positions; the span
+    * merge is an aggregate() fold over each doc's sorted positions —
+    * per-doc state bounded by its own duplicated-position count. At
+    * 100 TB the gram exchange moves O(tokens) 16-byte rows — the same
+    * budget as the corpus tokenize every curation gate already pays.
+    *
+    * Output: (idCol, spans array<struct<start, end>>) in TOKEN indices,
+    * half-open [start, end), only docs with ≥1 duplicated span. `minDf`
+    * = minimum DISTINCT documents sharing a gram for it to count
+    * (within-doc repetition is text_repetition's job, not this one's). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 20, minDf: Int = 2): DataFrame = {
+    require(n >= 2 && n <= 1000, s"duplicatedSpans: n=$n out of [2, 1000]")
+    require(minDf >= 2, s"duplicatedSpans: minDf=$minDf must be >= 2 — " +
+      "1 would mark every token of every document")
+    val toks = docs.select(col(idCol),
+      graft.operators.TextOps.wsTokens(col(textCol)).as("_toks"))
+    // (doc, pos, gram hash) — guard short docs: sequence(0, negative)
+    // DESCENDS in Spark and would fabricate grams at negative positions
+    val grams = toks.select(col(idCol),
+      when(size(col("_toks")) >= n,
+        transform(sequence(lit(0), size(col("_toks")) - n),
+          p => struct(p.as("pos"),
+            // \u0001 separator: whitespace tokens cannot contain it, so
+            // ("ab","c") vs ("a","bc") cannot collide by concatenation
+            xxhash64(concat_ws("\u0001",
+              slice(col("_toks"), p + 1, lit(n)))).as("h"))))
+        .otherwise(array()).as("_grams"))
+      .select(col(idCol), explode(col("_grams")).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"))
+    // grams repeated across >= minDf distinct docs; ids only through the
+    // exchange
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("h"))
+    val dupPositions = grams.join(dupHashes, Seq("h"))
+      .select(col(idCol), col("pos"))
+    // merge overlapping/adjacent [p, p+n) windows per doc into maximal
+    // spans with one sorted fold
+    dupPositions.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+      .select(col(idCol),
+        aggregate(col("_ps"),
+          array().cast("array<struct<start:int,end:int>>"),
+          (acc, p) => {
+            val last = element_at(acc, -1)
+            when(size(acc) > 0 && p <= last.getField("end"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(struct(last.getField("start").as("start"),
+                  greatest(last.getField("end"), p + n).cast("int").as("end")))))
+              .otherwise(concat(acc,
+                array(struct(p.cast("int").as("start"),
+                  (p + n).cast("int").as("end")))))
+          }).as("spans"))
+  }
 }
