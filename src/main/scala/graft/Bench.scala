@@ -283,6 +283,21 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions2 FAILED: $e")
     }
+    // forensics-only (r10, third wave): substring-span dedup over the
+    // documents table — the gram exchange is the heaviest of the lib
+    // additions (O(tokens) 16-byte rows), so its wall time belongs on
+    // the record next to the dedup family it extends.
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val spanT = med(() => evaluate(
+        graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", n = 20)))
+      tee.log(f"[bench] lib_additions3 substring_spans=$spanT%.3f s " +
+        "(med of 3, documents table, n=20)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] lib_additions3 FAILED: $e")
+    }
     // forensics-only (r10): the native as-of operator (plans.AsofJoin,
     // declared-requirements merge) against the oracle-gated union+window
     // formulation it shadows — same inputs, same result (AsofPlanSpec

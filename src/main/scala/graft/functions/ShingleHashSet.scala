@@ -101,4 +101,61 @@ object ShingleHashSet {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     (z ^ (z >>> 31)) + 0x9e3779b97f4a7c15L
   }
+
+  /** ORDERED gram hashes: element i is the hash of the n-gram starting at
+    * token position i — the positional variant [[ShingleHashSet]]'s
+    * sort+dedupe discards. Shares the tokenizer and mix fold, so equal
+    * grams hash equal across both variants. Docs shorter than n tokens
+    * yield an EMPTY array (no full window exists — the span-dedup
+    * contract, unlike the set variant's fold-all fallback). */
+  def computeSeq(input: UTF8String, n: Int): GenericArrayData = {
+    val tokHash = SplitTokens.tokenHashes(input.getBytes)
+    val nTok = tokHash.length
+    if (nTok < n) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val m = nTok - n + 1
+      val sh = new Array[Long](m)
+      var w = 0
+      while (w < m) {
+        var h = 0L; var j = 0
+        while (j < n) { h = mix(h, tokHash(w + j)); j += 1 }
+        sh(w) = h; w += 1
+      }
+      new GenericArrayData(sh)
+    }
+  }
+}
+
+/** Positional gram hashes (see [[ShingleHashSet.computeSeq]]): one 64-bit
+  * hash per token position, in order — the map-side input of the
+  * substring-span dedup, where the window INDEX is the datum the set
+  * variant throws away. Same codegen pattern as the set variant. */
+case class ShingleHashSeq(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash_seq expects string, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashSet.computeSeq(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashSet.computeSeq($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashSeq {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSeq(ColumnBridge.expression(text), n))
 }

@@ -84,6 +84,17 @@ def lib_additions2(path):
     return None
 
 
+def lib_additions3(path):
+    """Third-wave lib additions (r10): substring-span dedup."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"lib_additions3 substring_spans=([0-9.]+) s", line)
+            if m:
+                return {"substring_spans_sec": float(m.group(1))}
+    return None
+
+
 def asof_native(path):
     """Native-merge as-of operator vs the gated union+window formulation
     (r10): same inputs, same result, two plans — keep both wall times on
@@ -121,6 +132,7 @@ def main():
                   "minhash_premium": minhash_premium(small_path),
                   "lib_additions": lib_additions(small_path),
                   "lib_additions2": lib_additions2(small_path),
+                  "lib_additions3": lib_additions3(small_path),
                   "asof_native": asof_native(small_path),
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
@@ -128,6 +140,7 @@ def main():
                 "minhash_premium": minhash_premium(big_path),
                 "lib_additions": lib_additions(big_path),
                 "lib_additions2": lib_additions2(big_path),
+                "lib_additions3": lib_additions3(big_path),
                 "asof_native": asof_native(big_path),
                 "queries": qb},
         "total_ratio": round(big["value"] / small["value"], 2),
