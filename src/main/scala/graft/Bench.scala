@@ -284,9 +284,9 @@ object Bench {
       tee.log(s"[bench] lib_additions2 FAILED: $e")
     }
     // forensics-only (r10, third wave): substring-span dedup over the
-    // documents table — the gram exchange is the heaviest of the lib
-    // additions (O(tokens) 16-byte rows), so its wall time belongs on
-    // the record next to the dedup family it extends.
+    // documents table — the two gram-keyed exchanges (O(tokens) ~20-byte
+    // rows each) make it the heaviest lib addition, so its wall time
+    // belongs on the record next to the dedup family it extends.
     try {
       import org.apache.spark.sql.functions.col
       val docs = graft.Tables.documents(spark, sfDir)

@@ -73,14 +73,8 @@ object ShingleHashSet {
         while (j < nTok) { h = mix(h, tokHash(j)); j += 1 }
         Array(h)
       } else {
-        val m = nTok - n + 1
-        val sh = new Array[Long](m)
-        var w = 0
-        while (w < m) {
-          var h = 0L; var j = 0
-          while (j < n) { h = mix(h, tokHash(w + j)); j += 1 }
-          sh(w) = h; w += 1
-        }
+        val sh = windowHashes(tokHash, n)
+        val m = sh.length
         java.util.Arrays.sort(sh)
         // dedupe in place
         var k = 0; var r = 0
@@ -110,19 +104,23 @@ object ShingleHashSet {
     * contract, unlike the set variant's fold-all fallback). */
   def computeSeq(input: UTF8String, n: Int): GenericArrayData = {
     val tokHash = SplitTokens.tokenHashes(input.getBytes)
-    val nTok = tokHash.length
-    if (nTok < n) new GenericArrayData(Array.emptyLongArray)
-    else {
-      val m = nTok - n + 1
-      val sh = new Array[Long](m)
-      var w = 0
-      while (w < m) {
-        var h = 0L; var j = 0
-        while (j < n) { h = mix(h, tokHash(w + j)); j += 1 }
-        sh(w) = h; w += 1
-      }
-      new GenericArrayData(sh)
+    if (tokHash.length < n) new GenericArrayData(Array.emptyLongArray)
+    else new GenericArrayData(windowHashes(tokHash, n))
+  }
+
+  /** The windowed mix fold BOTH kernels build on — one definition, so
+    * the "equal grams hash equal across variants" invariant cannot
+    * drift between the set and positional forms. */
+  private def windowHashes(tokHash: Array[Long], n: Int): Array[Long] = {
+    val m = tokHash.length - n + 1
+    val sh = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      var h = 0L; var j = 0
+      while (j < n) { h = mix(h, tokHash(w + j)); j += 1 }
+      sh(w) = h; w += 1
     }
+    sh
   }
 }
 

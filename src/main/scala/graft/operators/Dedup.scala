@@ -993,20 +993,31 @@ object Dedup {
     * after doc-level dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", ACL'22 — their suffix-array pass;
     * here the practical n-gram-anchor formulation: any shared substring
-    * of ≥ n tokens necessarily shares all its length-n windows, so
-    * marking positions whose n-gram is cross-document-repeated and
-    * merging overlapping [p, p+n) windows recovers exactly the maximal
-    * shared spans, modulo hash collisions).
+    * of ≥ n tokens necessarily shares all its length-n windows, so the
+    * duplicated-token COVERAGE is the union of cross-document-repeated
+    * [p, p+n) windows, merged into maximal runs. Coverage semantics,
+    * stated precisely: a span says "every token here lies in some
+    * window shared with another document", NOT "this whole span appears
+    * verbatim in one other document" — two independently-shared blocks
+    * that abut in one document merge into one coverage span (the
+    * cut-these-tokens contract curation needs; per-source alignment is
+    * the suffix-array refinement). Modulo xxhash64 collisions.
     *
-    * Scale shape: tokenization and gram hashing are map-side
-    * (codegen'd built-ins — split, slice, concat_ws, xxhash64 over a
-    * transform); ONE shuffle on the 8-byte gram hash finds
-    * cross-document repeats (ids only — text never shuffles); one
-    * shuffle back on doc_id re-assembles per-doc positions; the span
-    * merge is an aggregate() fold over each doc's sorted positions —
-    * per-doc state bounded by its own duplicated-position count. At
-    * 100 TB the gram exchange moves O(tokens) 16-byte rows — the same
-    * budget as the corpus tokenize every curation gate already pays.
+    * Scale shape: tokenization and gram hashing are map-side via the
+    * native positional kernel (ShingleHashSeq — tokenize once, one
+    * 64-bit mix per window); the gram-keyed work is TWO O(tokens)
+    * exchanges of ~20-byte (id, pos, hash) rows — one for the
+    * distinct-doc-count aggregation, one re-keying the same rows as the
+    * join probe (Spark cannot reuse the exchange across the two
+    * subtrees). That doubling is DELIBERATE: the one-exchange
+    * alternative — collect_list of every (id, pos) occurrence per gram
+    * in a single aggregation — holds unbounded per-gram state, and the
+    * exact grams this operator exists for (boilerplate shared by
+    * millions of documents) are the ones that would OOM it; two
+    * skew-proof bounded-state exchanges is the 100 TB trade. One doc_id
+    * shuffle then re-assembles positions; the span merge is an
+    * aggregate() fold over each doc's sorted positions — per-doc state
+    * bounded by its own duplicated-position count.
     *
     * Output: (idCol, spans array<struct<start, end>>) in TOKEN indices,
     * half-open [start, end), only docs with ≥1 duplicated span. `minDf`
@@ -1017,6 +1028,11 @@ object Dedup {
     require(n >= 2 && n <= 1000, s"duplicatedSpans: n=$n out of [2, 1000]")
     require(minDf >= 2, s"duplicatedSpans: minDf=$minDf must be >= 2 — " +
       "1 would mark every token of every document")
+    val reserved = Set("pos", "h", "_df", "_ps", "spans")
+    require(!reserved.contains(idCol),
+      s"duplicatedSpans: idCol '$idCol' collides with an internal " +
+        s"working column (${reserved.toSeq.sorted.mkString(", ")}) — " +
+        "rename the id column first")
     // (doc, pos, gram hash) via the NATIVE positional gram kernel
     // (ShingleHashSeq: tokenize once, hash each token once, O(1)-state
     // 64-bit mix per window) — the HOF formulation this replaced sliced
@@ -1047,7 +1063,9 @@ object Dedup {
             when(size(acc) > 0 && p <= last.getField("end"),
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(struct(last.getField("start").as("start"),
-                  greatest(last.getField("end"), p + n).cast("int").as("end")))))
+                  // positions ascend and windows share one length, so
+                  // p + n always >= the previous end — no max needed
+                  (p + n).cast("int").as("end")))))
               .otherwise(concat(acc,
                 array(struct(p.cast("int").as("start"),
                   (p + n).cast("int").as("end")))))

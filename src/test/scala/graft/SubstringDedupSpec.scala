@@ -80,13 +80,18 @@ class SubstringDedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(tiny, "doc_id", "text", n = 10).count() == 0)
   }
 
-  test("guardrails: n and minDf bounds") {
+  test("guardrails: n and minDf bounds; reserved id-column names refused") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(d, "doc_id", "text", n = 1)
     }
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(d, "doc_id", "text", minDf = 1)
+    }
+    // an idCol named like an internal working column would hit an
+    // ambiguous-reference AnalysisException mid-plan — refuse up front
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(d.withColumnRenamed("doc_id", "h"), "h", "text")
     }
   }
 }
