@@ -1023,6 +1023,33 @@ object Dedup {
     * half-open [start, end), only docs with ≥1 duplicated span. `minDf`
     * = minimum DISTINCT documents sharing a gram for it to count
     * (within-doc repetition is text_repetition's job, not this one's). */
+  /** Apply [[duplicatedSpans]] output: cut the flagged token ranges out
+    * of each document's text — the write side of the substring-dedup
+    * pass ("every token kept appears in no cross-document-shared window
+    * of length ≥ n"). Join is a LEFT join on the id (docs without spans
+    * pass through), the cut itself a map-side HOF filter over the token
+    * index against the (small, per-doc) span list.
+    *
+    * Output text is TOKEN-JOINED: the cut necessarily re-assembles
+    * tokens, so original whitespace runs collapse to single spaces —
+    * the same normalization every tokenized consumer downstream (and
+    * the reference pipeline's space-separated format) already applies.
+    * `kept_ratio` carries the per-doc survival fraction so curation can
+    * gate on "mostly boilerplate" docs directly. */
+  def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val joined = docs.join(spans, Seq(idCol), "left")
+    val toks = graft.operators.TextOps.wsTokens(col(textCol))
+    val kept = filter(toks, (_, i) =>
+      coalesce(!exists(col("spans"),
+        s => i >= s.getField("start") && i < s.getField("end")), lit(true)))
+    joined.select(col(idCol),
+      concat_ws(" ", kept).as("text_dedup"),
+      when(size(toks) > 0,
+        round(size(kept).cast("double") / size(toks), 4))
+        .otherwise(1.0).as("kept_ratio"))
+  }
+
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 20, minDf: Int = 2): DataFrame = {
     require(n >= 2 && n <= 1000, s"duplicatedSpans: n=$n out of [2, 1000]")

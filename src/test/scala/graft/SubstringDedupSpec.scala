@@ -80,6 +80,24 @@ class SubstringDedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(tiny, "doc_id", "text", n = 10).count() == 0)
   }
 
+  test("cutSpans removes exactly the flagged tokens; untouched docs pass through") {
+    val docs = Seq(
+      (1L, s"${uniq("a", 40)} $boiler ${uniq("b", 40)}"),
+      (2L, s"${uniq("c", 25)} $boiler ${uniq("d", 10)}"),
+      (3L, uniq("e", 90))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 10)
+    val cut = Dedup.cutSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // the boiler block is gone, the unique halves survive in order
+    assert(cut(1L)._1 == s"${uniq("a", 40)} ${uniq("b", 40)}")
+    assert(cut(1L)._2 == math.BigDecimal(80.0 / 110).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(cut(2L)._1 == s"${uniq("c", 25)} ${uniq("d", 10)}")
+    // no spans -> text intact (token-joined), ratio exactly 1
+    assert(cut(3L)._1 == uniq("e", 90) && cut(3L)._2 == 1.0)
+  }
+
   test("guardrails: n and minDf bounds; reserved id-column names refused") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
