@@ -290,11 +290,15 @@ object Bench {
     try {
       import org.apache.spark.sql.functions.col
       val docs = graft.Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), col("lang"))
       val spanT = med(() => evaluate(
         graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", n = 20)))
+      val nbT = med(() => {
+        val m = graft.ml.NaiveBayes.fit(docs, "text", "lang", vocabSize = 2048)
+        evaluate(graft.ml.NaiveBayes.predict(docs, "doc_id", "text", m))
+      })
       tee.log(f"[bench] lib_additions3 substring_spans=$spanT%.3f s " +
-        "(med of 3, documents table, n=20)")
+        f"nb_fit_predict=$nbT%.3f s (med of 3, documents table, n=20)")
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions3 FAILED: $e")
     }

@@ -85,13 +85,18 @@ def lib_additions2(path):
 
 
 def lib_additions3(path):
-    """Third-wave lib additions (r10): substring-span dedup."""
+    """Third-wave lib additions (r10): substring-span dedup and the NB
+    fit+predict pipeline (nb field absent on pre-NB forensics)."""
     with open(path) as f:
         for line in f:
             m = re.search(
-                r"lib_additions3 substring_spans=([0-9.]+) s", line)
+                r"lib_additions3 substring_spans=([0-9.]+) s"
+                r"(?: nb_fit_predict=([0-9.]+) s)?", line)
             if m:
-                return {"substring_spans_sec": float(m.group(1))}
+                out = {"substring_spans_sec": float(m.group(1))}
+                if m.group(2):
+                    out["nb_fit_predict_sec"] = float(m.group(2))
+                return out
     return None
 
 
