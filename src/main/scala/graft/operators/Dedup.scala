@@ -54,6 +54,26 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(shinglesCol, s => xxhash64(seed, s))))
 
+  /** Validates an LSH band scheme and returns rowsPerBand. Fails loudly
+    * because both bad shapes fail SILENTLY downstream: a non-divisible
+    * (numHashes, bands) pair ignores the trailing `numHashes % bands`
+    * signature rows (quietly changed recall), and bands > numHashes makes
+    * rowsPerBand = 0 so every band key hashes an EMPTY slice — all
+    * documents collide in every band and the candidate self-join
+    * degenerates to a full O(n²) cross product. */
+  private[graft] def requireBandScheme(numHashes: Int, bands: Int): Int = {
+    require(numHashes >= 1, s"minhash: numHashes must be >= 1, got $numHashes")
+    require(bands >= 1 && bands <= numHashes,
+      s"minhash: bands must be in [1, numHashes=$numHashes], got $bands — " +
+        "bands > numHashes gives empty band slices (every doc collides in " +
+        "every band; the candidate self-join becomes O(n²))")
+    require(numHashes % bands == 0,
+      s"minhash: numHashes ($numHashes) must be divisible by bands ($bands)" +
+        " — a remainder silently drops the trailing signature rows from " +
+        "every band key (changed recall, no error)")
+    numHashes / bands
+  }
+
   /** LSH band keys: signature split into `bands` slices of `rowsPerBand`,
     * each slice hashed to one bucket key. */
   def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
@@ -73,7 +93,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, textCol: String, k: Int = 3,
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.7): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = requireBandScheme(numHashes, bands)
     // The band self-join and the candidate dedup move IDS ONLY — the
     // shingle-hash arrays are attached to the deduped pair set afterwards
     // by two doc_id joins. The previous shape carried both arrays through
@@ -149,7 +169,7 @@ object Dedup {
   def minhashPairsMd5(docs: DataFrame, textCol: String, k: Int = 3,
                       numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = requireBandScheme(numHashes, bands)
     val withSh = docs.select(col("doc_id"),
       md5ShingleHashes(col(textCol), k).as("sh"))
     // band key = the signature slice itself, comma-joined: a string key
@@ -678,7 +698,7 @@ object Dedup {
       textCol: String = "text", k: Int = 3, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.7,
       md5Family: Boolean = false): (DataFrame, DataFrame) = {
-    val rowsPerBand = numHashes / bands
+    val rowsPerBand = requireBandScheme(numHashes, bands)
     def shingleSet(c: org.apache.spark.sql.Column) =
       if (md5Family) md5ShingleHashes(c, k)
       else graft.functions.ShingleHashSet(lower(trim(c)), k)

@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
 object Manifest {
 
   private val FileCol = "_file"
+  private val LenCol = "_file_len"
 
   /** Per-file stats in ONE scan: `groupBy(input_file_name())` makes every
     * statistic a partial (map-side) aggregate, so each file's stats are
@@ -66,31 +67,47 @@ object Manifest {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"))
     }
 
-  /** The directory's data files — ONE definition of what counts as a
-    * data file, shared by build/update/requireFresh. */
-  private def listDataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+  /** The directory's data files WITH their on-disk byte lengths — ONE
+    * definition of what counts as a data file, shared by
+    * build/update/requireFresh. The length travels into the manifest row
+    * and the freshness comparison: identity by path alone would let a
+    * file REWRITTEN IN PLACE under the same name keep its stale min/max
+    * (the staleness gate passes, prune excludes a file whose new rows
+    * match the predicate — the silent-row-drop failure mode this layer
+    * promises can never happen quietly). */
+  private def listDataFiles(spark: SparkSession,
+                            tablePath: String): Seq[(String, Long)] = {
     val fs = new Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new Path(tablePath))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString).toSeq
+      .map(s => (s.getPath.toUri.toString, s.getLen)).toSeq
   }
 
-  /** Localize `stats` and add n_rows=0 rows (null min/max, 0 nulls) for
-    * any of `allFiles` the aggregation could not see (zero-row files). */
+  /** Localize `stats`, append each file's on-disk byte length, and add
+    * n_rows=0 rows (null min/max, 0 nulls) for any of `allFiles` the
+    * aggregation could not see (zero-row files). */
   private def completeWithEmpty(spark: SparkSession, stats: DataFrame,
-                                allFiles: Seq[String]): DataFrame = {
+                                allFiles: Seq[(String, Long)]): DataFrame = {
+    val lens = allFiles.map { case (f, l) => normalize(f) -> l }.toMap
+    def lenOf(f: String): Long = lens.getOrElse(normalize(f),
+      sys.error(s"manifest: scanned file $f absent from the directory " +
+        "listing — concurrent writer? Rebuild the manifest."))
     val rows = stats.collect()
+      .map(r => org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ lenOf(r.getString(0))))
     val seen = rows.map(r => normalize(r.getString(0))).toSet
-    val emptyRows = allFiles.filterNot(f => seen.contains(normalize(f)))
-      .map { f =>
+    val emptyRows = allFiles.filterNot { case (f, _) => seen.contains(normalize(f)) }
+      .map { case (f, len) =>
         val tail: Seq[Any] = stats.schema.fields.drop(2).toSeq.map { fld =>
           if (fld.name.endsWith("__nnull")) 0L else null
         }
-        org.apache.spark.sql.Row.fromSeq(f +: 0L +: tail)
+        org.apache.spark.sql.Row.fromSeq((f +: 0L +: tail) :+ len)
       }
+    val schema = stats.schema.add(LenCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
     spark.createDataFrame(
-      java.util.Arrays.asList((rows.toSeq ++ emptyRows): _*), stats.schema)
+      java.util.Arrays.asList((rows.toSeq ++ emptyRows): _*), schema)
   }
 
   /** Persist a manifest as a single small parquet file (it is O(files)
@@ -132,25 +149,32 @@ object Manifest {
     survivors
   }
 
-  /** The staleness gate: the set of data files on disk must EQUAL the
-    * manifest's file set. A manifest missing new files would silently
-    * drop their rows from every pruned read — the one failure mode a
-    * skipping layer must never have quietly. (Table formats solve this
-    * by making the manifest the source of truth for commits; for a plain
-    * directory, refusing loudly is the honest contract.) Flat (unpartitioned)
-    * directories — the layout [[Layout]] writes; hive-partitioned trees
-    * should manifest each leaf. */
+  /** The staleness gate: the (path, byte length) set of data files on
+    * disk must EQUAL the manifest's. A manifest missing new files would
+    * silently drop their rows from every pruned read, and a file
+    * REWRITTEN IN PLACE under the same name (length changed) carries
+    * stale min/max that could prune away its new rows — both are the one
+    * failure mode a skipping layer must never have quietly. (Table
+    * formats solve this by making the manifest the source of truth for
+    * commits; for a plain directory, refusing loudly is the honest
+    * contract.) Flat (unpartitioned) directories — the layout [[Layout]]
+    * writes; hive-partitioned trees should manifest each leaf. */
   def requireFresh(spark: SparkSession, tablePath: String,
                    manifest: DataFrame): Unit = {
-    val inManifest = manifest.select(col(FileCol))
-      .collect().map(r => normalize(r.getString(0))).toSet
-    val diskNorm = listDataFiles(spark, tablePath).map(normalize).toSet
-    val missing = diskNorm -- inManifest
-    val gone = inManifest -- diskNorm
-    require(missing.isEmpty && gone.isEmpty,
+    val inManifest = manifest.select(col(FileCol), col(LenCol))
+      .collect().map(r => normalize(r.getString(0)) -> r.getLong(1)).toMap
+    val disk = listDataFiles(spark, tablePath)
+      .map { case (f, l) => normalize(f) -> l }.toMap
+    val missing = disk.keySet -- inManifest.keySet
+    val gone = inManifest.keySet -- disk.keySet
+    val rewritten = (disk.keySet & inManifest.keySet)
+      .filter(f => disk(f) != inManifest(f))
+    require(missing.isEmpty && gone.isEmpty && rewritten.isEmpty,
       s"manifest: stale vs $tablePath — ${missing.size} file(s) on disk " +
         s"missing from manifest, ${gone.size} manifest file(s) gone from " +
-        "disk. Rebuild the manifest before pruned reads.")
+        s"disk, ${rewritten.size} file(s) rewritten in place (byte length " +
+        "changed under the same name; their manifest stats are stale). " +
+        "Rebuild the manifest before pruned reads.")
   }
 
   /** Write `df` AND its manifest in one call — the ingest path that
@@ -186,38 +210,45 @@ object Manifest {
 
   /** Incremental manifest maintenance: bring `manifest` up to date with
     * the directory by scanning ONLY the files the manifest has not seen
-    * — stats rows for gone files are dropped, stats for new files are
-    * computed from a scan of just those files, everything else is reused
-    * untouched. After an append-style ingest the maintenance cost tracks
-    * the INCREMENT, not the table — the property that keeps a manifest
-    * viable at 100 TB where a full [[build]] per ingest would re-scan
-    * everything. The stats columns are taken from the existing
-    * manifest's schema, so the update is column-consistent by
-    * construction. Returns the refreshed manifest (localized — pass it
-    * straight to [[prune]]/[[readPruned]] or persist via [[write]]). */
+    * — stats rows for gone files are dropped, stats for new files AND
+    * files rewritten in place (same name, different byte length — their
+    * old stats are stale) are computed from a scan of just those files,
+    * everything else is reused untouched. After an append-style ingest
+    * the maintenance cost tracks the INCREMENT, not the table — the
+    * property that keeps a manifest viable at 100 TB where a full
+    * [[build]] per ingest would re-scan everything. The stats columns
+    * are taken from the existing manifest's schema, so the update is
+    * column-consistent by construction. Returns the refreshed manifest
+    * (localized — pass it straight to [[prune]]/[[readPruned]] or
+    * persist via [[write]]). */
   def update(spark: SparkSession, tablePath: String,
              manifest: DataFrame): DataFrame = {
     val snapRows = manifest.collect() // evaluate the lineage exactly once
     val schema = manifest.schema
     val fileIdx = schema.fieldIndex(FileCol)
+    val lenIdx = schema.fieldIndex(LenCol)
     val statCols = schema.fieldNames.filter(_.endsWith("__min"))
       .map(_.stripSuffix("__min")).toSeq
     require(statCols.nonEmpty,
       "manifest: no stats columns recognized — was this built by Manifest.build?")
     val diskFiles = listDataFiles(spark, tablePath)
-    val diskNorm = diskFiles.map(normalize).toSet
+    val disk = diskFiles.map { case (f, l) => normalize(f) -> l }.toMap
     // both directions driver-side over the already-collected rows — the
     // rows ARE local; routing a million-literal isin through Catalyst to
-    // re-derive a set intersection would be planner abuse
+    // re-derive a set intersection would be planner abuse. A row is kept
+    // only if its file is still on disk AT THE SAME BYTE LENGTH —
+    // identity by path alone would reuse stale stats for a file
+    // rewritten in place under its old name.
     val keptRows = snapRows.filter(r =>
-      diskNorm.contains(normalize(r.getString(fileIdx))))
-    val known = snapRows.map(r => normalize(r.getString(fileIdx))).toSet
-    val newFiles = diskFiles.filterNot(f => known.contains(normalize(f)))
+      disk.get(normalize(r.getString(fileIdx))).contains(r.getLong(lenIdx)))
+    val known = keptRows.map(r => normalize(r.getString(fileIdx))).toSet
+    val newFiles = diskFiles.filterNot { case (f, _) =>
+      known.contains(normalize(f)) }
     val kept = spark.createDataFrame(
       java.util.Arrays.asList(keptRows.toSeq: _*), schema)
     if (newFiles.isEmpty) kept
     else {
-      val fresh = spark.read.parquet(newFiles: _*)
+      val fresh = spark.read.parquet(newFiles.map(_._1): _*)
         .groupBy(input_file_name().as(FileCol))
         .agg(count(lit(1)).as("n_rows"), statsAggs(statCols): _*)
       localize(kept.unionByName(completeWithEmpty(spark, fresh, newFiles)))

@@ -83,4 +83,30 @@ class DedupHygieneSpec extends SparkSpec {
     assert(leaked.isEmpty,
       s"error path left ${leaked.size} persistent RDDs behind")
   }
+
+  test("LSH band schemes that fail silently downstream are refused loudly at entry") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    // bands > numHashes → rowsPerBand = 0 → every band key hashes an
+    // EMPTY slice → all docs collide in all bands → O(n²) self-join
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, "text", numHashes = 8, bands = 16)
+    }
+    assert(e1.getMessage.contains("bands"), e1.getMessage)
+    // non-divisible pair → the trailing numHashes % bands signature rows
+    // are silently dropped from every band key (changed recall, no error)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsMd5(docs, "text", numHashes = 32, bands = 5)
+    }
+    assert(e2.getMessage.contains("divisible"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalCandidatePairs(docs, docs, numHashes = 32, bands = 0)
+    }
+    // a valid scheme still runs — identical texts have identical
+    // signatures, so the band collision (and the pair) is guaranteed
+    val twins = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(twins, "text", numHashes = 16, bands = 4,
+      threshold = 0.9).count() == 1)
+  }
 }

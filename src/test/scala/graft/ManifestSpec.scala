@@ -160,6 +160,42 @@ class ManifestSpec extends SparkSpec {
       Map("id" -> (0L, 1000L))).count() == 200)
   }
 
+  test("a file rewritten in place (same name, new bytes) is caught by the gate and re-scanned by update") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest_rw").toString
+    val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    Layout.writeClustered(df, s"$tmp/t", 2, "id")
+    val m = Manifest.build(spark, s"$tmp/t", Seq("id"))
+    // rewrite ONE data file IN PLACE under its exact name with rows far
+    // outside its old min/max — path-only identity would keep the stale
+    // stats, the gate would pass, and a pruned read for the new rows
+    // would silently return nothing
+    val victim = new org.apache.hadoop.fs.Path(
+      Manifest.prune(m, Map("id" -> (0L, 0L))).head)
+    val rewriteDir = s"$tmp/rw"
+    // 73 rows (vs the victim's ~50): the byte length is GUARANTEED to
+    // differ — two same-shaped 50-row files could plausibly encode to
+    // identical sizes, which would dodge the very check under test
+    (5000 until 5073).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .coalesce(1).write.parquet(rewriteDir)
+    val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(rewriteDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head
+    fs.delete(victim, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part.getPath, fs, victim,
+      false, spark.sparkContext.hadoopConfiguration)
+    // the staleness gate names the failure
+    val err = intercept[IllegalArgumentException] {
+      Manifest.readPruned(spark, s"$tmp/t", m, Map("id" -> (5000L, null)))
+    }
+    assert(err.getMessage.contains("rewritten in place"), err.getMessage)
+    // incremental update re-scans exactly the rewritten file; the pruned
+    // read then finds the new rows
+    val m2 = Manifest.update(spark, s"$tmp/t", m)
+    assert(m2.count() == 2)
+    assert(Manifest.readPruned(spark, s"$tmp/t", m2,
+      Map("id" -> (5000L, null))).count() == 73)
+  }
+
   test("entirely-null stats columns never match a range predicate; maxFiles guard fires") {
     val tmp = java.nio.file.Files.createTempDirectory("manifest4").toString
     // file 1: all-null v; file 2: real values — write separately for

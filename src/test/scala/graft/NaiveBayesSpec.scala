@@ -77,18 +77,36 @@ class NaiveBayesSpec extends SparkSpec {
     assert(acc >= 0.95, s"held-out NB accuracy $acc")
   }
 
-  test("empty-text docs survive predict with a null label; guardrails fire") {
-    val docs = Seq((1L, "alpha beta", "x"), (2L, "alpha", "y")).toDF("doc_id", "text", "label")
+  test("empty-text docs score as the prior-only argmax; guardrails fire") {
+    // priors deliberately non-uniform: x has 2 docs, y has 1 → an empty
+    // document (no token evidence) must land on x with score log(2/3)
+    val docs = Seq((1L, "alpha beta", "x"), (2L, "gamma", "x"),
+      (3L, "alpha", "y")).toDF("doc_id", "text", "label")
     val m = NaiveBayes.fit(docs, "text", "label")
     val out = NaiveBayes.predict(
-      Seq((5L, "alpha"), (6L, "")).toDF("doc_id", "text"), "doc_id", "text", m)
-      .collect().map(r => r.getLong(0) -> r.getAs[String]("nb_label")).toMap
-    assert(out(5L) != null && out(6L) == null)
+      Seq((5L, "alpha"), (6L, ""), (7L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("nb_label"), r.getAs[Double]("nb_score"))).toMap
+    assert(out(5L)._1 != null)
+    val priorOnly = BigDecimal(math.log(2.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(6L) == ("x", priorOnly),
+      s"empty doc must argmax the priors, got ${out(6L)}")
+    assert(out(7L) == ("x", priorOnly),
+      s"null-text doc must argmax the priors, got ${out(7L)}")
     intercept[IllegalArgumentException] {
       NaiveBayes.fit(docs, "text", "label", vocabSize = 0)
     }
     intercept[IllegalArgumentException] {
       NaiveBayes.fit(docs, "text", "label", smoothing = 0.0)
     }
+    // a NULL training label fails loudly with a named error, not an
+    // unexplained NPE from labels.sorted mid-fit
+    val err = intercept[IllegalArgumentException] {
+      NaiveBayes.fit(Seq((1L, "alpha", "x"), (2L, "beta", null.asInstanceOf[String]))
+        .toDF("doc_id", "text", "label"), "text", "label")
+    }
+    assert(err.getMessage.contains("NULL"), err.getMessage)
   }
 }
