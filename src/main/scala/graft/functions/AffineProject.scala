@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native affine projection `y = R·(x − μ)`: the per-row scoring kernel of
+  * a driver-resident linear map (PCA components, random projections, LDA
+  * directions). `R` (k×d) and `μ` (d) travel as codegen reference objects
+  * — like [[NearestCentroid]]'s centroid matrix, the generated source is
+  * identical across fits, so Janino compiles once and the codegen cache
+  * hits on every refreshed model.
+  *
+  * The HOF formulation — `transform(lit(rows), r -> aggregate(zip_with(
+  * x, r, ...)))` — evaluates k·d interpreted lambdas per row and falls
+  * out of whole-stage codegen entirely; this is one fused two-level loop.
+  * Input arrays shorter than d project with missing tail dimensions
+  * treated as μ (centered to zero) rather than erroring — but upstream
+  * fit already rejects ragged input, so that path is dead in practice. */
+case class AffineProject(child: Expression, mean: Seq[Double],
+                         rows: Seq[Seq[Double]]) extends UnaryExpression {
+
+  @transient private lazy val mu: Array[Double] = mean.toArray
+  @transient private lazy val mat: Array[Array[Double]] =
+    rows.map(_.toArray).toArray
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"affine_project expects array<float|double>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val out = new Array[Double](mat.length)
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      val n = math.min(math.min(row.length, mu.length), v.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        s += row(i) * (x - mu(i)); i += 1
+      }
+      out(r) = s; r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val matRef = ctx.addReferenceObj("projRows", mat, "double[][]")
+    val muRef = ctx.addReferenceObj("projMean", mu, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m"); val u = ctx.freshName("u")
+      val out = ctx.freshName("out"); val r = ctx.freshName("r")
+      val row = ctx.freshName("row"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+         |double[][] $m = $matRef;
+         |double[] $u = $muRef;
+         |double[] $out = new double[$m.length];
+         |for (int $r = 0; $r < $m.length; $r++) {
+         |  double[] $row = $m[$r];
+         |  int $n = java.lang.Math.min(java.lang.Math.min($row.length, $u.length),
+         |    $a.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $row[$i] * ((double) $a.$get($i) - $u[$i]);
+         |  }
+         |  $out[$r] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AffineProject {
+  def apply(v: Column, mean: Seq[Double], rows: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(AffineProject(ColumnBridge.expression(v), mean, rows))
+}
