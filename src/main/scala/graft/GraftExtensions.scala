@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)))
     inject("graft_dist_sq", exprs => DistSq(exprs(0), exprs(1)))
     inject("graft_char_entropy", exprs => CharEntropy(exprs(0)))
+    inject("graft_compress_ratio", exprs => CompressRatio(exprs(0)))
     inject("graft_sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)))
     inject("graft_shingle_hash_set",

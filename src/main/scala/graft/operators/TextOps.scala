@@ -324,6 +324,21 @@ object TextOps {
        |  FROM clus c JOIN qual q ON c.doc_id = q.doc_id)
        |WHERE rn = 1""".stripMargin
 
+  /** Per-document deflate compression ratio (compressed/raw UTF-8 bytes)
+    * — the repeated-substring quality signal the Gopher rules family
+    * thresholds: LOW ratio = boilerplate / generated spam, NEAR-1 =
+    * high-entropy junk. Complements [[textEntropy]], which only sees the
+    * unigram character distribution ("abcabcabc…" is entropy-normal but
+    * compresses to nearly nothing). Map-side native expression
+    * ([[graft.functions.CompressRatio]] — thread-local reused Deflater;
+    * SQL: `graft_compress_ratio`); no oracle slot, because the exact
+    * ratio is a zlib-build property — specs pin the signal's ORDERING
+    * (repetitive ≪ natural < random), not bytes. NULL for empty/null
+    * text (nothing to assess). */
+  def compressionRatio(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("compress_ratio",
+      graft.functions.CompressRatio(col(textCol)))
+
   /** Per-document code-point entropy (bits/char) — native one-pass
     * expression; the oracle cross-checks it against the relational
     * explode-per-char formulation. */
