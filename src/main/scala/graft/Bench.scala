@@ -302,6 +302,40 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions3 FAILED: $e")
     }
+    // forensics-only (r11, fourth wave): the round's curation additions —
+    // Stupid Backoff LM fit + full-corpus scoring over documents (the
+    // perplexity-filter path), the Levenshtein fuzzy self-join over
+    // customer names (a worst-case-friendly domain: every name shares the
+    // "Customer#" prefix, so only the prefix-filter's rare-gram blocking
+    // keeps candidates near the ~260k true pairs; part names are
+    // DEGENERATE here — 64 distinct values ×300 copies make the true
+    // answer itself ~4M pairs), PCA fit + projection over the embeddings
+    // table, and the deflate compression-ratio scan.
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(spark, sfDir)
+      val lmT = med(() => {
+        val m = graft.ml.NgramLm.fit(docs, "text", maxUnigrams = 4096,
+          maxBigrams = 8192, maxTrigrams = 8192)
+        evaluate(graft.ml.NgramLm.score(docs, "doc_id", "text", m))
+      })
+      val cust = graft.Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      val fzT = med(() => evaluate(
+        graft.operators.FuzzyJoin.fuzzyPairs(cust, "id", "s", maxDist = 1)))
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val pcaT = med(() => {
+        val m = graft.ml.Pca.fit(emb, "embedding", k = 8)
+        evaluate(graft.ml.Pca.project(emb, "embedding", m))
+      })
+      val crT = med(() => evaluate(
+        graft.operators.TextOps.compressionRatio(docs)))
+      tee.log(f"[bench] lib_additions4 ngram_lm_fit_score=$lmT%.3f s " +
+        f"fuzzy_pairs_cname=$fzT%.3f s pca_fit_project=$pcaT%.3f s " +
+        f"compress_ratio=$crT%.3f s (med of 3)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] lib_additions4 FAILED: $e")
+    }
     // forensics-only (r10): the native as-of operator (plans.AsofJoin,
     // declared-requirements merge) against the oracle-gated union+window
     // formulation it shadows — same inputs, same result (AsofPlanSpec

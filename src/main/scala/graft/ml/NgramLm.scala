@@ -55,16 +55,11 @@ object NgramLm {
       "ngram lm: unigram mass below the largest unigram count — corrupt model")
   }
 
-  /** All 1/2/3-grams of a token array as space-joined strings, one
-    * concat'd array per document — the single explode payload. */
-  private def allGrams(ts: Column): Column = {
-    def order(n: Int): Column =
-      when(size(ts) >= n,
-        transform(sequence(lit(0), size(ts) - n),
-          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    concat(order(1), order(2), order(3))
-  }
+  // gram assembly and context attach are NATIVE one-pass kernels
+  // (functions.TokenNgrams / TokenContexts): the HOF formulations paid
+  // ~3 interpreted lambdas per token and benched fit at 16 s / the
+  // scoring projection at ~4 s at sf0.1 — the Md5ShingleHashSet lesson
+  // applied to the LM.
 
   def fit(docs: DataFrame, textCol: String, maxUnigrams: Int = 1 << 16,
           maxBigrams: Int = 1 << 17, maxTrigrams: Int = 1 << 17,
@@ -72,14 +67,11 @@ object NgramLm {
     require(maxUnigrams >= 1 && maxBigrams >= 0 && maxTrigrams >= 0,
       s"ngram lm: non-positive head sizes ($maxUnigrams/$maxBigrams/$maxTrigrams)")
     require(alpha > 0 && alpha <= 1, s"ngram lm: alpha must be in (0,1], got $alpha")
-    val ts = graft.operators.TextOps.wsTokens(col(textCol))
     // one corpus-sized aggregation: (gram, count) across all three orders
     // (the order is recoverable from the key's space count) — persisted,
     // three bounded top-K heads consume it
     val counts = docs
-      .select(explode(allGrams(
-        filter(ts, t => length(t) > 0))).as("g"))
-      .filter(length(col("g")) > 0)
+      .select(explode(graft.functions.TokenNgrams(col(textCol), 3)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
       .withColumn("ord",
         size(split(col("g"), " ", -1)))
@@ -102,19 +94,17 @@ object NgramLm {
     } finally counts.unpersist(blocking = false)
   }
 
-  /** The model's grams as one small broadcastable (g, n) frame. */
-  private def gramFrame(spark: org.apache.spark.sql.SparkSession,
-                        model: LmModel): DataFrame = {
-    val rows = (model.order1 ++ model.order2 ++ model.order3)
-      .toSeq.map { case (g, n) => Row(g, n) }
+  /** A small broadcastable (key, score) frame. */
+  private def scoreFrame(spark: org.apache.spark.sql.SparkSession,
+                         kv: Seq[(String, Double)], keyCol: String,
+                         valCol: String): DataFrame =
     spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*),
+      java.util.Arrays.asList(kv.map { case (g, s) => Row(g, s) }: _*),
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_g",
+        org.apache.spark.sql.types.StructField(keyCol,
           org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("_n",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-  }
+        org.apache.spark.sql.types.StructField(valCol,
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
 
   /** Per-document LM statistics: `lm_tokens` (scored token count),
     * `lm_avg_logprob` (mean natural-log Stupid Backoff score) and
@@ -125,49 +115,50 @@ object NgramLm {
     * answer for perplexity). */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: LmModel): DataFrame = {
-    val grams = gramFrame(docs.sparkSession, model)
-    /** Left-join `df` against the broadcast gram table on `key`,
-      * attaching the gram's count as column `as`. */
-    def attach(df: DataFrame, key: Column, as: String): DataFrame =
-      df.join(
-        broadcast(grams.select(col("_g").as(s"_k$as"), col("_n").as(as))),
-        key === col(s"_k$as"), "left").drop(s"_k$as")
-    val ts = filter(graft.operators.TextOps.wsTokens(col(textCol)),
-      t => length(t) > 0)
-    // map-side context attach: (w, w1 = predecessor, w2 = pre-predecessor).
-    // The size guard matters: sequence(1, 0) is a DESCENDING [1, 0] in
-    // Spark (step is inferred), and element_at(ts, 0) throws — an empty
-    // token array must explode to zero rows, not two broken ones.
-    val toks = docs.select(col(idCol), explode(
-      when(size(ts) >= 1,
-        transform(sequence(lit(1), size(ts)), i => struct(
-          element_at(ts, i).as("w"),
-          when(i >= 2, element_at(ts, i - 1)).as("w1"),
-          when(i >= 3, element_at(ts, i - 2)).as("w2"))))).as("t"))
+    val spark = docs.sparkSession
+    // ratios fold at MODEL time, on the driver: a trigram is usable only
+    // if its context bigram also survived pruning, so its table row IS
+    // n(w₂w₁w)/n(w₂w₁) — likewise bigrams against their unigram context.
+    // Three broadcast tables (tri/bi/uni score) replace the five-join
+    // count-attach formulation: same arithmetic (one IEEE double
+    // division either way), 40% fewer probes of the exploded token frame
+    // (measured 21.8 s → the three-join shape at sf0.1).
+    val floor1 = 1.0 / (model.nTokens + model.order1.size + 1)
+    val triT = scoreFrame(spark, model.order3.toSeq.flatMap { case (g, n) =>
+      val ctx = g.substring(0, g.lastIndexOf(' '))
+      model.order2.get(ctx).map(cn => g -> n.toDouble / cn)
+    }, "_kt", "_s3")
+    val biT = scoreFrame(spark, model.order2.toSeq.flatMap { case (g, n) =>
+      val ctx = g.substring(0, g.lastIndexOf(' '))
+      model.order1.get(ctx).map(cn => g -> n.toDouble / cn)
+    }, "_kb", "_s2")
+    val uniT = scoreFrame(spark, model.order1.toSeq.map { case (g, n) =>
+      g -> (n + 1.0) / (model.nTokens + model.order1.size + 1)
+    }, "_ku", "_s1")
+    // map-side context attach: (w, w1 = predecessor, w2 = pre-predecessor)
+    // via the native TokenContexts kernel (null/empty text → no rows)
+    val toks = docs.select(col(idCol),
+        explode(graft.functions.TokenContexts(col(textCol))).as("t"))
       .select(col(idCol), col("t.w").as("w"), col("t.w1").as("w1"),
         col("t.w2").as("w2"))
     // concat_ws SKIPS nulls, so a position-0 token's bigram key would
     // collapse to the bare unigram and hit a REAL unigram row — every
     // contextful key is nulled out when its context is absent
-    val w1Ok = col("w1").isNotNull
-    val w2Ok = col("w2").isNotNull
-    val attached = Seq[(String, Column)](
-      "_tri" -> when(w2Ok, concat_ws(" ", col("w2"), col("w1"), col("w"))),
-      "_ctx2" -> when(w2Ok, concat_ws(" ", col("w2"), col("w1"))),
-      "_bi" -> when(w1Ok, concat_ws(" ", col("w1"), col("w"))),
-      "_ctx1" -> when(w1Ok, col("w1")),
-      "_uni" -> col("w")
-    ).foldLeft(toks) { case (df, (as, key)) => attach(df, key, as) }
+    val attached = toks
+      .join(broadcast(triT),
+        when(col("w2").isNotNull,
+          concat_ws(" ", col("w2"), col("w1"), col("w"))) === col("_kt"),
+        "left").drop("_kt")
+      .join(broadcast(biT),
+        when(col("w1").isNotNull,
+          concat_ws(" ", col("w1"), col("w"))) === col("_kb"),
+        "left").drop("_kb")
+      .join(broadcast(uniT), col("w") === col("_ku"), "left").drop("_ku")
     val a = lit(model.alpha)
-    val s1 = (coalesce(col("_uni"), lit(0L)) + 1).cast("double") /
-      lit(model.nTokens + model.order1.size + 1).cast("double")
-    val biOk = col("_bi").isNotNull && col("_ctx1").isNotNull
-    val triOk = col("_tri").isNotNull && col("_ctx2").isNotNull
-    val sBi = when(biOk, col("_bi").cast("double") / col("_ctx1"))
-      .otherwise(a * s1)
+    val s1 = coalesce(col("_s1"), lit(floor1))
+    val sBi = coalesce(col("_s2"), a * s1)
     val sTok =
-      when(col("w2").isNotNull,
-        when(triOk, col("_tri").cast("double") / col("_ctx2")).otherwise(a * sBi))
+      when(col("w2").isNotNull, coalesce(col("_s3"), a * sBi))
       .when(col("w1").isNotNull, sBi)
       .otherwise(s1)
     val perDoc = attached.withColumn("_ls", log(sTok))

@@ -3,47 +3,39 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Edit-distance (Levenshtein) join with COMPLETE q-gram blocking — the
-  * record-linkage / entity-resolution primitive: all pairs (a, b) with
-  * `lev(a, b) <= maxDist`, without the O(n²) cross product.
+/** Edit-distance (Levenshtein) join with COMPLETE prefix-filter blocking
+  * — the record-linkage / entity-resolution primitive: all pairs (a, b)
+  * with `lev(a, b) <= maxDist`, without the O(n²) cross product.
   *
-  * The blocking is the positional q-gram count filter (Gravano et al.
-  * 1999, "Approximate String Joins in a Database (Almost) for Free"):
-  * one edit operation destroys at most q of a string's |s| − q + 1
-  * q-grams, so two strings within edit distance d share at least
-  * `max(|a|,|b|) − q + 1 − d·q` q-grams at position distance ≤ d. The
-  * join therefore explodes positional q-grams, equi-joins on the gram
-  * (with the position band as a residual condition), counts matches per
-  * id pair, keeps pairs meeting the bound, and ONLY THEN verifies the
-  * exact Levenshtein distance (with Spark's thresholded `levenshtein`,
-  * which abandons a row early once d is exceeded). Join-row counting can
-  * only OVERcount the lemma's matched-gram count (a repeated gram may
-  * match several positions), so the filter admits false candidates —
-  * killed by the verify — and can never drop a true pair.
+  * Blocking is q-gram PREFIX FILTERING (the Ed-Join scheme, Xiao et al.
+  * VLDB'08): each string explodes only its d·q+1 globally-RAREST distinct
+  * grams (one shared (document-frequency, gram) total order), candidates
+  * are pairs sharing a prefix gram within the ±d length band, and only
+  * survivors pay the exact thresholded `levenshtein` verify (which
+  * abandons a row early once d is exceeded). ≤ d edits touch ≤ d·q
+  * distinct gram values per side, so a qualifying pair shares
+  * ≥ max(|setₐ|,|set_b|) − d·q gram values and the prefix-filter lemma
+  * guarantees the two prefixes intersect — false candidates die in the
+  * verify; true pairs can never be dropped. The gram-path source notes
+  * carry the measured story of why this beats the count-filter
+  * formulation (185 s → sub-second on low-entropy name domains).
   *
-  * The bound is vacuous when `max(|a|,|b|) < q·(d+1)` — for such SHORT
-  * pairs no number of shared grams is guaranteed. Completeness is kept by
-  * a partition, not a prayer: pairs where BOTH strings are short (length
-  * ≤ q·(d+1) − 1, which also covers gram-less strings shorter than q) go
-  * through a length-banded bucket join among the shorts only (bounded:
-  * short strings live in ≤ q·(d+1) length buckets and each probes 2d+1
-  * of them), while any pair involving a longer string has bound ≥ 1 and
-  * is caught by the gram path. The two paths are disjoint by the same
-  * max-length test, so no pair is emitted twice.
+  * Both prefix-gram guarantees are vacuous when `max(|a|,|b|) <
+  * q·(d+1)`. Completeness is kept by a partition, not a prayer: pairs
+  * where BOTH strings are short (length ≤ q·(d+1) − 1, which also covers
+  * gram-less strings shorter than q) go through a length-banded bucket
+  * join among the shorts only (bounded: short strings live in ≤ q·(d+1)
+  * length buckets and each probes 2d+1 of them), while any pair
+  * involving a longer string is caught by the gram path. The two paths
+  * are disjoint by the same max-length test, so no pair is emitted
+  * twice.
   *
-  * Scale shape (the minhashPairs discipline): the gram exchange carries
-  * (id, len, pos, gram) — ids-only through the heavy shuffle, strings
+  * Scale shape (the minhashPairs discipline): the gram exchanges carry
+  * (id, len, gram) — ids-only through the heavy shuffles, strings
   * re-attached to the SURVIVING candidates by two id joins before the
-  * verify. Grams are length-q substrings, so the exchanged payload is
-  * O(|s|) per string either way, but candidate verification never drags
-  * full strings through the gram-count aggregation. Like every banded
-  * generator in this file's family, the candidate count tracks the true
-  * match rate plus the filter's false-positive rate, not n². */
+  * verify. Candidate volume tracks Σ prefix-gram collisions — rare
+  * grams by construction — not n². */
 object FuzzyJoin {
-
-  private def grams(s: Column, q: Int): Column =
-    transform(sequence(lit(0), length(s) - q),
-      i => struct(i.as("pos"), s.substr(i + 1, lit(q)).as("g")))
 
   /** All (id_a, id_b, dist) with `lev(a.strCol, b.strCol) <= maxDist`,
     * for non-null strings. Both inputs need (`idCol`, `strCol`); ids must
@@ -66,27 +58,58 @@ object FuzzyJoin {
     // (gram-less, long) pair has max = len_long ≥ q(d+1), so
     // lev ≥ |len diff| ≥ q(d+1) − (q−1) = qd + 1 > d — never a match —
     // and (gram-less, short) pairs are the short path's job.
-    def gramSide(df: DataFrame, side: String): DataFrame =
+    //
+    // Blocking is PREFIX FILTERING on the globally-rarest grams (the
+    // Ed-Join scheme, Xiao et al. VLDB'08), not a shared-gram count
+    // filter. The count filter's join enumerates every gram collision
+    // BEFORE counting, and that collapses on low-entropy domains: 20k
+    // TPC-H part names (64 distinct values) ran 185 s on the gram-only
+    // key, and "Customer#000…" names defeated even a positional-bucket
+    // key (every name shares every prefix gram AT THE SAME POSITION —
+    // 15k² collisions per bucket). Prefix filtering inverts the shape:
+    // sort each string's DISTINCT grams by one global (document
+    // frequency, gram) order and explode only the first d·q+1 — for
+    // prefix-heavy domains those are exactly the discriminating tail
+    // grams, and candidate volume tracks Σ rare-gram collisions.
+    //
+    // Completeness (set form of the prefix-filter lemma): ≤ d edits
+    // touch ≤ d·q distinct gram VALUES of each side, so a qualifying
+    // pair shares ≥ max(|setₐ|,|set_b|) − d·q gram values; prefixes of
+    // length |set| − t + 1 ≤ d·q + 1 under ONE total order must then
+    // intersect. Degenerate diversity is covered structurally: a string
+    // with ≤ d·q+1 distinct grams explodes its WHOLE set (min applies),
+    // and a long repetitive pair within d always shares a gram value
+    // because d edits leave an untouched window of length ≥ q when
+    // len ≥ q(d+1) — i.e. above the same shortMax that routes
+    // everything else here.
+    val pfxLen = maxDist * q + 1
+    def gramSet(df: DataFrame, side: String): DataFrame =
       df.filter(col(s"len_$side") >= q)
         .select(col(s"id_$side"), col(s"len_$side"),
-          explode(grams(col(s"s_$side"), q)).as("t"))
+          explode(array_distinct(transform(
+            sequence(lit(0), col(s"len_$side") - q),
+            i => col(s"s_$side").substr(i + 1, lit(q))))).as(s"g_$side"))
+    val lgs = gramSet(l, "a")
+    val rgs = gramSet(r, "b")
+    // ONE document-frequency table over both sides — the prefix lemma
+    // needs both prefixes drawn under the SAME total order
+    val freq = lgs.select(col("g_a").as("g"))
+      .unionAll(rgs.select(col("g_b").as("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    def prefix(gs: DataFrame, side: String): DataFrame =
+      gs.join(freq, col(s"g_$side") === col("g")).drop("g")
+        .groupBy(col(s"id_$side"), col(s"len_$side"))
+        .agg(graft.functions.SmallestK.smallestK(
+          struct(col("_df"), col(s"g_$side").as("g")), pfxLen).as("_pfx"))
         .select(col(s"id_$side"), col(s"len_$side"),
-          col("t.pos").as(s"pos_$side"), col("t.g").as(s"g_$side"))
-    val lg = gramSide(l, "a")
-    val rg = gramSide(r, "b")
-    // every column is side-suffixed, so the fuzzyPairs self-join cannot
-    // hit ambiguous-attribute resolution
-    val counted = lg.join(rg,
+          explode(col("_pfx.g")).as(s"g_$side"))
+    val gramIds = prefix(lgs, "a").join(prefix(rgs, "b"),
         col("g_a") === col("g_b") &&
-          abs(col("pos_a") - col("pos_b")) <= maxDist &&
           abs(col("len_a") - col("len_b")) <= maxDist &&
           greatest(col("len_a"), col("len_b")) > shortMax)
-      .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
-      .agg(count(lit(1)).as("_shared"))
-      .filter(col("_shared") >=
-        greatest(col("len_a"), col("len_b")) - (q - 1) - maxDist * q)
       .select(col("id_a"), col("id_b"))
-    val gramPairs = counted
+      .dropDuplicates("id_a", "id_b")
+    val gramPairs = gramIds
       .join(l.select(col("id_a"), col("s_a")), Seq("id_a"))
       .join(r.select(col("id_b"), col("s_b")), Seq("id_b"))
 
