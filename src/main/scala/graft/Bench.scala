@@ -330,9 +330,13 @@ object Bench {
       })
       val crT = med(() => evaluate(
         graft.operators.TextOps.compressionRatio(docs)))
+      val bpeT = med(() => {
+        val (bm, _) = graft.ml.Bpe.fit(docs, "text", numMerges = 200)
+        evaluate(graft.ml.Bpe.tokenCount(docs, "text", bm))
+      })
       tee.log(f"[bench] lib_additions4 ngram_lm_fit_score=$lmT%.3f s " +
         f"fuzzy_pairs_cname=$fzT%.3f s pca_fit_project=$pcaT%.3f s " +
-        f"compress_ratio=$crT%.3f s (med of 3)")
+        f"compress_ratio=$crT%.3f s bpe_fit200_count=$bpeT%.3f s (med of 3)")
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions4 FAILED: $e")
     }
