@@ -17,15 +17,22 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * The HOF formulation — `transform(lit(rows), r -> aggregate(zip_with(
   * x, r, ...)))` — evaluates k·d interpreted lambdas per row and falls
   * out of whole-stage codegen entirely; this is one fused two-level loop.
-  * Input arrays shorter than d project with missing tail dimensions
-  * treated as μ (centered to zero) rather than erroring — but upstream
-  * fit already rejects ragged input, so that path is dead in practice. */
+  * A row whose array length differs from the model's d is a HARD error
+  * (the NormalEqAgg raggedness discipline): fit rejects ragged input,
+  * but project accepts ANY frame — silently truncating a 32-dim column
+  * against a 64-dim model would emit plausible-looking wrong projections
+  * for every row. */
 case class AffineProject(child: Expression, mean: Seq[Double],
                          rows: Seq[Seq[Double]]) extends UnaryExpression {
 
   @transient private lazy val mu: Array[Double] = mean.toArray
-  @transient private lazy val mat: Array[Array[Double]] =
-    rows.map(_.toArray).toArray
+  @transient private lazy val mat: Array[Array[Double]] = {
+    val m = rows.map(_.toArray).toArray
+    m.foreach(r => require(r.length == mean.length,
+      s"affine_project: component row of length ${r.length} vs mean of " +
+        s"length ${mean.length} — inconsistent model"))
+    m
+  }
 
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -41,16 +48,24 @@ case class AffineProject(child: Expression, mean: Seq[Double],
           s"affine_project expects array<float|double>, got ${other.catalogString}")
     }
 
+  /** Shared dimension gate for both evaluation paths. */
+  def requireDim(n: Int): Unit =
+    if (n != mu.length) throw new IllegalArgumentException(
+      s"affine_project: input vector has $n dims but the model has " +
+        s"${mu.length} — wrong column or truncated upstream data; " +
+        "refusing to silently truncate")
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    requireDim(v.numElements())
     val isF = elemIsFloat
+    val d = mu.length
     val out = new Array[Double](mat.length)
     var r = 0
     while (r < mat.length) {
       val row = mat(r)
-      val n = math.min(math.min(row.length, mu.length), v.numElements())
       var s = 0.0; var i = 0
-      while (i < n) {
+      while (i < d) {
         val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
         s += row(i) * (x - mu(i)); i += 1
       }
@@ -63,21 +78,21 @@ case class AffineProject(child: Expression, mean: Seq[Double],
     val get = if (elemIsFloat) "getFloat" else "getDouble"
     val matRef = ctx.addReferenceObj("projRows", mat, "double[][]")
     val muRef = ctx.addReferenceObj("projMean", mu, "double[]")
+    val self = ctx.addReferenceObj("affineExpr", this, getClass.getName)
     nullSafeCodeGen(ctx, ev, a => {
       val m = ctx.freshName("m"); val u = ctx.freshName("u")
       val out = ctx.freshName("out"); val r = ctx.freshName("r")
-      val row = ctx.freshName("row"); val n = ctx.freshName("n")
+      val row = ctx.freshName("row")
       val s = ctx.freshName("s"); val i = ctx.freshName("i")
       s"""
          |double[][] $m = $matRef;
          |double[] $u = $muRef;
+         |$self.requireDim($a.numElements());
          |double[] $out = new double[$m.length];
          |for (int $r = 0; $r < $m.length; $r++) {
          |  double[] $row = $m[$r];
-         |  int $n = java.lang.Math.min(java.lang.Math.min($row.length, $u.length),
-         |    $a.numElements());
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $u.length; $i++) {
          |    $s += $row[$i] * ((double) $a.$get($i) - $u[$i]);
          |  }
          |  $out[$r] = $s;

@@ -8,11 +8,17 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deflate compression ratio of a string's UTF-8 bytes:
-  * `compressed_len / raw_len`, in (0, ~1.05]. A low ratio means highly
-  * repetitive text — boilerplate, keyword stuffing, generated spam — and
-  * a near-1 ratio means high-entropy text (or binary junk); both tails
-  * are standard LLM-curation reject signals (the Gopher rules family
-  * thresholds exactly this statistic). Complements [[CharEntropy]]:
+  * `compressed_len / raw_len`. A low ratio means highly repetitive
+  * text — boilerplate, keyword stuffing, generated spam — and a near-1
+  * ratio means high-entropy text (or binary junk); both tails are
+  * standard LLM-curation reject signals (the Gopher rules family
+  * thresholds exactly this statistic). SHORT-DOCUMENT CAVEAT: deflate's
+  * fixed block overhead (~5-10 bytes) dominates tiny inputs — a 2-byte
+  * string ratios at 3-5, not near 1 — so the signal is only meaningful
+  * for documents of at least a few hundred bytes; a curation gate must
+  * pair any upper-tail threshold with a minimum-length condition (or
+  * treat ratios > ~1.1 as "too short to assess", which is what they
+  * mean). Complements [[CharEntropy]]:
   * entropy sees only the UNIGRAM character distribution, while deflate's
   * LZ77 window catches REPEATED SUBSTRINGS — "abcabcabc…" has maximal
   * trigram repetition but near-uniform character entropy.

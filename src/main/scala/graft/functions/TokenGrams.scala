@@ -23,10 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object TokenGrams {
 
   /** Lowercased whitespace tokens, empties dropped — EXACTLY the
-    * `wsTokens` contract: lowercase via UTF8String (what Spark `lower`
-    * does) and the Java-regex `\s` whitespace class (ASCII only — what
-    * `split(_, "\\s+")` matches), NOT Character.isWhitespace (Unicode),
-    * so native and HOF tokenizations can never disagree on a document. */
+    * FILTERED `wsTokens` contract (`filter(wsTokens(c), length(_) > 0)`,
+    * the form every token consumer in this repo uses): lowercase via
+    * UTF8String (what Spark `lower` does) and the Java-regex `\s`
+    * whitespace class (ASCII only — what `split(_, "\\s+")` matches),
+    * NOT Character.isWhitespace (Unicode). The empty filter is part of
+    * the contract, not an optimization: bare `wsTokens` emits a leading
+    * "" token for text starting with non-space whitespace (Spark `trim`
+    * strips only ' ', so `split` sees the leading `\t`/`\n`), and parity
+    * holds against the filtered form only. */
   private[functions] def tokenize(s: UTF8String): Array[String] = {
     val str = s.toLowerCase.toString
     val out = new scala.collection.mutable.ArrayBuffer[String](16)

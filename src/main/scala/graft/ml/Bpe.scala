@@ -67,50 +67,109 @@ object Bpe {
     * each step merges the globally most-frequent adjacent pair
     * (ties: lexicographically smallest pair) everywhere it occurs.
     * Stops early when no pair occurs twice — merging a hapax pair
-    * would memorize one word type, not learn a unit. */
+    * would memorize one word type, not learn a unit.
+    *
+    * INCREMENTAL, the way reference trainers do it: pair counts are
+    * built once and then maintained by per-word deltas — a merge step
+    * touches only the words that CONTAIN the merged pair (tracked by an
+    * occurrence index), subtracting each affected word's old pair
+    * multiset and adding its new one. Selection is a max-heap with lazy
+    * invalidation (every count change pushes a fresh entry; stale
+    * entries are discarded against the live count on pop). The first
+    * formulation recounted every pair and rebuilt every word per step —
+    * O(numMerges × total symbols) driver time, which at a realistic
+    * 32k-merge / 64k-word-type fit is ~10¹⁰ hash updates; this is
+    * O(total symbols + Σ affected-word lengths + heap traffic). */
   private[graft] def learnMerges(wordCounts: Array[(String, Long)],
                                  numMerges: Int): Array[(String, String)] = {
-    var seqs: Array[(Array[String], Long)] = wordCounts.map { case (w, n) =>
-      val chars = w.toCharArray.map(_.toString)
-      if (chars.nonEmpty) chars(chars.length - 1) += WordEnd
-      (chars, n)
-    }.filter(_._1.nonEmpty)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var step = 0
-    while (step < numMerges) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      seqs.foreach { case (syms, n) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
-          i += 1
+    import scala.collection.mutable
+    val seqs: Array[mutable.ArrayBuffer[String]] = wordCounts.map { case (w, _) =>
+      val syms = new mutable.ArrayBuffer[String](w.length)
+      w.foreach(c => syms += c.toString)
+      if (syms.nonEmpty) syms(syms.length - 1) += WordEnd
+      syms
+    }
+    val wn: Array[Long] = wordCounts.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // heap dequeues (highest count, then lexicographically smallest pair)
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2)
+          if (ca != 0) ca else y._3.compareTo(x._3)
         }
       }
-      val best = pairCounts.filter(_._2 >= 2).toSeq
-        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long, idx: Int): Unit = {
+      val n = pairCounts.getOrElse(p, 0L) + delta
+      if (n <= 0L) pairCounts.remove(p) else pairCounts(p) = n
+      if (delta > 0) occ.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+      if (n >= 2L) pq.enqueue((n, p._1, p._2))
+    }
+    seqs.indices.foreach { idx =>
+      val syms = seqs(idx)
+      var i = 0
+      while (i < syms.length - 1) {
+        bump((syms(i), syms(i + 1)), wn(idx), idx); i += 1
+      }
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      // pop to the first LIVE entry (count matches the current table)
+      var best: Option[(String, String)] = None
+      while (best.isEmpty && pq.nonEmpty) {
+        val (n, a, b) = pq.dequeue()
+        if (pairCounts.getOrElse((a, b), 0L) == n && n >= 2L)
+          best = Some((a, b))
+      }
       best match {
-        case None => step = numMerges // converged: nothing repeats
-        case Some((pair, _)) =>
-          merges += pair
-          seqs = seqs.map { case (syms, n) =>
-            (mergePair(syms, pair._1, pair._2), n)
+        case None => exhausted = true // nothing repeats anymore
+        case Some(p) =>
+          merges += p
+          val affected = occ.getOrElse(p, mutable.HashSet.empty).toArray
+          affected.foreach { idx =>
+            val syms = seqs(idx)
+            // the occurrence index is lazily maintained — re-validate
+            var has = false
+            var i = 0
+            while (!has && i < syms.length - 1) {
+              has = syms(i) == p._1 && syms(i + 1) == p._2; i += 1
+            }
+            if (has) {
+              // delta = new pair multiset − old pair multiset
+              i = 0
+              while (i < syms.length - 1) {
+                bump((syms(i), syms(i + 1)), -wn(idx), idx); i += 1
+              }
+              mergeInPlace(syms, p._1, p._2)
+              i = 0
+              while (i < syms.length - 1) {
+                bump((syms(i), syms(i + 1)), wn(idx), idx); i += 1
+              }
+            }
           }
+          occ.remove(p)
           step += 1
       }
     }
     merges.toArray
   }
 
-  private def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
-    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+  private def mergeInPlace(syms: scala.collection.mutable.ArrayBuffer[String],
+                           a: String, b: String): Unit = {
     var i = 0
-    while (i < syms.length) {
-      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-        out += (a + b); i += 2
-      } else { out += syms(i); i += 1 }
+    while (i < syms.length - 1) {
+      if (syms(i) == a && syms(i + 1) == b) {
+        syms(i) = a + b
+        syms.remove(i + 1)
+      } else i += 1
     }
-    out.toArray
   }
 
   /** Append `outCol` = the BPE token array of `textCol` (per word: the

@@ -24,10 +24,12 @@ import graft.functions.VectorAgg
   * matches), ONE groupBy(doc) computes the in-vocab vector sum, the
   * match count, and the total token count together, and out-of-vocab
   * tokens contribute the smoothed unknown bucket times their count.
-  * One shuffle at any corpus size: the token explode's groupBy(doc)
-  * (the vocab side broadcasts). Documents with zero tokens (empty or
+  * Two corpus-sized exchanges at any scale: the token explode's
+  * groupBy(doc), and the right-anchor docs-side join below it (the
+  * vocab side broadcasts). Documents with zero tokens (empty or
   * null text) score as the prior-only argmax — multinomial NB on an
-  * empty document is well-defined as argmax of the log-priors.
+  * empty document is well-defined as argmax of the log-priors, and
+  * the right anchor is what keeps those rows on the output.
   *
   * Standard multinomial smoothing: P(t|l) = (count + α) /
   * (tokensInVocab(l) + α(|V|+1)), the +1 slot being the shared unknown

@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   * shuffle), then FIVE broadcast hash joins against the one gram table
   * attach n(w₂w₁w), n(w₂w₁), n(w₁w), n(w₁), n(w); the per-token Stupid
   * Backoff score is pure column arithmetic and one groupBy(doc) averages
-  * log-scores. The only shuffle at any corpus size is that final
-  * per-document aggregation.
+  * log-scores. Two corpus-sized exchanges at any scale: the per-doc
+  * aggregation of the exploded token frame, and the right-anchor
+  * docs-side join that keeps zero-token documents on the output (the
+  * aggregated side re-uses the idCol partitioning where the planner
+  * can).
   *
   * Scoring arithmetic, per token position:
   *  - position 0 (no context): S₁(w)

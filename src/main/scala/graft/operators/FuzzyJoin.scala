@@ -40,9 +40,23 @@ object FuzzyJoin {
   /** All (id_a, id_b, dist) with `lev(a.strCol, b.strCol) <= maxDist`,
     * for non-null strings. Both inputs need (`idCol`, `strCol`); ids must
     * be unique per side (it's a join key). Matching is case-sensitive —
-    * normalize (e.g. `lower(trim(...))`) upstream if wanted. */
+    * normalize (e.g. `lower(trim(...))`) upstream if wanted.
+    *
+    * Lineage note (the skewJoinAuto precedent): each input's lineage is
+    * consulted SEVERAL times in one action — the gram explode feeds both
+    * the frequency table and the prefix probe, and the prepped frame
+    * feeds the short path and the survivor string re-attach (~4
+    * evaluations). Inputs that are themselves expensive queries should
+    * be persisted by the caller first; the operator does not persist
+    * internally because the returned frame is lazy and an internal
+    * persist would leak past this call. */
   def fuzzyJoin(left: DataFrame, right: DataFrame, idCol: String,
-                strCol: String, maxDist: Int, q: Int = 2): DataFrame = {
+                strCol: String, maxDist: Int, q: Int = 2): DataFrame =
+    fuzzyImpl(left, right, idCol, strCol, maxDist, q, ordered = false)
+
+  private def fuzzyImpl(left: DataFrame, right: DataFrame, idCol: String,
+                        strCol: String, maxDist: Int, q: Int,
+                        ordered: Boolean): DataFrame = {
     require(maxDist >= 0, s"fuzzy join: maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"fuzzy join: q must be >= 1, got $q")
     val shortMax = q * (maxDist + 1) - 1 // longest length with a vacuous bound
@@ -103,10 +117,15 @@ object FuzzyJoin {
           struct(col("_df"), col(s"g_$side").as("g")), pfxLen).as("_pfx"))
         .select(col(s"id_$side"), col(s"len_$side"),
           explode(col("_pfx.g")).as(s"g_$side"))
+    // self-join (fuzzyPairs) pushes id_a < id_b INTO the candidate
+    // joins: generating and verifying both orientations of every pair
+    // and dropping half afterwards would double the gram-join output,
+    // the dedup shuffle, and the per-pair Levenshtein verifies
+    val orderOk = if (ordered) col("id_a") < col("id_b") else lit(true)
     val gramIds = prefix(lgs, "a").join(prefix(rgs, "b"),
         col("g_a") === col("g_b") &&
           abs(col("len_a") - col("len_b")) <= maxDist &&
-          greatest(col("len_a"), col("len_b")) > shortMax)
+          greatest(col("len_a"), col("len_b")) > shortMax && orderOk)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val gramPairs = gramIds
@@ -118,7 +137,7 @@ object FuzzyJoin {
       .withColumn("_lb", explode(sequence(
         greatest(col("len_a") - maxDist, lit(0)), col("len_a") + maxDist)))
     val rs = r.filter(col("len_b") <= shortMax)
-    val shortPairs = ls.join(rs, col("_lb") === col("len_b"))
+    val shortPairs = ls.join(rs, col("_lb") === col("len_b") && orderOk)
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
 
     gramPairs.unionByName(shortPairs)
@@ -128,9 +147,10 @@ object FuzzyJoin {
   }
 
   /** Self-join form: unordered near-pairs within one frame
-    * (id_a < id_b, so each pair once and no self-matches). */
+    * (id_a < id_b, so each pair once and no self-matches — the ordering
+    * predicate is pushed into the candidate joins, so only one
+    * orientation of each pair is ever generated or verified). */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
                  maxDist: Int, q: Int = 2): DataFrame =
-    fuzzyJoin(df, df, idCol, strCol, maxDist, q)
-      .filter(col("id_a") < col("id_b"))
+    fuzzyImpl(df, df, idCol, strCol, maxDist, q, ordered = true)
 }

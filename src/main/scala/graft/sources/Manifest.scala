@@ -159,8 +159,18 @@ object Manifest {
     * commits; for a plain directory, refusing loudly is the honest
     * contract.) Flat (unpartitioned) directories — the layout [[Layout]]
     * writes; hive-partitioned trees should manifest each leaf. */
+  /** A manifest written before the byte-length column existed would
+    * otherwise die in an unexplained UNRESOLVED_COLUMN / fieldIndex
+    * error deep inside the gate — name the migration instead. */
+  private def requireLenColumn(manifest: DataFrame): Unit =
+    require(manifest.columns.contains(LenCol),
+      s"manifest: no $LenCol column — this manifest predates rewrite " +
+        "detection (built by an older Manifest.build). Rebuild it; the " +
+        "byte length is what catches files rewritten in place.")
+
   def requireFresh(spark: SparkSession, tablePath: String,
                    manifest: DataFrame): Unit = {
+    requireLenColumn(manifest)
     val inManifest = manifest.select(col(FileCol), col(LenCol))
       .collect().map(r => normalize(r.getString(0)) -> r.getLong(1)).toMap
     val disk = listDataFiles(spark, tablePath)
@@ -223,6 +233,7 @@ object Manifest {
     * persist via [[write]]). */
   def update(spark: SparkSession, tablePath: String,
              manifest: DataFrame): DataFrame = {
+    requireLenColumn(manifest)
     val snapRows = manifest.collect() // evaluate the lineage exactly once
     val schema = manifest.schema
     val fileIdx = schema.fieldIndex(FileCol)

@@ -79,7 +79,18 @@ class CompressRatioSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(pair(2L) < pair(1L) * 0.6,
       s"10x-repeated doc ${pair(2L)} vs original ${pair(1L)}")
-    assert(scored.filter(col("compress_ratio").isNull ||
-      col("compress_ratio") <= 0 || col("compress_ratio") >= 1.1).count() == 0)
+    // the (0, 1.1) band is asserted only for docs long enough for the
+    // signal to mean anything — deflate's fixed overhead puts SHORT
+    // strings well above 1 by design (documented caveat, pinned below)
+    assert(scored.join(docs.select(col("doc_id"), length(col("text")).as("_n")),
+        Seq("doc_id"))
+      .filter(col("_n") >= 200)
+      .filter(col("compress_ratio").isNull ||
+        col("compress_ratio") <= 0 || col("compress_ratio") >= 1.1).count() == 0)
+    // the short-document caveat is real and stays documented: a tiny
+    // string ratios far above 1 purely from deflate framing overhead
+    val tiny = graft.functions.CompressRatio.ratioOrNull(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hi"))
+    assert(tiny > 1.5, s"2-byte ratio $tiny should be dominated by overhead")
   }
 }

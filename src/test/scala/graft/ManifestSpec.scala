@@ -188,6 +188,13 @@ class ManifestSpec extends SparkSpec {
       Manifest.readPruned(spark, s"$tmp/t", m, Map("id" -> (5000L, null)))
     }
     assert(err.getMessage.contains("rewritten in place"), err.getMessage)
+    // a pre-length-column manifest (older build) gets a NAMED migration
+    // error, not an unexplained UNRESOLVED_COLUMN from inside the gate
+    val legacy = m.drop("_file_len")
+    val mig = intercept[IllegalArgumentException] {
+      Manifest.readPruned(spark, s"$tmp/t", legacy, Map("id" -> (0L, null)))
+    }
+    assert(mig.getMessage.contains("predates rewrite detection"), mig.getMessage)
     // incremental update re-scans exactly the rewritten file; the pruned
     // read then finds the new rows
     val m2 = Manifest.update(spark, s"$tmp/t", m)

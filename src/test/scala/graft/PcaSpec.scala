@@ -74,6 +74,14 @@ class PcaSpec extends SparkSpec {
       - pow(avg(col("p0")), 2)).as("v")).head.getDouble(0)
     assert(math.abs(varP0 - m.eigenvalues(0)) < 1e-6 * math.max(1.0, m.eigenvalues(0)),
       s"var(p0)=$varP0 vs λ0=${m.eigenvalues(0)}")
+    // a wrong-dimension projection fails loudly, never truncates silently
+    val wrongDim = Seq((1L, Array.fill(8)(0.5))).toDF("id", "emb")
+    val dimErr = intercept[Exception] {
+      Pca.project(wrongDim, "emb", m).collect()
+    }
+    assert(dimErr.toString.contains("refusing to silently truncate") ||
+      Option(dimErr.getCause).exists(_.toString.contains("refusing to silently truncate")),
+      dimErr.toString)
     // guardrails
     intercept[IllegalArgumentException] { Pca.fit(docs, "embedding", k = 0) }
     intercept[IllegalArgumentException] {

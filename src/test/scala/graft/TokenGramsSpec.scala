@@ -25,8 +25,14 @@ class TokenGramsSpec extends SparkSpec {
   }
 
   test("native grams equal the HOF formulation over the documents corpus") {
+    // leading-\t/\n rows added on purpose: bare wsTokens emits a leading
+    // "" token there (trim strips only spaces) — parity is against the
+    // FILTERED form, and these rows make that distinction load-bearing
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-    val ts = graft.operators.TextOps.wsTokens(col("text"))
+      .unionByName(Seq((900001L, "\tleading tab text"),
+        (900002L, "\n newline  and   runs\t\t x")).toDF("doc_id", "text"))
+    val ts = filter(graft.operators.TextOps.wsTokens(col("text")),
+      t => length(t) > 0)
     def hofOrder(n: Int) =
       when(size(ts) >= n,
         transform(sequence(lit(0), size(ts) - n),
