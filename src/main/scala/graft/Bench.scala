@@ -319,8 +319,15 @@ object Bench {
           maxBigrams = 8192, maxTrigrams = 8192)
         evaluate(graft.ml.NgramLm.score(docs, "doc_id", "text", m))
       })
+      // the fuzzy input derives the name from the DISTINCT key, not from
+      // c_name: GenScale replicates c_name verbatim (100 copies per name
+      // at sf10), which inflates the TRUE pair count quadratically — a
+      // generator artifact that measures nothing (the r10 GenScale
+      // lesson). The key-derived domain grows linearly with scale.
       val cust = graft.Tables.customer(spark, sfDir)
-        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+        .select(col("c_custkey").as("id"),
+          org.apache.spark.sql.functions.format_string(
+            "Customer#%09d", col("c_custkey")).as("s"))
       val fzT = med(() => evaluate(
         graft.operators.FuzzyJoin.fuzzyPairs(cust, "id", "s", maxDist = 1)))
       val emb = graft.Tables.embeddings(spark, sfDir)

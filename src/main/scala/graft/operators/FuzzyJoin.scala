@@ -122,25 +122,95 @@ object FuzzyJoin {
     // and dropping half afterwards would double the gram-join output,
     // the dedup shuffle, and the per-pair Levenshtein verifies
     val orderOk = if (ordered) col("id_a") < col("id_b") else lit(true)
-    val gramIds = prefix(lgs, "a").join(prefix(rgs, "b"),
-        col("g_a") === col("g_b") &&
-          abs(col("len_a") - col("len_b")) <= maxDist &&
-          greatest(col("len_a"), col("len_b")) > shortMax && orderOk)
-      .select(col("id_a"), col("id_b"))
+
+    // ---- deletion-neighborhood band (SymSpell blocking), d ≤ 2 ----
+    // Prefix filtering assumes rare grams EXIST. On ID-like domains they
+    // don't: 150k "Customer#000…" names hold ~120 distinct gram values
+    // total, every "rarest" gram is shared by thousands of strings, and
+    // the sf10 probe leg filled the disk with prefix-join spill. For
+    // small d the symmetric-delete scheme is complete AND
+    // domain-independent: an optimal ≤d-edit alignment leaves a common
+    // subsequence reachable from BOTH strings by ≤ d single-character
+    // deletions, so candidates = strings sharing a ≤d-deletion variant
+    // (hashed; hash collisions just add candidates for the verify).
+    // Variant count is 1 + len (d=1) or 1 + len + C(len,2) (d=2), so
+    // the band is capped at delMax where that stays small; longer
+    // strings keep the prefix path, whose gram diversity grows with
+    // length. d = 0 degenerates to an exact hash join over everything.
+    val delMax = maxDist match {
+      case 0 => Int.MaxValue
+      case 1 => 64
+      case 2 => 24
+      case _ => -1
+    }
+    // One plain (hashed-variant) equi-join. A positional refinement —
+    // tagging each d=1 variant with its deleted index so substitution
+    // candidates join on (variant, index) — was built and MEASURED OUT:
+    // it needs three joins (same-index, self×deletion, deletion×self) in
+    // place of one, and on the 1.5M-id probe the tripled explode scans
+    // and exchange volume cost more than the smaller join output saved
+    // (the single-join form finished in 1020 s; the three-join form was
+    // killed unfinished at 29 min). Simple shape, one exchange per side.
+    def delVariants(s: Column): Column = {
+      val len = length(s)
+      val self = array(xxhash64(s))
+      def del1(src: Column) = transform(sequence(lit(0), length(src) - 1),
+        i => xxhash64(concat(src.substr(lit(1), i),
+          src.substr(i + 2, length(src)))))
+      val d1 = when(len >= 1, del1(s)).otherwise(array().cast("array<bigint>"))
+      val d2 =
+        if (maxDist < 2) array().cast("array<bigint>")
+        else when(len >= 2, flatten(transform(sequence(lit(0), len - 2),
+          i => transform(sequence(i + 1, len - 1),
+            j => xxhash64(concat(s.substr(lit(1), i),
+              s.substr(i + 2, j - i - 1),
+              s.substr(j + 2, length(s))))))))
+          .otherwise(array().cast("array<bigint>"))
+      if (maxDist == 0) self
+      else array_distinct(concat(self, d1, d2))
+    }
+    def delSide(df: DataFrame, side: String): DataFrame =
+      df.filter(col(s"len_$side") <= delMax)
+        .select(col(s"id_$side"), col(s"len_$side"),
+          explode(delVariants(col(s"s_$side"))).as(s"_v_$side"))
+    val delIds =
+      if (delMax < 0) None
+      else Some(delSide(l, "a").join(delSide(r, "b"),
+          col("_v_a") === col("_v_b") &&
+            abs(col("len_a") - col("len_b")) <= maxDist && orderOk)
+        .select(col("id_a"), col("id_b")))
+
+    // prefix path covers the pairs above the deletion band (all pairs
+    // when the band is inactive, d ≥ 3); the two bands partition on the
+    // same max-length test, so nothing emits twice
+    val gramFloor = math.max(shortMax, delMax)
+    val gramIds =
+      if (delMax == Int.MaxValue) None // d = 0: deletion band covers all
+      else Some(prefix(lgs, "a").join(prefix(rgs, "b"),
+          col("g_a") === col("g_b") &&
+            abs(col("len_a") - col("len_b")) <= maxDist &&
+            greatest(col("len_a"), col("len_b")) > gramFloor && orderOk)
+        .select(col("id_a"), col("id_b")))
+
+    // ---- short path: both ≤ shortMax, ONLY when the deletion band is
+    // inactive (otherwise it subsumes the shorts, gram-less included) ----
+    val shortIds =
+      if (delMax >= shortMax) None
+      else {
+        val ls = l.filter(col("len_a") <= shortMax)
+          .withColumn("_lb", explode(sequence(
+            greatest(col("len_a") - maxDist, lit(0)), col("len_a") + maxDist)))
+        val rs = r.filter(col("len_b") <= shortMax)
+        Some(ls.join(rs, col("_lb") === col("len_b") && orderOk)
+          .select(col("id_a"), col("id_b")))
+      }
+
+    val candIds = Seq(delIds, gramIds, shortIds).flatten
+      .reduce(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
-    val gramPairs = gramIds
+    candIds
       .join(l.select(col("id_a"), col("s_a")), Seq("id_a"))
       .join(r.select(col("id_b"), col("s_b")), Seq("id_b"))
-
-    // ---- short path: both strings ≤ shortMax, length-banded buckets ----
-    val ls = l.filter(col("len_a") <= shortMax)
-      .withColumn("_lb", explode(sequence(
-        greatest(col("len_a") - maxDist, lit(0)), col("len_a") + maxDist)))
-    val rs = r.filter(col("len_b") <= shortMax)
-    val shortPairs = ls.join(rs, col("_lb") === col("len_b") && orderOk)
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
-
-    gramPairs.unionByName(shortPairs)
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))

@@ -78,6 +78,43 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("long strings (above the deletion band) still equal brute force at d=1,2 — the prefix path at small d") {
+    // 90-char strings: above delMax for both d=1 (64) and d=2 (24), so
+    // these pairs route through the PREFIX path even at small d — the
+    // band partition must stay complete on both sides of the boundary
+    val rnd = new scala.util.Random(11L)
+    val seeds = (0 until 6).map(_ =>
+      (0 until 90).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = (0 until 120).map { i =>
+      val s = seeds(i % 6)
+      val p = rnd.nextInt(s.length)
+      (i.toLong, s.updated(p, ('a' + rnd.nextInt(26)).toChar))
+    } ++ Seq((500L, "x" * 90), (501L, "x" * 89)) // boundary + repetitive
+    val df = docs.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.fuzzyPairs(df, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = brute(df, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want,
+        s"d=$d: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty)
+    }
+  }
+
+  test("ID-like domains (tiny gram diversity) block on deletion variants, not n²") {
+    // sequential zero-padded ids — the domain whose ~120 distinct grams
+    // defeat ANY gram-frequency blocking (this exact shape filled the
+    // disk at the sf10 probe before the deletion band existed)
+    val docs = (0 until 4000).map(i => (i.toLong, f"Customer#$i%09d")).toDF("id", "s")
+    val got = FuzzyJoin.fuzzyPairs(docs, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = brute(docs, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && want.nonEmpty,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("the gram path actually prunes: candidate count tracks matches, not n²") {
     // 400 strings in 8 tight clusters of near-duplicates + random tails:
     // the blocked join must verify FAR fewer pairs than 400·399/2
