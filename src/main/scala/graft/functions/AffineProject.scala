@@ -55,9 +55,30 @@ case class AffineProject(child: Expression, mean: Seq[Double],
         s"${mu.length} — wrong column or truncated upstream data; " +
         "refusing to silently truncate")
 
+  /** ArrayData.getDouble/getFloat read a NULL element as 0.0 — which
+    * would project a vector with missing dims into a plausible-looking
+    * wrong point. Same discipline as [[requireDim]]: hard error, shared
+    * by both evaluation paths, and only PAID when the column's type
+    * admits nulls (containsNull=false skips the scan entirely). */
+  @transient private lazy val mayContainNull: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  def requireNoNullElems(v: ArrayData): Unit = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"affine_project: input vector has a NULL element at index $i — " +
+          "a null dim would silently read as 0.0 and produce a wrong " +
+          "projection; clean or impute upstream")
+      i += 1
+    }
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     requireDim(v.numElements())
+    if (mayContainNull) requireNoNullElems(v)
     val isF = elemIsFloat
     val d = mu.length
     val out = new Array[Double](mat.length)
@@ -84,10 +105,14 @@ case class AffineProject(child: Expression, mean: Seq[Double],
       val out = ctx.freshName("out"); val r = ctx.freshName("r")
       val row = ctx.freshName("row")
       val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val nullGate =
+        if (mayContainNull) s"$self.requireNoNullElems($a);"
+        else "" // containsNull=false: no scan, no branch in the hot loop
       s"""
          |double[][] $m = $matRef;
          |double[] $u = $muRef;
          |$self.requireDim($a.numElements());
+         |$nullGate
          |double[] $out = new double[$m.length];
          |for (int $r = 0; $r < $m.length; $r++) {
          |  double[] $row = $m[$r];

@@ -118,6 +118,19 @@ object Bpe {
       }
     }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
+    // guard against re-learning a merged pair: if a later merge could
+    // RECREATE an already-merged adjacency (a,b), it would re-enter the
+    // counts and could be selected again — a duplicate rule that wastes
+    // a numMerges slot. Recreation needs two DISTINCT rules producing
+    // the same symbol string in different word contexts, which the
+    // leftmost-first merge order appears to exclude (every construction
+    // we tried — "abc" via (a,bc) vs (ab,c), run-of-a splits — dies on
+    // the fact that the char adjacency inside the string merges the same
+    // way everywhere); the set makes the invariant structural instead of
+    // resting on that argument. Skipping is exact for encode either way:
+    // ranks.putIfAbsent ignores duplicates, and the rank loop re-merges
+    // any recreated adjacency at the original rank.
+    val done = mutable.HashSet.empty[(String, String)]
     var step = 0
     var exhausted = false
     while (step < numMerges && !exhausted) {
@@ -125,13 +138,14 @@ object Bpe {
       var best: Option[(String, String)] = None
       while (best.isEmpty && pq.nonEmpty) {
         val (n, a, b) = pq.dequeue()
-        if (pairCounts.getOrElse((a, b), 0L) == n && n >= 2L)
+        if (!done((a, b)) && pairCounts.getOrElse((a, b), 0L) == n && n >= 2L)
           best = Some((a, b))
       }
       best match {
         case None => exhausted = true // nothing repeats anymore
         case Some(p) =>
           merges += p
+          done += p
           val affected = occ.getOrElse(p, mutable.HashSet.empty).toArray
           affected.foreach { idx =>
             val syms = seqs(idx)

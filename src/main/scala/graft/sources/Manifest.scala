@@ -36,6 +36,7 @@ object Manifest {
 
   private val FileCol = "_file"
   private val LenCol = "_file_len"
+  private val MtimeCol = "_file_mtime"
 
   /** Per-file stats in ONE scan: `groupBy(input_file_name())` makes every
     * statistic a partial (map-side) aggregate, so each file's stats are
@@ -67,45 +68,56 @@ object Manifest {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"))
     }
 
-  /** The directory's data files WITH their on-disk byte lengths — ONE
-    * definition of what counts as a data file, shared by
-    * build/update/requireFresh. The length travels into the manifest row
-    * and the freshness comparison: identity by path alone would let a
-    * file REWRITTEN IN PLACE under the same name keep its stale min/max
-    * (the staleness gate passes, prune excludes a file whose new rows
-    * match the predicate — the silent-row-drop failure mode this layer
-    * promises can never happen quietly). */
+  /** The directory's data files WITH their on-disk byte lengths AND
+    * modification times — ONE definition of what counts as a data file,
+    * shared by build/update/requireFresh. Both travel into the manifest
+    * row and the freshness comparison: identity by path alone would let
+    * a file REWRITTEN IN PLACE under the same name keep its stale
+    * min/max (the staleness gate passes, prune excludes a file whose new
+    * rows match the predicate — the silent-row-drop failure mode this
+    * layer promises can never happen quietly), and identity by
+    * (path, length) alone would still miss a rewrite that happens to
+    * land on the same byte count. The mtime comes from the SAME
+    * listStatus call, so the stronger identity costs nothing. Residual
+    * best-effort window: a same-length rewrite within the filesystem's
+    * mtime resolution — the object stores a 100 TB table lives on stamp
+    * every PUT, and that window is theirs, not ours. */
   private def listDataFiles(spark: SparkSession,
-                            tablePath: String): Seq[(String, Long)] = {
+                            tablePath: String): Seq[(String, Long, Long)] = {
     val fs = new Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new Path(tablePath))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toUri.toString, s.getLen)).toSeq
+      .map(s => (s.getPath.toUri.toString, s.getLen, s.getModificationTime))
+      .toSeq
   }
 
-  /** Localize `stats`, append each file's on-disk byte length, and add
-    * n_rows=0 rows (null min/max, 0 nulls) for any of `allFiles` the
-    * aggregation could not see (zero-row files). */
+  /** Localize `stats`, append each file's on-disk byte length and
+    * modification time, and add n_rows=0 rows (null min/max, 0 nulls)
+    * for any of `allFiles` the aggregation could not see (zero-row
+    * files). */
   private def completeWithEmpty(spark: SparkSession, stats: DataFrame,
-                                allFiles: Seq[(String, Long)]): DataFrame = {
-    val lens = allFiles.map { case (f, l) => normalize(f) -> l }.toMap
-    def lenOf(f: String): Long = lens.getOrElse(normalize(f),
+                                allFiles: Seq[(String, Long, Long)]): DataFrame = {
+    val idents = allFiles.map { case (f, l, t) => normalize(f) -> ((l, t)) }.toMap
+    def identOf(f: String): (Long, Long) = idents.getOrElse(normalize(f),
       sys.error(s"manifest: scanned file $f absent from the directory " +
         "listing — concurrent writer? Rebuild the manifest."))
     val rows = stats.collect()
-      .map(r => org.apache.spark.sql.Row.fromSeq(
-        r.toSeq :+ lenOf(r.getString(0))))
+      .map { r =>
+        val (len, mtime) = identOf(r.getString(0))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ len :+ mtime)
+      }
     val seen = rows.map(r => normalize(r.getString(0))).toSet
-    val emptyRows = allFiles.filterNot { case (f, _) => seen.contains(normalize(f)) }
-      .map { case (f, len) =>
+    val emptyRows = allFiles.filterNot { case (f, _, _) => seen.contains(normalize(f)) }
+      .map { case (f, len, mtime) =>
         val tail: Seq[Any] = stats.schema.fields.drop(2).toSeq.map { fld =>
           if (fld.name.endsWith("__nnull")) 0L else null
         }
-        org.apache.spark.sql.Row.fromSeq((f +: 0L +: tail) :+ len)
+        org.apache.spark.sql.Row.fromSeq((f +: 0L +: tail) :+ len :+ mtime)
       }
-    val schema = stats.schema.add(LenCol,
-      org.apache.spark.sql.types.LongType, nullable = false)
+    val schema = stats.schema
+      .add(LenCol, org.apache.spark.sql.types.LongType, nullable = false)
+      .add(MtimeCol, org.apache.spark.sql.types.LongType, nullable = false)
     spark.createDataFrame(
       java.util.Arrays.asList((rows.toSeq ++ emptyRows): _*), schema)
   }
@@ -149,32 +161,37 @@ object Manifest {
     survivors
   }
 
-  /** The staleness gate: the (path, byte length) set of data files on
-    * disk must EQUAL the manifest's. A manifest missing new files would
-    * silently drop their rows from every pruned read, and a file
-    * REWRITTEN IN PLACE under the same name (length changed) carries
-    * stale min/max that could prune away its new rows — both are the one
-    * failure mode a skipping layer must never have quietly. (Table
-    * formats solve this by making the manifest the source of truth for
-    * commits; for a plain directory, refusing loudly is the honest
-    * contract.) Flat (unpartitioned) directories — the layout [[Layout]]
-    * writes; hive-partitioned trees should manifest each leaf. */
-  /** A manifest written before the byte-length column existed would
+  /** The staleness gate: the (path, byte length, mtime) set of data
+    * files on disk must EQUAL the manifest's. A manifest missing new
+    * files would silently drop their rows from every pruned read, and a
+    * file REWRITTEN IN PLACE under the same name (length OR mtime
+    * changed) carries stale min/max that could prune away its new rows —
+    * both are the one failure mode a skipping layer must never have
+    * quietly. (Table formats solve this by making the manifest the
+    * source of truth for commits; for a plain directory, refusing loudly
+    * is the honest contract.) Flat (unpartitioned) directories — the
+    * layout [[Layout]] writes; hive-partitioned trees should manifest
+    * each leaf. */
+  /** A manifest written before the identity columns existed would
     * otherwise die in an unexplained UNRESOLVED_COLUMN / fieldIndex
     * error deep inside the gate — name the migration instead. */
-  private def requireLenColumn(manifest: DataFrame): Unit =
-    require(manifest.columns.contains(LenCol),
-      s"manifest: no $LenCol column — this manifest predates rewrite " +
-        "detection (built by an older Manifest.build). Rebuild it; the " +
-        "byte length is what catches files rewritten in place.")
+  private def requireIdentityColumns(manifest: DataFrame): Unit =
+    require(manifest.columns.contains(LenCol) &&
+        manifest.columns.contains(MtimeCol),
+      s"manifest: no $LenCol/$MtimeCol column(s) — this manifest " +
+        "predates rewrite detection (built by an older Manifest.build). " +
+        "Rebuild it; byte length + modification time are what catch " +
+        "files rewritten in place.")
 
   def requireFresh(spark: SparkSession, tablePath: String,
                    manifest: DataFrame): Unit = {
-    requireLenColumn(manifest)
-    val inManifest = manifest.select(col(FileCol), col(LenCol))
-      .collect().map(r => normalize(r.getString(0)) -> r.getLong(1)).toMap
+    requireIdentityColumns(manifest)
+    val inManifest = manifest.select(col(FileCol), col(LenCol), col(MtimeCol))
+      .collect()
+      .map(r => normalize(r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
     val disk = listDataFiles(spark, tablePath)
-      .map { case (f, l) => normalize(f) -> l }.toMap
+      .map { case (f, l, t) => normalize(f) -> ((l, t)) }.toMap
     val missing = disk.keySet -- inManifest.keySet
     val gone = inManifest.keySet -- disk.keySet
     val rewritten = (disk.keySet & inManifest.keySet)
@@ -183,8 +200,8 @@ object Manifest {
       s"manifest: stale vs $tablePath — ${missing.size} file(s) on disk " +
         s"missing from manifest, ${gone.size} manifest file(s) gone from " +
         s"disk, ${rewritten.size} file(s) rewritten in place (byte length " +
-        "changed under the same name; their manifest stats are stale). " +
-        "Rebuild the manifest before pruned reads.")
+        "or modification time changed under the same name; their manifest " +
+        "stats are stale). Rebuild the manifest before pruned reads.")
   }
 
   /** Write `df` AND its manifest in one call — the ingest path that
@@ -233,27 +250,30 @@ object Manifest {
     * persist via [[write]]). */
   def update(spark: SparkSession, tablePath: String,
              manifest: DataFrame): DataFrame = {
-    requireLenColumn(manifest)
+    requireIdentityColumns(manifest)
     val snapRows = manifest.collect() // evaluate the lineage exactly once
     val schema = manifest.schema
     val fileIdx = schema.fieldIndex(FileCol)
     val lenIdx = schema.fieldIndex(LenCol)
+    val mtimeIdx = schema.fieldIndex(MtimeCol)
     val statCols = schema.fieldNames.filter(_.endsWith("__min"))
       .map(_.stripSuffix("__min")).toSeq
     require(statCols.nonEmpty,
       "manifest: no stats columns recognized — was this built by Manifest.build?")
     val diskFiles = listDataFiles(spark, tablePath)
-    val disk = diskFiles.map { case (f, l) => normalize(f) -> l }.toMap
+    val disk = diskFiles.map { case (f, l, t) => normalize(f) -> ((l, t)) }.toMap
     // both directions driver-side over the already-collected rows — the
     // rows ARE local; routing a million-literal isin through Catalyst to
     // re-derive a set intersection would be planner abuse. A row is kept
-    // only if its file is still on disk AT THE SAME BYTE LENGTH —
-    // identity by path alone would reuse stale stats for a file
-    // rewritten in place under its old name.
+    // only if its file is still on disk AT THE SAME (byte length, mtime)
+    // — identity by path alone would reuse stale stats for a file
+    // rewritten in place under its old name, and path+length alone would
+    // miss a same-size rewrite.
     val keptRows = snapRows.filter(r =>
-      disk.get(normalize(r.getString(fileIdx))).contains(r.getLong(lenIdx)))
+      disk.get(normalize(r.getString(fileIdx)))
+        .contains((r.getLong(lenIdx), r.getLong(mtimeIdx))))
     val known = keptRows.map(r => normalize(r.getString(fileIdx))).toSet
-    val newFiles = diskFiles.filterNot { case (f, _) =>
+    val newFiles = diskFiles.filterNot { case (f, _, _) =>
       known.contains(normalize(f)) }
     val kept = spark.createDataFrame(
       java.util.Arrays.asList(keptRows.toSeq: _*), schema)

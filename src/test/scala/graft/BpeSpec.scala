@@ -76,4 +76,24 @@ class BpeSpec extends SparkSpec {
       Bpe.fit(Seq((1L, "  ")).toDF("doc_id", "text"), "text", 5)
     }
   }
+
+  test("learnMerges never emits a duplicate rule (fuzz over repetitive tiny-alphabet corpora)") {
+    // the duplicate-slot hazard needs a later merge to RECREATE an
+    // already-merged adjacency — most plausible on tiny alphabets with
+    // long runs, where many rules produce superficially similar strings.
+    // 40 seeded corpora, exhaustive merge budget: the rule list must be
+    // duplicate-free every time (the Set guard makes this structural).
+    for (seed <- 0 until 40) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "ab"
+      val wc = Array.fill(3 + rnd.nextInt(8)) {
+        val w = (0 until 1 + rnd.nextInt(9))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        (w, (1 + rnd.nextInt(6)).toLong)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      val merges = Bpe.learnMerges(wc, numMerges = 200)
+      assert(merges.distinct.length == merges.length,
+        s"seed $seed: duplicate merge in ${merges.toSeq}")
+    }
+  }
 }

@@ -203,6 +203,45 @@ class ManifestSpec extends SparkSpec {
       Map("id" -> (5000L, null))).count() == 73)
   }
 
+  test("a SAME-BYTE-LENGTH in-place rewrite is caught by the mtime half of the identity") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest_rw_len").toString
+    val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    Layout.writeClustered(df, s"$tmp/t", 2, "id")
+    val m = Manifest.build(spark, s"$tmp/t", Seq("id"))
+    // rewrite one file with its OWN bytes — byte length provably
+    // identical, so the r11 (path, length) identity would pass the gate
+    // and keep the (here coincidentally fresh, in general stale) stats.
+    // The mtime is then bumped explicitly rather than slept for: the
+    // test pins the comparison, not the filesystem's clock resolution.
+    val victim = new org.apache.hadoop.fs.Path(
+      Manifest.prune(m, Map("id" -> (0L, 0L))).head)
+    val fs = victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(victim).getLen
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(victim)
+    try in.readFully(0, bytes) finally in.close()
+    fs.delete(victim, false)
+    val out = fs.create(victim)
+    try out.write(bytes) finally out.close()
+    assert(fs.getFileStatus(victim).getLen == len, "rewrite must be same-length")
+    fs.setTimes(victim, fs.getFileStatus(victim).getModificationTime + 10000L, -1)
+    val err = intercept[IllegalArgumentException] {
+      Manifest.readPruned(spark, s"$tmp/t", m, Map("id" -> (0L, null)))
+    }
+    assert(err.getMessage.contains("rewritten in place"), err.getMessage)
+    // update re-scans exactly that file (fresh identity) and the gate passes
+    val m2 = Manifest.update(spark, s"$tmp/t", m)
+    assert(m2.count() == 2)
+    assert(Manifest.readPruned(spark, s"$tmp/t", m2,
+      Map("id" -> (0L, null))).count() == 100)
+    // a manifest missing only the mtime column gets the named migration error
+    val legacyM = m.drop("_file_mtime")
+    val mig = intercept[IllegalArgumentException] {
+      Manifest.readPruned(spark, s"$tmp/t", legacyM, Map("id" -> (0L, null)))
+    }
+    assert(mig.getMessage.contains("predates rewrite detection"), mig.getMessage)
+  }
+
   test("entirely-null stats columns never match a range predicate; maxFiles guard fires") {
     val tmp = java.nio.file.Files.createTempDirectory("manifest4").toString
     // file 1: all-null v; file 2: real values — write separately for

@@ -82,6 +82,24 @@ class PcaSpec extends SparkSpec {
     assert(dimErr.toString.contains("refusing to silently truncate") ||
       Option(dimErr.getCause).exists(_.toString.contains("refusing to silently truncate")),
       dimErr.toString)
+    // a NULL element inside a vector fails loudly: ArrayData reads a
+    // null dim as 0.0, which would project to a plausible-looking wrong
+    // point — the same refusal discipline as the dimension gate
+    val nullElem = Seq((1L, Seq[java.lang.Double](0.5, null, 0.25, 0.0)
+        ++ Seq.fill[java.lang.Double](m.d - 4)(0.1)))
+      .toDF("id", "emb")
+    val nullErr = intercept[Exception] {
+      Pca.project(nullElem, "emb", m).collect()
+    }
+    assert(nullErr.toString.contains("NULL element") ||
+      Option(nullErr.getCause).exists(_.toString.contains("NULL element")),
+      nullErr.toString)
+    // a nullable-typed column with NO actual nulls still projects fine
+    val nullableOk = Seq((1L, Seq[java.lang.Double](m.mean.map(Double.box): _*)))
+      .toDF("id", "emb")
+    val okRow = Pca.project(nullableOk, "emb", m)
+      .select("pca").head.getSeq[Double](0)
+    assert(okRow.forall(v => math.abs(v) < 1e-9))
     // guardrails
     intercept[IllegalArgumentException] { Pca.fit(docs, "embedding", k = 0) }
     intercept[IllegalArgumentException] {
