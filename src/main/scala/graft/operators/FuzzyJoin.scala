@@ -45,18 +45,62 @@ object FuzzyJoin {
     * Lineage note (the skewJoinAuto precedent): each input's lineage is
     * consulted SEVERAL times in one action — the gram explode feeds both
     * the frequency table and the prefix probe, and the prepped frame
-    * feeds the short path and the survivor string re-attach (~4
-    * evaluations). Inputs that are themselves expensive queries should
-    * be persisted by the caller first; the operator does not persist
-    * internally because the returned frame is lazy and an internal
-    * persist would leak past this call. */
+    * feeds the deletion band and the survivor string re-attach
+    * (FuzzyJoinSpec counts ≥4 raw scans in the unpersisted executed
+    * plan and exactly one cache entry in the persisted one). Inputs
+    * that are themselves expensive queries should either be persisted by
+    * the caller first or go through [[fuzzyJoinPersisted]] /
+    * [[fuzzyPairsPersisted]], which persist the prepped projection
+    * internally and hand back a [[PersistHandle]] so the caller can free
+    * the blocks once the result is consumed; this variant does not
+    * persist because the returned frame is lazy and an unowned internal
+    * persist would leak past the call. */
   def fuzzyJoin(left: DataFrame, right: DataFrame, idCol: String,
                 strCol: String, maxDist: Int, q: Int = 2): DataFrame =
-    fuzzyImpl(left, right, idCol, strCol, maxDist, q, ordered = false)
+    fuzzyImpl(left, right, idCol, strCol, maxDist, q,
+      ordered = false, persistInput = false)._1
+
+  /** Caller-owned cache handle for the Persisted variants — the
+    * [[Dedup.CheckpointHandle]] contract: materialize the returned frame
+    * FIRST, then `close()` to free the cached projection eagerly instead
+    * of stranding it in the session's CacheManager. Idempotent; closing
+    * before materializing just degrades back to unpersisted recompute
+    * (correct, slower), never to wrong rows. */
+  final class PersistHandle private[operators] (frames: Seq[DataFrame])
+      extends AutoCloseable {
+    override def close(): Unit = frames.foreach(_.unpersist(blocking = true))
+  }
+
+  /** [[fuzzyJoin]] with the input-lineage problem handled internally:
+    * each side's prepped (id, string, length) projection is persisted
+    * MEMORY_AND_DISK, so the expensive input lineage is evaluated ONCE
+    * per side no matter how many blocking bands consult it — at 100 TB
+    * four scans of an unpersisted upstream query is the dominant cost,
+    * and the projection is the smallest thing worth caching (three
+    * columns, pre-filtered of nulls). Returns the result frame plus the
+    * [[PersistHandle]] that owns the cache entries. */
+  def fuzzyJoinPersisted(left: DataFrame, right: DataFrame, idCol: String,
+                         strCol: String, maxDist: Int,
+                         q: Int = 2): (DataFrame, PersistHandle) = {
+    val (out, persisted) = fuzzyImpl(left, right, idCol, strCol, maxDist, q,
+      ordered = false, persistInput = true)
+    (out, new PersistHandle(persisted))
+  }
+
+  /** Self-join form of [[fuzzyJoinPersisted]]: ONE persisted projection
+    * serves both sides (the right side is a column rename over the same
+    * cache entry), so the input lineage is evaluated exactly once. */
+  def fuzzyPairsPersisted(df: DataFrame, idCol: String, strCol: String,
+                          maxDist: Int, q: Int = 2): (DataFrame, PersistHandle) = {
+    val (out, persisted) = fuzzyImpl(df, df, idCol, strCol, maxDist, q,
+      ordered = true, persistInput = true)
+    (out, new PersistHandle(persisted))
+  }
 
   private def fuzzyImpl(left: DataFrame, right: DataFrame, idCol: String,
                         strCol: String, maxDist: Int, q: Int,
-                        ordered: Boolean): DataFrame = {
+                        ordered: Boolean,
+                        persistInput: Boolean): (DataFrame, Seq[DataFrame]) = {
     require(maxDist >= 0, s"fuzzy join: maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"fuzzy join: q must be >= 1, got $q")
     val shortMax = q * (maxDist + 1) - 1 // longest length with a vacuous bound
@@ -64,8 +108,20 @@ object FuzzyJoin {
       df.select(col(idCol).as(s"id_$side"), col(strCol).as(s"s_$side"))
         .filter(col(s"s_$side").isNotNull)
         .withColumn(s"len_$side", length(col(s"s_$side")))
-    val l = prep(left, "a")
-    val r = prep(right, "b")
+    val cacheLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (l, r, persisted) =
+      if (!persistInput) (prep(left, "a"), prep(right, "b"), Seq.empty[DataFrame])
+      else if (ordered) {
+        // self-join: one cache entry, the b-side is a rename over it
+        val base = prep(left, "a").persist(cacheLevel)
+        val bSide = base.select(col("id_a").as("id_b"),
+          col("s_a").as("s_b"), col("len_a").as("len_b"))
+        (base, bSide, Seq(base))
+      } else {
+        val la = prep(left, "a").persist(cacheLevel)
+        val rb = prep(right, "b").persist(cacheLevel)
+        (la, rb, Seq(la, rb))
+      }
 
     // ---- gram path: every pair whose LONGER string exceeds shortMax ----
     // Strings shorter than q have no grams and are safely absent here: a
@@ -208,19 +264,23 @@ object FuzzyJoin {
     val candIds = Seq(delIds, gramIds, shortIds).flatten
       .reduce(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
-    candIds
+    val out = candIds
       .join(l.select(col("id_a"), col("s_a")), Seq("id_a"))
       .join(r.select(col("id_b"), col("s_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+    (out, persisted)
   }
 
   /** Self-join form: unordered near-pairs within one frame
     * (id_a < id_b, so each pair once and no self-matches — the ordering
     * predicate is pushed into the candidate joins, so only one
-    * orientation of each pair is ever generated or verified). */
+    * orientation of each pair is ever generated or verified). Same
+    * lineage note as [[fuzzyJoin]]; [[fuzzyPairsPersisted]] is the
+    * handled form. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
                  maxDist: Int, q: Int = 2): DataFrame =
-    fuzzyImpl(df, df, idCol, strCol, maxDist, q, ordered = true)
+    fuzzyImpl(df, df, idCol, strCol, maxDist, q,
+      ordered = true, persistInput = false)._1
 }

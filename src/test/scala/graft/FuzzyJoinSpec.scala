@@ -115,6 +115,52 @@ class FuzzyJoinSpec extends SparkSpec {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("Persisted variants read the input through the cache exactly once; the handle frees the blocks") {
+    // parquet-backed input so raw-source consultations are countable in
+    // the executed plan — this pins the scaladoc's lineage claim as a
+    // number instead of a "~"
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy_persist").toString
+    corpus(13L, 300).toDF("id", "s").write.parquet(s"$tmp/in")
+    val input = ss.read.parquet(s"$tmp/in")
+
+    val plain = FuzzyJoin.fuzzyPairs(input, "id", "s", maxDist = 1)
+    val plainRows = plain.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plainPlan = plain.queryExecution.executedPlan.toString
+    val plainScans = "Scan parquet".r.findAllIn(plainPlan).length
+    assert(plainScans >= 4,
+      s"unpersisted form should consult the raw input repeatedly " +
+        s"(the documented hazard), saw $plainScans")
+    assert(!plainPlan.contains("InMemoryTableScan"))
+
+    val before = ss.sparkContext.getPersistentRDDs.size
+    val (got, handle) = FuzzyJoin.fuzzyPairsPersisted(input, "id", "s", maxDist = 1)
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotRows == plainRows)
+    val gotPlan = got.queryExecution.executedPlan.toString
+    // every consultation goes through the single cache entry; the raw
+    // scan appears only INSIDE the InMemoryRelation's build description
+    assert(gotPlan.contains("InMemoryTableScan"), gotPlan.take(2000))
+    assert(ss.sparkContext.getPersistentRDDs.size > before,
+      "the projection must actually be persisted after materialization")
+    handle.close()
+    assert(ss.sparkContext.getPersistentRDDs.size == before,
+      "close() must free the cache entry, not strand it")
+    handle.close() // idempotent
+
+    // two-sided persisted form: same rows as the unpersisted two-sided join
+    val l2 = corpus(29L, 120).toDF("id", "s")
+    val r2 = corpus(31L, 120).toDF("id", "s")
+    val want2 = FuzzyJoin.fuzzyJoin(l2, r2, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (got2, h2) = FuzzyJoin.fuzzyJoinPersisted(l2, r2, "id", "s", maxDist = 1)
+    val got2Rows = got2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    h2.close()
+    assert(got2Rows == want2)
+  }
+
   test("the gram path actually prunes: candidate count tracks matches, not n²") {
     // 400 strings in 8 tight clusters of near-duplicates + random tails:
     // the blocked join must verify FAR fewer pairs than 400·399/2
