@@ -116,28 +116,40 @@ object NgramLm {
     * row with `lm_tokens = 0` and NULL score/ppl, the documented
     * can't-assess marker (unlike NB's argmax, there is no prior-only
     * answer for perplexity). */
+  /** Ratios folded at MODEL time, on the driver: a trigram is usable
+    * only if its context bigram also survived pruning, so its entry IS
+    * n(w₂w₁w)/n(w₂w₁) — likewise bigrams against their unigram context,
+    * and unigrams carry the add-one smoothed score. ONE definition
+    * shared by the broadcast-join [[score]] and the map-side
+    * [[scoreMapSide]], so the two paths cannot drift arithmetically. */
+  private[graft] def foldedRatios(model: LmModel): (Map[String, Double],
+      Map[String, Double], Map[String, Double], Double) = {
+    val floor1 = 1.0 / (model.nTokens + model.order1.size + 1)
+    val tri = model.order3.toSeq.flatMap { case (g, n) =>
+      val ctx = g.substring(0, g.lastIndexOf(' '))
+      model.order2.get(ctx).map(cn => g -> n.toDouble / cn)
+    }.toMap
+    val bi = model.order2.toSeq.flatMap { case (g, n) =>
+      val ctx = g.substring(0, g.lastIndexOf(' '))
+      model.order1.get(ctx).map(cn => g -> n.toDouble / cn)
+    }.toMap
+    val uni = model.order1.map { case (g, n) =>
+      g -> (n + 1.0) / (model.nTokens + model.order1.size + 1)
+    }
+    (uni, bi, tri, floor1)
+  }
+
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: LmModel): DataFrame = {
     val spark = docs.sparkSession
-    // ratios fold at MODEL time, on the driver: a trigram is usable only
-    // if its context bigram also survived pruning, so its table row IS
-    // n(w₂w₁w)/n(w₂w₁) — likewise bigrams against their unigram context.
-    // Three broadcast tables (tri/bi/uni score) replace the five-join
+    // three broadcast tables (tri/bi/uni score) replace the five-join
     // count-attach formulation: same arithmetic (one IEEE double
     // division either way), 40% fewer probes of the exploded token frame
-    // (measured 21.8 s → the three-join shape at sf0.1).
-    val floor1 = 1.0 / (model.nTokens + model.order1.size + 1)
-    val triT = scoreFrame(spark, model.order3.toSeq.flatMap { case (g, n) =>
-      val ctx = g.substring(0, g.lastIndexOf(' '))
-      model.order2.get(ctx).map(cn => g -> n.toDouble / cn)
-    }, "_kt", "_s3")
-    val biT = scoreFrame(spark, model.order2.toSeq.flatMap { case (g, n) =>
-      val ctx = g.substring(0, g.lastIndexOf(' '))
-      model.order1.get(ctx).map(cn => g -> n.toDouble / cn)
-    }, "_kb", "_s2")
-    val uniT = scoreFrame(spark, model.order1.toSeq.map { case (g, n) =>
-      g -> (n + 1.0) / (model.nTokens + model.order1.size + 1)
-    }, "_ku", "_s1")
+    // (measured 21.8 s → the three-join shape at sf0.1)
+    val (uniR, biR, triR, floor1) = foldedRatios(model)
+    val triT = scoreFrame(spark, triR.toSeq, "_kt", "_s3")
+    val biT = scoreFrame(spark, biR.toSeq, "_kb", "_s2")
+    val uniT = scoreFrame(spark, uniR.toSeq, "_ku", "_s1")
     // map-side context attach: (w, w1 = predecessor, w2 = pre-predecessor)
     // via the native TokenContexts kernel (null/empty text → no rows)
     val toks = docs.select(col(idCol),
@@ -182,6 +194,43 @@ object NgramLm {
                        model: LmModel, maxPpl: Double): DataFrame = {
     require(maxPpl > 0, s"ngram lm: maxPpl must be positive, got $maxPpl")
     score(docs, idCol, textCol, model)
+      .filter(col("lm_ppl").isNotNull && col("lm_ppl") <= maxPpl)
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+
+  /** Map-side scoring twin of [[score]] — same three output columns,
+    * appended ROW-LOCALLY by the native [[graft.functions.LmScoreDoc]]
+    * kernel (no explode, no groupBy, no join). This is the form a
+    * Structured Streaming curation gate needs: [[score]]'s per-document
+    * aggregation and right-anchor join are stateful operators on a
+    * stream, while this is a projection over a broadcast-shipped model.
+    * NgramLmSpec pins lm_avg_logprob BIT equality between the two paths
+    * over the corpus (same fold, same coalesce chain, same accumulation
+    * order — a document's exploded rows never split across partitions
+    * in the join form); StreamingSpec replays the composed curation
+    * gate (ppl + compression ratio + BPE token budget) in two
+    * micro-batches == batch. Null text scores like empty text:
+    * lm_tokens = 0, NULL score/ppl — the join form's right-anchor
+    * contract. */
+  def scoreMapSide(docs: DataFrame, textCol: String,
+                   model: LmModel): DataFrame = {
+    val (uni, bi, tri, floor1) = foldedRatios(model)
+    docs
+      .withColumn("_lm", graft.functions.LmScoreDoc(
+        coalesce(col(textCol), lit("")), uni, bi, tri, floor1, model.alpha))
+      .withColumn("lm_tokens", col("_lm").getField("lm_tokens"))
+      .withColumn("lm_avg_logprob", col("_lm").getField("lm_avg_logprob"))
+      .withColumn("lm_ppl", exp(-col("lm_avg_logprob")))
+      .drop("_lm")
+  }
+
+  /** [[perplexityFilter]] in map-side form — the streaming-safe gate
+    * (no id column needed; the score never leaves its row). Same
+    * drop-if-unassessable contract: zero-token documents are dropped. */
+  def perplexityFilterMapSide(docs: DataFrame, textCol: String,
+                              model: LmModel, maxPpl: Double): DataFrame = {
+    require(maxPpl > 0, s"ngram lm: maxPpl must be positive, got $maxPpl")
+    scoreMapSide(docs, textCol, model)
       .filter(col("lm_ppl").isNotNull && col("lm_ppl") <= maxPpl)
       .select(docs.columns.map(col).toSeq: _*)
   }

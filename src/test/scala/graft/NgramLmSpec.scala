@@ -116,4 +116,38 @@ class NgramLmSpec extends SparkSpec {
       NgramLm.fit(Seq((1L, " ")).toDF("doc_id", "text"), "text")
     }
   }
+
+  test("scoreMapSide is BIT-identical to the broadcast-join score over the corpus") {
+    // same driver-folded ratios, same coalesce chain, same Math.log, and
+    // a document's exploded rows never split across partitions in the
+    // join form — so the two paths must agree to the LAST BIT, not
+    // within a tolerance. Empty/null text rows ride along to pin the
+    // right-anchor contract on the map-side path too.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(Seq((900001L, ""), (900002L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val m = NgramLm.fit(docs, "text",
+      maxUnigrams = 512, maxBigrams = 1024, maxTrigrams = 1024)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lm_tokens", "lm_avg_logprob").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val join = rows(NgramLm.score(docs, "doc_id", "text", m))
+    val mapside = rows(NgramLm.scoreMapSide(docs, "text", m))
+    assert(join.keySet == mapside.keySet)
+    join.foreach { case (id, (n, s)) =>
+      assert(mapside(id)._1 == n, s"doc $id token count drifted")
+      assert(mapside(id)._2 == s,
+        s"doc $id: join=$s mapSide=${mapside(id)._2} — bit equality broken")
+    }
+    assert(join(900001L) == ((0L, None)) && join(900002L) == ((0L, None)))
+    // the filter twins keep the same survivors at a non-trivial cut
+    val cut = NgramLm.scoreMapSide(docs, "text", m)
+      .stat.approxQuantile("lm_ppl", Array(0.5), 0.0).head
+    val fj = NgramLm.perplexityFilter(docs, "doc_id", "text", m, cut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fm = NgramLm.perplexityFilterMapSide(docs, "text", m, cut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fj == fm && fj.nonEmpty && fj.size < docs.count())
+  }
 }

@@ -663,6 +663,55 @@ class StreamingSpec extends SparkSpec {
       s"expected the sizing IllegalStateException, got: $ex")
   }
 
+  test("the composed curation gate (ppl + compression ratio + BPE budget) streams == batch, bit-for-bit") {
+    // every stage of the gate is a map-side native expression over a
+    // broadcast-shipped model — LmScoreDoc, CompressRatio, BpeEncode —
+    // so the whole composition is a stateless projection+filter and a
+    // two-micro-batch replay must reproduce the batch rows EXACTLY
+    // (same kernels, same rows, no state to merge). This is the
+    // streaming-safety pin for the curation-gate family: had any stage
+    // smuggled in an aggregation or join, append mode would refuse or
+    // the rows would drift.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val lm = ml.NgramLm.fit(docs, "text",
+      maxUnigrams = 512, maxBigrams = 1024, maxTrigrams = 1024)
+    val (bpe, _) = ml.Bpe.fit(docs, "text", numMerges = 64)
+    // thresholds from the batch distribution so the gate is selective
+    // but non-trivial on this corpus
+    val scoredB = ml.NgramLm.scoreMapSide(docs, "text", lm)
+    val pplCut = scoredB.stat.approxQuantile("lm_ppl", Array(0.7), 0.0).head
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      ml.Bpe.tokenCount(
+          operators.TextOps.compressionRatio(
+            ml.NgramLm.scoreMapSide(df, "text", lm), "text"), "text", bpe)
+        .filter(col("lm_ppl").isNotNull && col("lm_ppl") <= pplCut &&
+          col("compress_ratio").isNotNull && col("compress_ratio") > 0.1 &&
+          col("bpe_n_tokens") >= 3)
+        .select("doc_id", "lm_tokens", "lm_avg_logprob", "compress_ratio",
+          "bpe_n_tokens")
+    val want = gate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(want.nonEmpty && want.size < docs.count(),
+      s"gate must be selective but non-trivial, kept ${want.size}")
+
+    val dir = stageBatches("curation_gate", Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = gate(stream).writeStream
+      .outputMode("append").format("memory").queryName("curation_gate_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2, "fixture must replay as 2+ micro-batches")
+    val got = spark.table("curation_gate_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   /** Stage pre-built micro-batches as single parquet files with
     * increasing mod-times, so maxFilesPerTrigger=1 + AvailableNow replays
     * them in order — the shared fixture shape of the late-data specs. */
