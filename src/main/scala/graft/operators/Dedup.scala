@@ -1020,8 +1020,9 @@ object Dedup {
     * window shared with another document", NOT "this whole span appears
     * verbatim in one other document" — two independently-shared blocks
     * that abut in one document merge into one coverage span (the
-    * cut-these-tokens contract curation needs; per-source alignment is
-    * the suffix-array refinement). Modulo xxhash64 collisions.
+    * cut-these-tokens contract curation needs; per-source alignment —
+    * WHICH pair shares WHAT, verbatim — is [[sharedSpanPairs]]).
+    * Modulo xxhash64 collisions.
     *
     * Scale shape: tokenization and gram hashing are map-side via the
     * native positional kernel (ShingleHashSeq — tokenize once, one
@@ -1102,20 +1103,94 @@ object Dedup {
     // spans with one sorted fold
     dupPositions.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("_ps"))
-      .select(col(idCol),
-        aggregate(col("_ps"),
-          array().cast("array<struct<start:int,end:int>>"),
-          (acc, p) => {
-            val last = element_at(acc, -1)
-            when(size(acc) > 0 && p <= last.getField("end"),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(struct(last.getField("start").as("start"),
-                  // positions ascend and windows share one length, so
-                  // p + n always >= the previous end — no max needed
-                  (p + n).cast("int").as("end")))))
-              .otherwise(concat(acc,
-                array(struct(p.cast("int").as("start"),
-                  (p + n).cast("int").as("end")))))
-          }).as("spans"))
+      .select(col(idCol), mergeWindowSpans(col("_ps"), n).as("spans"))
+  }
+
+  /** Fold a SORTED position list into maximal merged [p, p+n) spans —
+    * ONE definition shared by the coverage operator ([[duplicatedSpans]])
+    * and the pairwise aligner ([[sharedSpanPairs]]), so the span algebra
+    * cannot drift between the two. */
+  private def mergeWindowSpans(sortedPs: Column, n: Int): Column =
+    aggregate(sortedPs,
+      array().cast("array<struct<start:int,end:int>>"),
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && p <= last.getField("end"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("start").as("start"),
+              // positions ascend and windows share one length, so
+              // p + n always >= the previous end — no max needed
+              (p + n).cast("int").as("end")))))
+          .otherwise(concat(acc,
+            array(struct(p.cast("int").as("start"),
+              (p + n).cast("int").as("end")))))
+      })
+
+  /** Pairwise span ATTRIBUTION — the per-source alignment refinement
+    * [[duplicatedSpans]] declares out of its own scope: for each document
+    * pair, the maximal token ranges that appear VERBATIM in both (one row
+    * per pair per aligned run, with both sides' coordinates), which is
+    * what contamination forensics and whitelisting decisions need —
+    * coverage can only say "this token is shared with someone",
+    * attribution says with WHOM and aligned WHERE.
+    *
+    * Algorithm: the same positional n-gram hashes as coverage, then a
+    * hash-keyed self-join (id_a < id_b) and a per-(pair, diagonal) merge
+    * fold — two window matches on one diagonal (pos_a − pos_b constant)
+    * that overlap or abut certify one contiguous verbatim run, because
+    * the overlap region is shared by construction, so merged spans ARE
+    * the maximal aligned runs (modulo xxhash64 collisions; length-n runs
+    * match at every window position, so recovery is exact, ≥ n tokens).
+    * A block repeated k× in one document aligns on k diagonals and is
+    * reported once per alignment — each copy attributed.
+    *
+    * Scale contract, and why this CANNOT replace coverage: the self-join
+    * enumerates C(df, 2) id pairs per shared gram, which is exactly the
+    * quadratic blow-up [[duplicatedSpans]] is engineered to avoid — fine
+    * for provenance between specific documents (df small), fatal for
+    * planet-scale boilerplate (df in the millions). `maxDf` caps it
+    * structurally: grams shared by more than `maxDf` DISTINCT documents
+    * are excluded from attribution (they remain cutSpans' job), so
+    * per-gram fan-out is bounded by C(maxDf, 2) and candidate volume by
+    * matches, not n². Raising maxDf is a deliberate quadratic spend.
+    *
+    * Output rows: (id_a, id_b, start_a, end_a, start_b, end_b) — token
+    * indices, half-open, id_a < id_b, end−start ≥ n on both sides and
+    * equal: `tokens_a[start_a, end_a) == tokens_b[start_b, end_b)`
+    * (SubstringDedupSpec re-verifies the verbatim claim token-for-token
+    * on every emitted row). */
+  def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 20, maxDf: Int = 16): DataFrame = {
+    require(n >= 2 && n <= 1000, s"sharedSpanPairs: n=$n out of [2, 1000]")
+    require(maxDf >= 2, s"sharedSpanPairs: maxDf=$maxDf must be >= 2 — " +
+      "attribution needs at least one counterpart document")
+    val reserved = Set("pos", "h", "_df", "_ps", "_diag", "_s",
+      "id_a", "id_b", "pos_a", "pos_b")
+    require(!reserved.contains(idCol),
+      s"sharedSpanPairs: idCol '$idCol' collides with an internal " +
+        s"working column — rename the id column first")
+    val grams = docs.select(col(idCol),
+        posexplode(graft.functions.ShingleHashSeq(
+          lower(trim(col(textCol))), n)).as(Seq("pos", "h")))
+    // the df gate: ids-only aggregation exchange, same shape as
+    // coverage's — the join below sees only attributable hashes
+    val attributable = grams.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select(col("h"))
+    val hits = grams.join(attributable, Seq("h"))
+    val ga = hits.select(col("h"), col(idCol).as("id_a"), col("pos").as("pos_a"))
+    val gb = hits.select(col("h"), col(idCol).as("id_b"), col("pos").as("pos_b"))
+    ga.join(gb, Seq("h")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("_diag"), col("pos_a"))
+      .groupBy(col("id_a"), col("id_b"), col("_diag"))
+      .agg(sort_array(collect_list(col("pos_a"))).as("_ps"))
+      .select(col("id_a"), col("id_b"), col("_diag"),
+        explode(mergeWindowSpans(col("_ps"), n)).as("_s"))
+      .select(col("id_a"), col("id_b"),
+        col("_s.start").as("start_a"), col("_s.end").as("end_a"),
+        (col("_s.start") - col("_diag")).cast("int").as("start_b"),
+        (col("_s.end") - col("_diag")).cast("int").as("end_b"))
   }
 }

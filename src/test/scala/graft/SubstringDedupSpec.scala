@@ -98,6 +98,87 @@ class SubstringDedupSpec extends SparkSpec {
     assert(cut(3L)._1 == uniq("e", 90) && cut(3L)._2 == 1.0)
   }
 
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Int, Int, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+
+  test("sharedSpanPairs recovers planted A↔B attribution with both sides' coordinates") {
+    val docs = Seq(
+      (1L, s"${uniq("a", 40)} $boiler ${uniq("b", 40)}"),
+      (2L, s"${uniq("c", 25)} $boiler ${uniq("d", 10)}"),
+      (3L, uniq("e", 90))
+    ).toDF("doc_id", "text")
+    val got = pairsOf(Dedup.sharedSpanPairs(docs, "doc_id", "text", n = 10))
+    // exactly one aligned run: doc1[40,70) == doc2[25,55); doc 3 clean
+    assert(got == Set((1L, 2L, 40, 70, 25, 55)), got.toString)
+
+    // two disjoint swapped blocks -> two aligned runs on different
+    // diagonals, each attributed at its own coordinates per side
+    val blockA = (0 until 15).map(i => s"hdrA$i").mkString(" ")
+    val blockB = (0 until 15).map(i => s"ftrB$i").mkString(" ")
+    val swapped = Seq(
+      (1L, s"$blockA ${uniq("x", 30)} $blockB"),
+      (2L, s"$blockB ${uniq("y", 30)} $blockA")
+    ).toDF("doc_id", "text")
+    val got2 = pairsOf(Dedup.sharedSpanPairs(swapped, "doc_id", "text", n = 10))
+    assert(got2 == Set((1L, 2L, 0, 15, 45, 60), (1L, 2L, 45, 60, 0, 15)),
+      got2.toString)
+
+    // a block repeated twice in A and once in B -> one alignment per
+    // copy (two diagonals), both reported
+    val rep = Seq(
+      (1L, s"$blockA ${uniq("p", 20)} $blockA"),
+      (2L, s"${uniq("q", 5)} $blockA")
+    ).toDF("doc_id", "text")
+    val got3 = pairsOf(Dedup.sharedSpanPairs(rep, "doc_id", "text", n = 10))
+    assert(got3 == Set((1L, 2L, 0, 15, 5, 20), (1L, 2L, 35, 50, 5, 20)),
+      got3.toString)
+  }
+
+  test("sharedSpanPairs: the maxDf gate excludes ubiquitous grams; attribution agrees with coverage on the corpus") {
+    // a block shared by 5 docs: maxDf=4 must exclude it entirely (that
+    // content is cutSpans' job), maxDf=5 attributes all C(5,2) pairs
+    val five = (1 to 5).map(i => (i.toLong, s"${uniq(s"u$i", 12)} $boiler"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(five, "doc_id", "text", n = 10, maxDf = 4)
+      .count() == 0)
+    assert(Dedup.sharedSpanPairs(five, "doc_id", "text", n = 10, maxDf = 5)
+      .count() == 10)
+
+    // corpus: every attributed span must (a) be VERBATIM equal token-for-
+    // token on both sides, and (b) lie inside a coverage span of each doc
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val pairs = Dedup.sharedSpanPairs(docs, "doc_id", "text", n = 15, maxDf = 50)
+      .collect()
+    assert(pairs.nonEmpty, "corpus has exact dup docs — attribution must fire")
+    val toks = docs.select(col("doc_id"),
+        graft.operators.TextOps.wsTokens(lower(trim(col("text")))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val cover = spansOf(Dedup.duplicatedSpans(docs, "doc_id", "text", n = 15))
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, ea, sb, eb) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(ea - sa == eb - sb && ea - sa >= 15)
+      assert(toks(a).slice(sa, ea) == toks(b).slice(sb, eb),
+        s"pair ($a,$b): attributed span is not verbatim equal")
+      assert(cover(a).exists { case (s, e) => s <= sa && ea <= e },
+        s"doc $a: attributed [$sa,$ea) outside coverage ${cover(a)}")
+      assert(cover(b).exists { case (s, e) => s <= sb && eb <= e },
+        s"doc $b: attributed [$sb,$eb) outside coverage ${cover(b)}")
+    }
+    // guardrails
+    intercept[IllegalArgumentException] {
+      Dedup.sharedSpanPairs(docs, "doc_id", "text", n = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.sharedSpanPairs(docs, "doc_id", "text", maxDf = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.sharedSpanPairs(docs.withColumnRenamed("doc_id", "pos_a"),
+        "pos_a", "text")
+    }
+  }
+
   test("guardrails: n and minDf bounds; reserved id-column names refused") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
