@@ -347,6 +347,54 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions4 FAILED: $e")
     }
+    // forensics-only (r12, fifth wave): the map-side LM scorer vs the
+    // broadcast-join form (same rows bit-for-bit, two plan shapes), the
+    // pairwise span-attribution join, the PCA reconstruction-error and
+    // whitened-projection kernels, and BPE at realistic merge scale. The
+    // corpus fit EXHAUSTS its pair diversity early (tiny synthetic
+    // vocabulary — the learned count on the line says so honestly), so
+    // the driver-loop complexity claim is exercised on a seeded 64k-type
+    // Zipf word table fed straight to learnMerges: rep1, driver-only
+    // seconds, no Spark in the measured region.
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.documents(spark, sfDir)
+      val lm12 = graft.ml.NgramLm.fit(docs, "text", maxUnigrams = 4096,
+        maxBigrams = 8192, maxTrigrams = 8192)
+      val lmJoinT = med(() => evaluate(
+        graft.ml.NgramLm.score(docs, "doc_id", "text", lm12)))
+      val lmMapT = med(() => evaluate(
+        graft.ml.NgramLm.scoreMapSide(docs, "text", lm12)))
+      val spanT = med(() => evaluate(graft.operators.Dedup.sharedSpanPairs(
+        docs, "doc_id", "text", n = 15, maxDf = 50)))
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val pca12 = graft.ml.Pca.fit(emb, "embedding", k = 8)
+      val recT = med(() => evaluate(
+        graft.ml.Pca.reconstructionError(emb, "embedding", pca12)))
+      val whiteT = med(() => evaluate(
+        graft.ml.Pca.projectWhitened(emb, "embedding", pca12)))
+      tee.log(f"[bench] lib_additions5 lm_score_join=$lmJoinT%.3f s " +
+        f"lm_score_mapside=$lmMapT%.3f s shared_span_pairs=$spanT%.3f s " +
+        f"pca_rec_err=$recT%.3f s pca_whitened=$whiteT%.3f s (med of 3)")
+      val t32a = System.nanoTime()
+      val (bm32, _) = graft.ml.Bpe.fit(docs, "text", numMerges = 32768)
+      val fit32 = (System.nanoTime() - t32a) / 1e9
+      val rnd = new scala.util.Random(7L)
+      val wc = Array.tabulate(1 << 16) { i =>
+        val len = 3 + rnd.nextInt(12)
+        val w = (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        (w, math.max(1L, (100000.0 / (i + 1)).toLong))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      val t32b = System.nanoTime()
+      val loop32 = graft.ml.Bpe.learnMerges(wc, numMerges = 32768)
+      val drv32 = (System.nanoTime() - t32b) / 1e9
+      tee.log(f"[bench] bpe_fit32k corpus_fit=$fit32%.3f s " +
+        f"corpus_learned=${bm32.merges.length} " +
+        f"driver_loop_64k_types=$drv32%.3f s " +
+        f"driver_learned=${loop32.length} (rep1)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] lib_additions5 FAILED: $e")
+    }
     // forensics-only (r10): the native as-of operator (plans.AsofJoin,
     // declared-requirements merge) against the oracle-gated union+window
     // formulation it shadows — same inputs, same result (AsofPlanSpec

@@ -135,3 +135,92 @@ object AffineProject {
   def apply(v: Column, mean: Seq[Double], rows: Seq[Seq[Double]]): Column =
     ColumnBridge.column(AffineProject(ColumnBridge.expression(v), mean, rows))
 }
+
+/** Native reduced-rank reconstruction error `‖x − μ‖² − ‖R·(x − μ)‖²`
+  * for an ORTHONORMAL row basis `R` (k×d) — the squared distance from x
+  * to the affine subspace μ + span(R), by Pythagoras, in ONE fused pass
+  * (no materialized projection, no reconstruction round-trip, no HOF
+  * lambdas). This is the embedding-quality screen a curation pipeline
+  * pairs with ANN: a vector far from the corpus' principal subspace is
+  * an outlier/garbage embedding regardless of its nearest neighbors.
+  *
+  * Same model-shipping, dimension-gate and null-element discipline as
+  * [[AffineProject]]. Orthonormality makes the true value ≥ 0; the
+  * subtraction can dip a few ulps negative when x lies IN the subspace,
+  * so the result clamps at 0.0 rather than leaking -1e-16 "errors" into
+  * downstream threshold comparisons. */
+case class ReconstructionError(child: Expression, mean: Seq[Double],
+                               rows: Seq[Seq[Double]]) extends UnaryExpression {
+
+  @transient private lazy val mu: Array[Double] = mean.toArray
+  @transient private lazy val mat: Array[Array[Double]] = {
+    val m = rows.map(_.toArray).toArray
+    m.foreach(r => require(r.length == mean.length,
+      s"reconstruction_error: component row of length ${r.length} vs " +
+        s"mean of length ${mean.length} — inconsistent model"))
+    m
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"reconstruction_error expects array<float|double>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val mayContainNull: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** The whole computation, shared verbatim by both evaluation paths —
+    * centering happens once into a scratch buffer so the k·d inner loop
+    * reads doubles, not ArrayData accessors. */
+  def compute(v: ArrayData): Double = {
+    val d = mu.length
+    if (v.numElements() != d) throw new IllegalArgumentException(
+      s"reconstruction_error: input vector has ${v.numElements()} dims " +
+        s"but the model has $d — refusing to silently truncate")
+    val isF = elemIsFloat
+    val cen = new Array[Double](d)
+    var tot = 0.0
+    var i = 0
+    while (i < d) {
+      if (mayContainNull && v.isNullAt(i)) throw new IllegalArgumentException(
+        s"reconstruction_error: input vector has a NULL element at index $i" +
+          " — a null dim would silently read as 0.0; clean or impute upstream")
+      val x = (if (isF) v.getFloat(i).toDouble else v.getDouble(i)) - mu(i)
+      cen(i) = x; tot += x * x; i += 1
+    }
+    var proj = 0.0
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      var s = 0.0; i = 0
+      while (i < d) { s += row(i) * cen(i); i += 1 }
+      proj += s * s; r += 1
+    }
+    math.max(0.0, tot - proj)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("recErrExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ReconstructionError {
+  def apply(v: Column, mean: Seq[Double], rows: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(ReconstructionError(ColumnBridge.expression(v), mean, rows))
+}

@@ -73,6 +73,49 @@ object Pca {
     df.withColumn(outCol, AffineProject(col(embCol),
       model.mean.toSeq, model.components.map(_.toSeq).toSeq))
 
+  /** Whitened projection `y = Λ^(−1/2)·R·(x − μ)`: per-axis unit
+    * variance (population), zero cross-covariance — the preprocessing
+    * many similarity/metric-learning consumers want before cosine/L2.
+    * Folding the 1/√λ scaling INTO the row matrix keeps this the same
+    * single [[AffineProject]] kernel as [[project]] — zero extra row
+    * work, identical codegen shape.
+    *
+    * Refuses a (near-)degenerate axis loudly: whitening a direction
+    * whose variance is ~0 multiplies numerical noise by an unbounded
+    * factor, and every downstream distance would be dominated by that
+    * garbage coordinate. `minVar` is relative to the leading eigenvalue;
+    * refit with a smaller k (or screen with [[reconstructionError]])
+    * rather than lowering it blindly. */
+  def projectWhitened(df: DataFrame, embCol: String, model: PcaModel,
+                      outCol: String = "pca_white",
+                      minVar: Double = 1e-12): DataFrame = {
+    require(minVar > 0, s"pca: minVar must be positive, got $minVar")
+    val lead = model.eigenvalues.take(model.k)
+    val floor = minVar * math.max(1.0, model.eigenvalues.head)
+    val bad = lead.indexWhere(_ <= floor)
+    require(bad < 0,
+      s"pca: whitening refused — eigenvalue $bad (${if (bad >= 0) lead(bad) else 0.0}) " +
+        s"is at/below the degeneracy floor $floor; that axis carries no " +
+        "variance and 1/sqrt(lambda) would amplify noise unboundedly. " +
+        "Refit with smaller k.")
+    val rows = model.components.zip(lead).map { case (r, l) =>
+      val s = 1.0 / math.sqrt(l); r.map(_ * s).toSeq
+    }.toSeq
+    df.withColumn(outCol, AffineProject(col(embCol), model.mean.toSeq, rows))
+  }
+
+  /** Append `outCol` = the squared distance from `embCol` to the model's
+    * k-dim principal subspace (`‖x−μ‖² − ‖R(x−μ)‖²`, the reduced-rank
+    * reconstruction error) — the embedding-quality outlier screen: rows
+    * far from the subspace the corpus actually occupies are garbage
+    * embeddings no matter what ANN finds near them. One fused native
+    * pass ([[graft.functions.ReconstructionError]]); no projection
+    * materialized, no reconstruction round-trip. */
+  def reconstructionError(df: DataFrame, embCol: String, model: PcaModel,
+                          outCol: String = "pca_rec_err"): DataFrame =
+    df.withColumn(outCol, graft.functions.ReconstructionError(col(embCol),
+      model.mean.toSeq, model.components.map(_.toSeq).toSeq))
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues desc, matching orthonormal row-eigenvectors), signs
     * pinned (largest-|entry| positive, ties to the earliest index). */

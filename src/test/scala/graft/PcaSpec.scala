@@ -109,4 +109,70 @@ class PcaSpec extends SparkSpec {
       Pca.fit(docs, "embedding", k = 10_000)
     }
   }
+
+  test("whitened projection has unit per-axis variance; reconstruction error is the exact subspace distance") {
+    val docs = Tables.embeddings(spark, sf)
+    val m = Pca.fit(docs, "embedding", k = 4)
+    // whitening: var(y_i) = λ_i/λ_i = 1 (population), per axis
+    val white = Pca.projectWhitened(docs, "embedding", m)
+    (1 to 4).foreach { i =>
+      val v = white.select(element_at(col("pca_white"), i).as("y"))
+        .agg((sum(col("y") * col("y")) / count(lit(1))
+          - pow(avg(col("y")), 2)).as("v")).head.getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-6, s"axis $i: whitened var $v != 1")
+    }
+    // reconstruction error: hand probes against the model's OWN axes.
+    // A same-fit full-rank model shares the eigenbasis (deterministic
+    // Jacobi), so its row k is orthogonal to the k=4 model's span.
+    val mFull = Pca.fit(docs, "embedding", k = m.d)
+    assert(mFull.components.take(4).flatten.toSeq ==
+      m.components.flatten.toSeq, "same fit must share the eigenbasis")
+    val inSpan = m.mean.zip(m.components(1)).map { case (a, b) => a + 2.0 * b }
+    val offSpan = m.mean.zip(mFull.components(4)).map { case (a, b) => a + 3.0 * b }
+    val probes = Seq((1L, m.mean), (2L, inSpan), (3L, offSpan))
+      .toDF("id", "emb")
+    val err = Pca.reconstructionError(probes, "emb", m).orderBy("id")
+      .select("pca_rec_err").collect().map(_.getDouble(0))
+    assert(err(0) == 0.0 && err(1) < 1e-18, s"in-span err ${err.toSeq}")
+    assert(math.abs(err(2) - 9.0) < 1e-9, s"off-span err ${err(2)} != 3²")
+    // corpus identity: rec_err == ||x−μ||² − ||proj||², row for row
+    val got = Pca.reconstructionError(
+        Pca.project(docs, "embedding", m), "embedding", m)
+      .select(col("vec_id"), col("embedding"), col("pca"), col("pca_rec_err"))
+      .collect()
+    got.foreach { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble)
+      val tot = x.zip(m.mean).map { case (a, b) => (a - b) * (a - b) }.sum
+      val proj = r.getSeq[Double](2).map(y => y * y).sum
+      val want = math.max(0.0, tot - proj)
+      assert(math.abs(r.getDouble(3) - want) < 1e-9 * math.max(1.0, want),
+        s"vec ${r.getLong(0)}: ${r.getDouble(3)} vs $want")
+    }
+    // degenerate-axis whitening refused loudly: plant data in a 2-D plane
+    // of 3-D space, ask for k=3
+    val rnd = new scala.util.Random(9L)
+    val planar = (0 until 500).map { i =>
+      val (t1, t2) = (rnd.nextGaussian() * 5, rnd.nextGaussian() * 2)
+      (i.toLong, Array(t1, t2, 0.0))
+    }.toDF("id", "emb")
+    val mp = Pca.fit(planar, "emb", k = 3)
+    val werr = intercept[IllegalArgumentException] {
+      Pca.projectWhitened(planar, "emb", mp)
+    }
+    assert(werr.getMessage.contains("whitening refused"), werr.getMessage)
+    // k=2 whitens fine on the same data
+    assert(Pca.projectWhitened(planar, "emb", Pca.fit(planar, "emb", k = 2))
+      .count() == 500)
+    // the error kernel carries the same dim/null gates as the projector
+    intercept[Exception] {
+      Pca.reconstructionError(Seq((1L, Array(0.5))).toDF("id", "emb"),
+        "emb", m).collect()
+    }
+    intercept[Exception] {
+      Pca.reconstructionError(
+        Seq((1L, Seq[java.lang.Double](null) ++
+          Seq.fill[java.lang.Double](m.d - 1)(0.1))).toDF("id", "emb"),
+        "emb", m).collect()
+    }
+  }
 }
