@@ -19,6 +19,45 @@ import org.apache.spark.sql.SparkSession
   *  - applicationSideScanSizeThreshold is lowered from the 10 GB default
   *    so the filter also fires at test scale; at 100 TB any fact scan
   *    clears either bar.
+  *
+  * == The 100 TB read path, composed ==
+  *
+  * The engine's scale layers are separate components by design (each is
+  * independently spec'd); this is the recipe that wires them into one
+  * ingest→read→aggregate path — what a new deployment should start from.
+  * ConfSpec runs the composition end-to-end at test scale, so this
+  * recipe is executable documentation, not prose.
+  *
+  * {{{
+  * // 1. SESSION — the sizing profile from the two numbers an operator
+  * //    actually knows (total cores, target partition payload):
+  * Conf.applyCluster(spark, nCores = 4000)        // AQE, skew split,
+  *                                                // runtime filters, sizing
+  *
+  * // 2. INGEST — clustered layout (tight per-file min/max footers) and
+  * //    its file-stats manifest written as ONE call, so there is no
+  * //    staleness window between table and planning metadata:
+  * val manifest = Manifest.writeWithManifest(events, tablePath,
+  *   manifestPath, cols = Seq("ts_us"), nFiles = 4096,
+  *   clusterBy = Seq("ts_us"))
+  * // appends later: Manifest.update(spark, tablePath, manifest) scans
+  * // ONLY the new files — maintenance tracks the increment.
+  *
+  * // 3. READ — planning-time file skipping off the KB-sized manifest:
+  * //    the object store never hears about pruned files, the staleness
+  * //    gate refuses a drifted directory loudly, and the exact predicate
+  * //    is re-applied row-wise (pruning is conservative):
+  * val day = Manifest.readPruned(spark, tablePath, manifest,
+  *   intervals = Map("ts_us" -> (dayStartUs, dayEndUs)))
+  *
+  * // 4. DIAGNOSE, then aggregate accordingly — keyProfile is ONE
+  * //    per-key count scan (exact top-k hot keys, skew_ratio):
+  * val prof = Skew.keyProfile(day, "user_id").head
+  * //    skew_ratio small → plain groupBy (AQE handles the rest);
+  * //    hot keys → salted two-stage agg, or skewJoinAuto for joins
+  * //    (hot keys broadcast, cold keys shuffle):
+  * val perUser = Skew.saltedSumCount(day, "user_id", "value")
+  * }}}
   */
 object Conf {
 

@@ -1154,6 +1154,13 @@ object Dedup {
     * per-gram fan-out is bounded by C(maxDf, 2) and candidate volume by
     * matches, not n². Raising maxDf is a deliberate quadratic spend.
     *
+    * Lineage note (the fuzzyJoin discipline): the gram explode is
+    * consulted three times in one action — the df gate plus the two join
+    * sides — so an input that is itself an expensive query should be
+    * persisted by the caller first; the tokenize+hash kernel itself is
+    * map-side cheap, and at this operator's intended df-bounded scale
+    * the pairwise join dominates, not the scans.
+    *
     * Output rows: (id_a, id_b, start_a, end_a, start_b, end_b) — token
     * indices, half-open, id_a < id_b, end−start ≥ n on both sides and
     * equal: `tokens_a[start_a, end_a) == tokens_b[start_b, end_b)`

@@ -39,6 +39,49 @@ class ConfSpec extends SparkSpec {
     }
   }
 
+  test("the documented read-path recipe composes: clustered+manifested ingest → gated pruned read → skew-profiled agg") {
+    // the scaladoc recipe on Conf, executed step for step at test scale —
+    // executable documentation, so the recipe cannot rot apart from the
+    // components it wires together (step 1, the session profile, is
+    // pinned by the test above; shared-session hygiene forbids re-running
+    // applyCluster here)
+    import org.apache.spark.sql.functions._
+    import graft.sources.Manifest
+    import graft.operators.Skew
+    val tmp = java.nio.file.Files.createTempDirectory("readpath").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+    // step 2: ingest — clustered layout + manifest, one call
+    val m = Manifest.writeWithManifest(ev, s"$tmp/t", s"$tmp/m",
+      cols = Seq("ts_us"), nFiles = 16, clusterBy = Seq("ts_us"))
+    // step 3: pruned read — a 10% time band survives to a few files on
+    // the clustered layout, and the read equals the full-scan filter
+    val Array(lo, hi) = ev.stat.approxQuantile("ts_us", Array(0.45, 0.55), 0.001)
+    val band = Map("ts_us" -> (lo.toLong: Any, hi.toLong: Any))
+    assert(Manifest.prune(m, band).length <= 3,
+      "planning-time skipping must fire on the clustered ingest")
+    val day = Manifest.readPruned(spark, s"$tmp/t", m, band)
+    val want = ev.filter(col("ts_us") >= lo.toLong && col("ts_us") <= hi.toLong)
+    assert(day.count() == want.count())
+    // step 4: diagnose, then aggregate — profile totals must account for
+    // every read row, and the salted two-stage agg equals the plain one
+    val prof = Skew.keyProfile(day, "event_type").head
+    assert(prof.getAs[Long]("n_rows") == want.count())
+    assert(prof.getAs[Long]("n_keys") >= 1)
+    val salted = Skew.saltedSumCount(day, "event_type", "value")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val plain = day.groupBy(col("event_type"))
+      .agg(sum(col("value")).as("s"), count(col("value")).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (k, (s, n)) =>
+      assert(salted(k)._2 == n, s"$k count")
+      assert(math.abs(salted(k)._1 - s) < 1e-6 * math.max(1.0, math.abs(s)),
+        s"$k sum ${salted(k)._1} vs $s")
+    }
+  }
+
   test("cluster profile guardrails refuse nonsense sizing") {
     intercept[IllegalArgumentException](Conf.cluster(0))
     intercept[IllegalArgumentException](Conf.cluster(-8))
