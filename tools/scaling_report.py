@@ -100,6 +100,60 @@ def lib_additions3(path):
     return None
 
 
+def lib_additions4(path):
+    """Fourth-wave lib additions (r11): n-gram LM fit+score, the fuzzy
+    Levenshtein self-join over key-derived customer names, PCA
+    fit+project, compress-ratio scan, BPE 200-merge fit+count."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"lib_additions4 ngram_lm_fit_score=([0-9.]+) s "
+                r"fuzzy_pairs_cname=([0-9.]+) s pca_fit_project=([0-9.]+) s "
+                r"compress_ratio=([0-9.]+) s bpe_fit200_count=([0-9.]+) s", line)
+            if m:
+                return {"ngram_lm_fit_score_sec": float(m.group(1)),
+                        "fuzzy_pairs_cname_sec": float(m.group(2)),
+                        "pca_fit_project_sec": float(m.group(3)),
+                        "compress_ratio_sec": float(m.group(4)),
+                        "bpe_fit200_count_sec": float(m.group(5))}
+    return None
+
+
+def lib_additions5(path):
+    """Fifth-wave lib additions (r12): map-side vs join-form LM scoring,
+    pairwise span attribution, PCA reconstruction-error and whitening."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"lib_additions5 lm_score_join=([0-9.]+) s "
+                r"lm_score_mapside=([0-9.]+) s shared_span_pairs=([0-9.]+) s "
+                r"pca_rec_err=([0-9.]+) s pca_whitened=([0-9.]+) s", line)
+            if m:
+                return {"lm_score_join_sec": float(m.group(1)),
+                        "lm_score_mapside_sec": float(m.group(2)),
+                        "shared_span_pairs_sec": float(m.group(3)),
+                        "pca_rec_err_sec": float(m.group(4)),
+                        "pca_whitened_sec": float(m.group(5))}
+    return None
+
+
+def bpe_fit32k(path):
+    """BPE at realistic merge scale (r12): corpus fit at 32768 requested
+    merges (learned count reported — the corpus may exhaust first) and
+    the driver-loop leg over the seeded 64k-type Zipf word table."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"bpe_fit32k corpus_fit=([0-9.]+) s corpus_learned=(\d+) "
+                r"driver_loop_64k_types=([0-9.]+) s driver_learned=(\d+)", line)
+            if m:
+                return {"corpus_fit_sec": float(m.group(1)),
+                        "corpus_learned": int(m.group(2)),
+                        "driver_loop_64k_types_sec": float(m.group(3)),
+                        "driver_learned": int(m.group(4))}
+    return None
+
+
 def asof_native(path):
     """Native-merge as-of operator vs the gated union+window formulation
     (r10): same inputs, same result, two plans — keep both wall times on
@@ -138,6 +192,9 @@ def main():
                   "lib_additions": lib_additions(small_path),
                   "lib_additions2": lib_additions2(small_path),
                   "lib_additions3": lib_additions3(small_path),
+                  "lib_additions4": lib_additions4(small_path),
+                  "lib_additions5": lib_additions5(small_path),
+                  "bpe_fit32k": bpe_fit32k(small_path),
                   "asof_native": asof_native(small_path),
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
@@ -146,6 +203,9 @@ def main():
                 "lib_additions": lib_additions(big_path),
                 "lib_additions2": lib_additions2(big_path),
                 "lib_additions3": lib_additions3(big_path),
+                "lib_additions4": lib_additions4(big_path),
+                "lib_additions5": lib_additions5(big_path),
+                "bpe_fit32k": bpe_fit32k(big_path),
                 "asof_native": asof_native(big_path),
                 "queries": qb},
         "total_ratio": round(big["value"] / small["value"], 2),
