@@ -26,6 +26,25 @@ object Bench {
     ts(1)
   }
 
+  /** med(), unless rep1 alone blows `budgetSecs` — then report rep1 and
+    * say so in the returned label. For side-lines that are batch jobs at
+    * big SF (the sf10 fuzzy join runs ~17 min/rep): the r12 probe paid
+    * 3 × 1042 s to land the canonical med-of-3 artifact; re-paying 51
+    * minutes every leg for a number already on the record is not
+    * measurement, it's ritual. Small-SF legs still get the full
+    * median protocol (rep1 under budget → two more reps as usual). */
+  private def medOrRep1(f: () => Unit, budgetSecs: Double): (Double, String) = {
+    val t0 = System.nanoTime(); f()
+    val r1 = (System.nanoTime() - t0) / 1e9
+    if (r1 > budgetSecs) (r1, f"rep1, over ${budgetSecs}%.0f s budget")
+    else {
+      val ts = (Seq(r1) ++ (1 to 2).map { _ =>
+        val t = System.nanoTime(); f(); (System.nanoTime() - t) / 1e9
+      }).sorted
+      (ts(1), "med of 3")
+    }
+  }
+
   /** The one-line JSON the driver parses, with its degrade ladder:
     * centisecond per-query detail → decisecond (slow values cost precision,
     * not the map) → headline + failures → bare headline. The driver
@@ -328,8 +347,9 @@ object Bench {
         .select(col("c_custkey").as("id"),
           org.apache.spark.sql.functions.format_string(
             "Customer#%09d", col("c_custkey")).as("s"))
-      val fzT = med(() => evaluate(
-        graft.operators.FuzzyJoin.fuzzyPairs(cust, "id", "s", maxDist = 1)))
+      val (fzT, fzProto) = medOrRep1(() => evaluate(
+        graft.operators.FuzzyJoin.fuzzyPairs(cust, "id", "s", maxDist = 1)),
+        budgetSecs = 120)
       val emb = graft.Tables.embeddings(spark, sfDir)
       val pcaT = med(() => {
         val m = graft.ml.Pca.fit(emb, "embedding", k = 8)
@@ -343,7 +363,8 @@ object Bench {
       })
       tee.log(f"[bench] lib_additions4 ngram_lm_fit_score=$lmT%.3f s " +
         f"fuzzy_pairs_cname=$fzT%.3f s pca_fit_project=$pcaT%.3f s " +
-        f"compress_ratio=$crT%.3f s bpe_fit200_count=$bpeT%.3f s (med of 3)")
+        f"compress_ratio=$crT%.3f s bpe_fit200_count=$bpeT%.3f s " +
+        s"(med of 3; fuzzy: $fzProto)")
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions4 FAILED: $e")
     }

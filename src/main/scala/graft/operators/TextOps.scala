@@ -339,6 +339,57 @@ object TextOps {
     docs.withColumn("compress_ratio",
       graft.functions.CompressRatio(col(textCol)))
 
+  /** The composed curation gate — in-domain perplexity, deflate
+    * compression ratio, and BPE token budget — as ONE map-side
+    * annotation pass: every signal column is appended row-locally
+    * (native [[graft.functions.LmScoreDoc]] / CompressRatio /
+    * BpeEncode kernels, models riding the codegen references array),
+    * plus `gate_reason` = the FIRST failing gate (the
+    * pipeline_curation contract) or NULL for keepers — annotate, don't
+    * filter, so callers can audit what each gate rejects before
+    * dropping anything. Because every stage is a projection, the gate
+    * runs UNCHANGED on a stream — StreamingSpec replays this exact
+    * function in two micro-batches == batch, bit-for-bit.
+    *
+    * Reason order: `no_tokens` (nothing to assess — a gate that cannot
+    * assess a row must not pass it silently), `high_perplexity`
+    * (out-of-domain under the LM), `low_compress_ratio`
+    * (boilerplate/generated spam), `high_compress_ratio` (high-entropy
+    * junk — both tails are Gopher-rule thresholds), `token_budget`
+    * (outside [minTokens, maxTokens]). */
+  def curationGate(docs: DataFrame, textCol: String,
+                   lm: graft.ml.NgramLm.LmModel, maxPpl: Double,
+                   bpe: graft.ml.Bpe.BpeModel, minTokens: Int = 1,
+                   maxTokens: Int = Int.MaxValue,
+                   minCompressRatio: Double = 0.0,
+                   maxCompressRatio: Double = Double.MaxValue): DataFrame = {
+    require(maxPpl > 0, s"curation gate: maxPpl must be positive, got $maxPpl")
+    require(minTokens >= 1 && maxTokens >= minTokens,
+      s"curation gate: token budget [$minTokens, $maxTokens] is empty or " +
+        "admits zero-token docs — those are no_tokens' job")
+    require(minCompressRatio >= 0 && maxCompressRatio > minCompressRatio,
+      s"curation gate: compress-ratio band [$minCompressRatio, " +
+        s"$maxCompressRatio] is empty")
+    val reserved = Seq("lm_tokens", "lm_avg_logprob", "lm_ppl",
+      "compress_ratio", "bpe_n_tokens", "gate_reason")
+    val clash = reserved.filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"curation gate: input already has column(s) ${clash.mkString(", ")} " +
+        "— the gate would silently overwrite them; rename upstream")
+    val scored = graft.ml.Bpe.tokenCount(
+      compressionRatio(
+        graft.ml.NgramLm.scoreMapSide(docs, textCol, lm), textCol),
+      textCol, bpe)
+    scored.withColumn("gate_reason",
+      when(col("lm_ppl").isNull, "no_tokens")
+        .when(col("lm_ppl") > maxPpl, "high_perplexity")
+        .when(col("compress_ratio") < minCompressRatio, "low_compress_ratio")
+        .when(col("compress_ratio") > maxCompressRatio, "high_compress_ratio")
+        .when(col("bpe_n_tokens") < minTokens ||
+          col("bpe_n_tokens") > maxTokens, "token_budget")
+        .otherwise(lit(null).cast("string")))
+  }
+
   /** Per-document code-point entropy (bits/char) — native one-pass
     * expression; the oracle cross-checks it against the relational
     * explode-per-char formulation. */

@@ -85,4 +85,51 @@ class PipelineSpec extends SparkSpec {
       assert(r.getDouble(4) <= p50 && p99 <= r.getDouble(5))
     }
   }
+
+  test("curationGate: first-failing-gate reasons in order, keepers NULL, guardrails") {
+    import graft.ml.{Bpe, NgramLm}
+    // in-domain corpus to fit both models: repeated natural-ish words
+    val train = Seq((1L,
+      "the quick brown fox jumps over the lazy dog " * 20)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 50)
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // keeper
+      (2L, ""),                                            // no_tokens
+      (3L, null.asInstanceOf[String]),                     // no_tokens
+      (4L, "zzq xkw vvp mmt ssr qqa wwb eec rrd ttf"),     // out-of-domain
+      (5L, "the the the the the the the the the the " * 30), // boilerplate
+      (6L, "the quick")                                    // under token budget
+    ).toDF("doc_id", "text")
+    val got = operators.TextOps.curationGate(probe, "text", lm,
+        maxPpl = 50.0, bpe = bpe, minTokens = 5,
+        minCompressRatio = 0.12, maxCompressRatio = 1.5)
+      .select("doc_id", "gate_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).isEmpty, s"keeper flagged: ${got(1L)}")
+    assert(got(2L).contains("no_tokens") && got(3L).contains("no_tokens"))
+    assert(got(4L).contains("high_perplexity"), got(4L).toString)
+    assert(got(5L).contains("low_compress_ratio"), got(5L).toString)
+    assert(got(6L).contains("token_budget"), got(6L).toString)
+    // ordering: doc 5 ALSO fails the token gate? No — it has 300 tokens;
+    // make a doc failing both ppl and compress: repeated OOV word — the
+    // FIRST gate (perplexity) must name it
+    val both = Seq((7L, "zzq " * 200)).toDF("doc_id", "text")
+    val r7 = operators.TextOps.curationGate(both, "text", lm,
+        maxPpl = 50.0, bpe = bpe, minCompressRatio = 0.12)
+      .select("gate_reason").head.getString(0)
+    assert(r7 == "high_perplexity", s"first-failing order broken: $r7")
+    // guardrails: empty bands and column clashes refused
+    intercept[IllegalArgumentException] {
+      operators.TextOps.curationGate(probe, "text", lm, maxPpl = 0.0, bpe = bpe)
+    }
+    intercept[IllegalArgumentException] {
+      operators.TextOps.curationGate(probe, "text", lm, maxPpl = 10,
+        bpe = bpe, minTokens = 9, maxTokens = 3)
+    }
+    intercept[IllegalArgumentException] {
+      operators.TextOps.curationGate(
+        probe.withColumn("lm_ppl", lit(1.0)), "text", lm, maxPpl = 10, bpe = bpe)
+    }
+  }
 }

@@ -680,13 +680,13 @@ class StreamingSpec extends SparkSpec {
     // but non-trivial on this corpus
     val scoredB = ml.NgramLm.scoreMapSide(docs, "text", lm)
     val pplCut = scoredB.stat.approxQuantile("lm_ppl", Array(0.7), 0.0).head
+    // the gate under test is the LIBRARY composition — TextOps.curationGate
+    // — not an ad-hoc spec-local pipeline, so this spec pins the exact
+    // function users run
     def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      ml.Bpe.tokenCount(
-          operators.TextOps.compressionRatio(
-            ml.NgramLm.scoreMapSide(df, "text", lm), "text"), "text", bpe)
-        .filter(col("lm_ppl").isNotNull && col("lm_ppl") <= pplCut &&
-          col("compress_ratio").isNotNull && col("compress_ratio") > 0.1 &&
-          col("bpe_n_tokens") >= 3)
+      operators.TextOps.curationGate(df, "text", lm, maxPpl = pplCut,
+          bpe = bpe, minTokens = 3, minCompressRatio = 0.1)
+        .filter(col("gate_reason").isNull)
         .select("doc_id", "lm_tokens", "lm_avg_logprob", "compress_ratio",
           "bpe_n_tokens")
     val want = gate(docs).collect()
