@@ -34,7 +34,9 @@ case class AffineProject(child: Expression, mean: Seq[Double],
     m
   }
 
-  private def elemIsFloat: Boolean =
+  // cached: the interpreted path reads this per ROW, and dataType
+  // resolution is a method-call chain, not a field
+  @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -161,7 +163,9 @@ case class ReconstructionError(child: Expression, mean: Seq[Double],
     m
   }
 
-  private def elemIsFloat: Boolean =
+  // cached: compute() is BOTH evaluation paths (codegen calls it too),
+  // so this is read once per row either way
+  @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def dataType: DataType = DoubleType

@@ -31,7 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `StrictMath.log` Spark's log expression uses), and a document's exploded token rows never
   * split across partitions in the join form, so both paths accumulate
   * the log-score sum in token order: NgramLmSpec pins BIT equality of
-  * `lm_avg_logprob` between the two, not mere closeness. */
+  * `lm_avg_logprob` between the two, not mere closeness.
+  *
+  * NULL text yields a NULL struct (standard null-safe expression
+  * semantics); `NgramLm.scoreMapSide` coalesces to "" upstream so a
+  * null document scores (0, NULL) like the join form's right-anchor —
+  * direct users of the raw expression who want that contract should do
+  * the same. */
 case class LmScoreDoc(child: Expression, uni: Map[String, Double],
                       bi: Map[String, Double], tri: Map[String, Double],
                       floor1: Double, alpha: Double) extends UnaryExpression {
