@@ -91,7 +91,15 @@ object Pca {
                       minVar: Double = 1e-12): DataFrame = {
     require(minVar > 0, s"pca: minVar must be positive, got $minVar")
     val lead = model.eigenvalues.take(model.k)
-    val floor = minVar * math.max(1.0, model.eigenvalues.head)
+    // Relative floor, as documented: minVar scales the LEADING eigenvalue
+    // (guarded positive), so legitimately small-scale data (leading
+    // eigenvalue << 1) with a well-conditioned spectrum whitens fine; a
+    // max(1.0, head) clamp here would silently turn the floor absolute
+    // below unit variance (r12 ADVICE).
+    require(model.eigenvalues.head > 0,
+      "pca: whitening refused — the leading eigenvalue is zero (the " +
+        "corpus has no variance at all); nothing to whiten")
+    val floor = minVar * model.eigenvalues.head
     val bad = lead.indexWhere(_ <= floor)
     require(bad < 0,
       s"pca: whitening refused — eigenvalue $bad (${if (bad >= 0) lead(bad) else 0.0}) " +

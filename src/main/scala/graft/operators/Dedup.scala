@@ -1150,9 +1150,24 @@ object Dedup {
     * for provenance between specific documents (df small), fatal for
     * planet-scale boilerplate (df in the millions). `maxDf` caps it
     * structurally: grams shared by more than `maxDf` DISTINCT documents
-    * are excluded from attribution (they remain cutSpans' job), so
-    * per-gram fan-out is bounded by C(maxDf, 2) and candidate volume by
-    * matches, not n². Raising maxDf is a deliberate quadratic spend.
+    * are excluded from attribution (they remain cutSpans' job; see
+    * [[sharedSpanPairsSampled]] for a bounded way to still get example
+    * attributions for them), so per-DOCUMENT-PAIR fan-out is bounded by
+    * C(maxDf, 2) and candidate volume by matches, not n². Two caveats on
+    * that bound. (1) It counts distinct documents, not positions: a gram
+    * repeated k times in each of two documents contributes k² candidate
+    * rows for that pair and hash (each copy genuinely aligns with each
+    * counterpart copy — that is the "each copy attributed" semantics
+    * above, not waste — but heavy INTRA-document repetition multiplies
+    * the join beyond what df alone suggests; pathologically repetitive
+    * inputs should be screened with [[TextOps.textRepetition]] first).
+    * (2) Raising maxDf is a deliberate quadratic spend. Defaults across
+    * the repo, reconciled: the code default is maxDf=16 (provenance
+    * between near-dup documents — the common forensics case);
+    * SubstringDedupSpec pins the exclusion boundary exactly at df=5 with
+    * maxDf=4; Bench runs maxDf=50 because the sf10 probe deliberately
+    * pays a larger quadratic budget to measure the join's scaling shape,
+    * not because 50 is a recommended setting.
     *
     * Lineage note (the fuzzyJoin discipline): the gram explode is
     * consulted three times in one action — the df gate plus the two join
@@ -1199,5 +1214,100 @@ object Dedup {
         col("_s.start").as("start_a"), col("_s.end").as("end_a"),
         (col("_s.start") - col("_diag")).cast("int").as("start_b"),
         (col("_s.end") - col("_diag")).cast("int").as("end_b"))
+  }
+
+  /** [[sharedSpanPairs]] with a bounded SAMPLING path for the mega-df
+    * grams the base operator's `maxDf` gate structurally excludes — the
+    * boilerplate a forensics user most wants attributed (the license
+    * block, the site template, the scraped nav bar). Full attribution of
+    * a gram shared by df documents is C(df, 2) pairs — the exact
+    * quadratic spend the gate exists to refuse — so instead, for each
+    * gram with df > maxDf, a DETERMINISTIC sample of `sampleDocs`
+    * documents is attributed in full among themselves:
+    * C(sampleDocs, 2) pairs per gram, bounded. The sample is bottom-k
+    * under ONE GLOBAL per-document rank `xxhash64(id)` (consistent
+    * sampling — stable across runs and partitionings, no RNG), NOT a
+    * per-gram draw: consecutive grams of one boilerplate block share
+    * (nearly) one document set, so under a single permutation they
+    * sample the SAME documents and their window matches merge into
+    * contiguous runs, where a per-(gram, doc) rank would fragment every
+    * block into single-window confetti. The price of consistency is
+    * that the same (hash-least) documents serve as examples for every
+    * block they contain — acceptable, since the output is evidence, not
+    * a uniform survey.
+    * The report reads "this block is shared by ~`span_df` documents;
+    * here are verified verbatim example alignments", which is the
+    * whitelisting decision input — the full pair list for a million-doc
+    * boilerplate block would be a quadratic artifact nobody reads.
+    *
+    * Output: the [[sharedSpanPairs]] six span coordinates plus
+    * `span_df` (the largest per-gram document frequency merged into the
+    * run — for sampled boilerplate this IS the "~N documents share this"
+    * estimate; exact, not sketched, because the df gate already counts
+    * it) and `sampled` (true iff the run contains a gram beyond maxDf,
+    * i.e. its pair list is an example, not an enumeration). Low-df rows
+    * are IDENTICAL to the base operator's (SubstringDedupSpec pins
+    * this), so this is a superset report, not a different operator.
+    *
+    * Scale: the sample ranking is one ids-only exchange on (h, id) with
+    * a per-hash top-k (window over the gram hash — each hash group holds
+    * df rows, sorted once, k kept), then the identical alignment join as
+    * the base path over `small ∪ sampled` hits, whose per-gram fan-out
+    * is ≤ C(max(maxDf, sampleDocs), 2) by construction. The same
+    * intra-document repetition caveat as the base operator applies. */
+  def sharedSpanPairsSampled(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 20, maxDf: Int = 16,
+                             sampleDocs: Int = 8): DataFrame = {
+    require(n >= 2 && n <= 1000, s"sharedSpanPairsSampled: n=$n out of [2, 1000]")
+    require(maxDf >= 2, s"sharedSpanPairsSampled: maxDf=$maxDf must be >= 2")
+    require(sampleDocs >= 2,
+      s"sharedSpanPairsSampled: sampleDocs=$sampleDocs must be >= 2 — " +
+        "attribution needs at least one counterpart document")
+    require(sampleDocs <= maxDf,
+      s"sharedSpanPairsSampled: sampleDocs=$sampleDocs > maxDf=$maxDf " +
+        "would make the sampled path MORE quadratic than the gate it " +
+        "relieves; raise maxDf instead if that spend is intended")
+    val reserved = Set("pos", "h", "_df", "_ps", "_diag", "_s", "_rk",
+      "id_a", "id_b", "pos_a", "pos_b", "span_df", "sampled")
+    require(!reserved.contains(idCol),
+      s"sharedSpanPairsSampled: idCol '$idCol' collides with an internal " +
+        "working column — rename the id column first")
+    val grams = docs.select(col(idCol),
+        posexplode(graft.functions.ShingleHashSeq(
+          lower(trim(col(textCol))), n)).as(Seq("pos", "h")))
+    val dfs = grams.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= 2)
+    val hits = grams.join(dfs, Seq("h"))
+    val small = hits.filter(col("_df") <= maxDf)
+    // mega-df grams: keep only the bottom-`sampleDocs` documents per
+    // hash under the GLOBAL deterministic per-document rank (ties by
+    // id — total order, so the sample is unique and replayable; see
+    // the scaladoc for why the rank must not depend on h)
+    val megaSample = hits.filter(col("_df") > maxDf)
+      .select(col("h"), col(idCol)).distinct()
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("h"))
+        .orderBy(xxhash64(col(idCol)), col(idCol))))
+      .filter(col("_rk") <= sampleDocs)
+      .select(col("h"), col(idCol))
+    val mega = hits.filter(col("_df") > maxDf)
+      .join(megaSample, Seq("h", idCol))
+    val all = small.unionByName(mega)
+    val ga = all.select(col("h"), col(idCol).as("id_a"),
+      col("pos").as("pos_a"), col("_df"))
+    val gb = all.select(col("h"), col(idCol).as("id_b"), col("pos").as("pos_b"))
+    ga.join(gb, Seq("h")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("_diag"), col("pos_a"), col("_df"))
+      .groupBy(col("id_a"), col("id_b"), col("_diag"))
+      .agg(sort_array(collect_list(col("pos_a"))).as("_ps"),
+        max(col("_df")).as("span_df"))
+      .select(col("id_a"), col("id_b"), col("_diag"), col("span_df"),
+        explode(mergeWindowSpans(col("_ps"), n)).as("_s"))
+      .select(col("id_a"), col("id_b"),
+        col("_s.start").as("start_a"), col("_s.end").as("end_a"),
+        (col("_s.start") - col("_diag")).cast("int").as("start_b"),
+        (col("_s.end") - col("_diag")).cast("int").as("end_b"),
+        col("span_df"), (col("span_df") > maxDf).as("sampled"))
   }
 }

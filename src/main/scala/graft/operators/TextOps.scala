@@ -372,7 +372,20 @@ object TextOps {
         s"$maxCompressRatio] is empty")
     val reserved = Seq("lm_tokens", "lm_avg_logprob", "lm_ppl",
       "compress_ratio", "bpe_n_tokens", "gate_reason")
-    val clash = reserved.filter(docs.columns.contains)
+    // Honor the session's resolution semantics: Spark's withColumn
+    // replacement is case-INsensitive unless spark.sql.caseSensitive is
+    // set, so an input column named e.g. LM_PPL would slip a
+    // case-sensitive guard and still be silently overwritten — exactly
+    // the failure this check exists to prevent (r12 ADVICE).
+    val caseSensitive = docs.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val clash =
+      if (caseSensitive) reserved.filter(docs.columns.contains)
+      else {
+        val have = docs.columns
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        reserved.filter(have.contains) // reserved names are lowercase
+      }
     require(clash.isEmpty,
       s"curation gate: input already has column(s) ${clash.mkString(", ")} " +
         "— the gate would silently overwrite them; rename upstream")

@@ -163,6 +163,21 @@ class PcaSpec extends SparkSpec {
     // k=2 whitens fine on the same data
     assert(Pca.projectWhitened(planar, "emb", Pca.fit(planar, "emb", k = 2))
       .count() == 500)
+    // the degeneracy floor is RELATIVE to the leading eigenvalue:
+    // legitimately tiny-scale data (eigenvalues ~1e-13, far below what
+    // an absolute 1e-12 floor would admit) with a well-conditioned
+    // spectrum must whiten, and to unit variance (r12 ADVICE)
+    val tiny = (0 until 500).map { i =>
+      val (t1, t2) = (rnd.nextGaussian() * 3e-7, rnd.nextGaussian() * 1e-7)
+      (i.toLong, Array(t1, t2))
+    }.toDF("id", "emb")
+    val tinyWhite = Pca.projectWhitened(tiny, "emb", Pca.fit(tiny, "emb", k = 2))
+    (1 to 2).foreach { i =>
+      val v = tinyWhite.select(element_at(col("pca_white"), i).as("y"))
+        .agg((sum(col("y") * col("y")) / count(lit(1))
+          - pow(avg(col("y")), 2)).as("v")).head.getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-6, s"tiny-scale axis $i: var $v != 1")
+    }
     // the error kernel carries the same dim/null gates as the projector
     intercept[Exception] {
       Pca.reconstructionError(Seq((1L, Array(0.5))).toDF("id", "emb"),

@@ -131,5 +131,12 @@ class PipelineSpec extends SparkSpec {
       operators.TextOps.curationGate(
         probe.withColumn("lm_ppl", lit(1.0)), "text", lm, maxPpl = 10, bpe = bpe)
     }
+    // the clash guard must follow Spark's case-INsensitive resolution:
+    // withColumn would silently overwrite LM_PPL even though the name
+    // differs in case (r12 ADVICE)
+    intercept[IllegalArgumentException] {
+      operators.TextOps.curationGate(
+        probe.withColumn("LM_PPL", lit(1.0)), "text", lm, maxPpl = 10, bpe = bpe)
+    }
   }
 }

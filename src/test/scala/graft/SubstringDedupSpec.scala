@@ -179,6 +179,82 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("sharedSpanPairsSampled: a 100-doc boilerplate block yields C(k,2) verbatim-verified example attributions with span_df = 100") {
+    // 100 docs, each a unique 12-token prefix + the same 30-token boiler
+    // block: every fully-boiler gram has df=100, far past maxDf=16, so
+    // the base operator reports NOTHING for it — exactly the forensics
+    // gap the sampled mode exists to close
+    val docs = (1 to 100).map(i => (i.toLong, s"${uniq(s"u$i", 12)} $boiler"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(docs, "doc_id", "text", n = 10, maxDf = 16)
+      .count() == 0, "base operator must exclude the mega-df block")
+
+    val k = 8
+    val rows = Dedup.sharedSpanPairsSampled(docs, "doc_id", "text",
+      n = 10, maxDf = 16, sampleDocs = k).collect()
+    // ONE consistent k-doc sample -> all C(k,2) pairs, one contiguous
+    // run each (the global per-doc rank keeps every boiler gram's
+    // sample identical, so windows merge instead of fragmenting)
+    assert(rows.length == k * (k - 1) / 2, s"got ${rows.length} rows")
+    val sampledIds = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(sampledIds.size == k, s"expected $k distinct docs: $sampledIds")
+    rows.foreach { r =>
+      // boiler occupies tokens [12, 42) of every doc; the run must be
+      // exactly that block, both sides, with the honest df estimate and
+      // the sampled flag raised
+      assert((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)) ==
+        ((12, 42, 12, 42)), r.toString)
+      assert(r.getLong(6) == 100L, s"span_df: ${r.getLong(6)}")
+      assert(r.getBoolean(7), "sampled flag must be true beyond maxDf")
+    }
+    // verbatim re-verification, token-for-token, on every emitted row
+    val toks = docs.select(col("doc_id"),
+        graft.operators.TextOps.wsTokens(lower(trim(col("text")))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      assert(toks(r.getLong(0)).slice(r.getInt(2), r.getInt(3)) ==
+        toks(r.getLong(1)).slice(r.getInt(4), r.getInt(5)),
+        s"pair (${r.getLong(0)},${r.getLong(1)}): not verbatim")
+    }
+    // deterministic: a second run samples the identical documents
+    val again = Dedup.sharedSpanPairsSampled(docs, "doc_id", "text",
+      n = 10, maxDf = 16, sampleDocs = k).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(again == sampledIds, "sample must be replayable, no RNG")
+  }
+
+  test("sharedSpanPairsSampled: low-df rows identical to the base operator; guardrails") {
+    // a corpus with only low-df sharing: the sampled variant's first six
+    // columns must be EXACTLY the base operator's output (superset
+    // report, not a different operator), sampled=false throughout and
+    // span_df carrying the true per-run df
+    val docs = Seq(
+      (1L, s"${uniq("a", 40)} $boiler ${uniq("b", 40)}"),
+      (2L, s"${uniq("c", 25)} $boiler ${uniq("d", 10)}"),
+      (3L, uniq("e", 90))
+    ).toDF("doc_id", "text")
+    val base = pairsOf(Dedup.sharedSpanPairs(docs, "doc_id", "text", n = 10))
+    val sampled = Dedup.sharedSpanPairsSampled(docs, "doc_id", "text", n = 10)
+      .collect()
+    assert(sampled.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getInt(3), r.getInt(4), r.getInt(5))).toSet == base)
+    sampled.foreach { r =>
+      assert(r.getLong(6) == 2L && !r.getBoolean(7), r.toString)
+    }
+    // a sample budget looser than the gate is a contradiction, refused
+    intercept[IllegalArgumentException] {
+      Dedup.sharedSpanPairsSampled(docs, "doc_id", "text",
+        maxDf = 4, sampleDocs = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.sharedSpanPairsSampled(docs, "doc_id", "text", sampleDocs = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.sharedSpanPairsSampled(
+        docs.withColumnRenamed("doc_id", "span_df"), "span_df", "text")
+    }
+  }
+
   test("guardrails: n and minDf bounds; reserved id-column names refused") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

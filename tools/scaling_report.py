@@ -109,13 +109,21 @@ def lib_additions4(path):
             m = re.search(
                 r"lib_additions4 ngram_lm_fit_score=([0-9.]+) s "
                 r"fuzzy_pairs_cname=([0-9.]+) s pca_fit_project=([0-9.]+) s "
-                r"compress_ratio=([0-9.]+) s bpe_fit200_count=([0-9.]+) s", line)
+                r"compress_ratio=([0-9.]+) s bpe_fit200_count=([0-9.]+) s"
+                r"(?: \(med of 3; fuzzy: ([^)]+)\))?", line)
             if m:
-                return {"ngram_lm_fit_score_sec": float(m.group(1)),
-                        "fuzzy_pairs_cname_sec": float(m.group(2)),
-                        "pca_fit_project_sec": float(m.group(3)),
-                        "compress_ratio_sec": float(m.group(4)),
-                        "bpe_fit200_count_sec": float(m.group(5))}
+                out = {"ngram_lm_fit_score_sec": float(m.group(1)),
+                       "fuzzy_pairs_cname_sec": float(m.group(2)),
+                       "pca_fit_project_sec": float(m.group(3)),
+                       "compress_ratio_sec": float(m.group(4)),
+                       "bpe_fit200_count_sec": float(m.group(5))}
+                # Bench.medOrRep1 makes the fuzzy number's protocol
+                # data-dependent (rep1 over budget vs med-of-3); carry
+                # the label into the artifact so cross-round comparisons
+                # never silently mix protocols (r12 ADVICE).
+                if m.group(6):
+                    out["fuzzy_protocol"] = m.group(6)
+                return out
     return None
 
 
