@@ -283,4 +283,39 @@ object FuzzyJoin {
                  maxDist: Int, q: Int = 2): DataFrame =
     fuzzyImpl(df, df, idCol, strCol, maxDist, q,
       ordered = true, persistInput = false)._1
+
+  /** Gated-query form of [[fuzzyPairs]] (driver oracle slot
+    * `fuzzy_pairs`): all customer-name pairs within Levenshtein
+    * distance 2 over the FIXED key domain `c_custkey <= 1200`, so the
+    * DuckDB oracle can afford the brute-force `levenshtein()` cross
+    * join the blocking path is spec-equal to. The bound is a constant,
+    * not SF-proportional, for two load-bearing reasons: (a) the
+    * oracle's verify is O(domain²) BY DESIGN (that is what makes it an
+    * independent check of the blocking), so the domain must stay
+    * brute-forceable; (b) GenScale's big-SF corpora replicate `c_name`
+    * verbatim across copies while OFFSETTING `c_custkey`, so a fixed
+    * key predicate selects the original copy's names — unique,
+    * replica-free — at every probe SF instead of a quadratically
+    * inflated dist-0 pair pile (the r10 GenScale lesson). Unbounded
+    * scale evidence for this operator lives in the bench side-line
+    * (`fuzzy_pairs_cname`, sf10 med-of-3 on the record), not here:
+    * the gate measures correctness, the side-line measures scale.
+    * `dist` is cast to long to match DuckDB's BIGINT. */
+  def fuzzyPairsQuery(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String): DataFrame =
+    fuzzyPairs(
+      graft.Tables.customer(spark, sfDir)
+        .filter(col("c_custkey") <= 1200)
+        .select(col("c_custkey").as("id"), col("c_name").as("s")),
+      "id", "s", maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+
+  /** The brute force the blocking must equal, verbatim: every pair once
+    * (key-ordered), thresholded edit distance. */
+  val fuzzyPairsSql: String = """
+    SELECT c1.c_custkey AS id_a, c2.c_custkey AS id_b,
+           levenshtein(c1.c_name, c2.c_name) AS dist
+    FROM customer c1 JOIN customer c2 ON c1.c_custkey < c2.c_custkey
+    WHERE c1.c_custkey <= 1200 AND c2.c_custkey <= 1200
+      AND levenshtein(c1.c_name, c2.c_name) <= 2"""
 }
