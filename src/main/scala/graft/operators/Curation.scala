@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end corpus-curation recipe — the one place that answers
+  * "how do I curate a crawl with this engine" by CHAINING the
+  * individually-specced stages in their load-bearing order:
+  *
+  *   manifest-pruned read  (upstream of this function — the composed
+  *                          100 TB path: Manifest.pruneFiles over the
+  *                          lake listing, then spark.read.parquet on the
+  *                          survivors; ConfSpec executes it end-to-end)
+  *   → no_tokens fast-path (null / whitespace-only text)
+  *   → exact dedup         ([[Dedup.exactKeepFirst]], keep-first)
+  *   → near dedup          ([[Dedup.dedupClusters]] over banded
+  *                          MinHash-LSH candidates, min-id canonical)
+  *   → substring dedup     ([[Dedup.duplicatedSpans]] + [[Dedup.cutSpans]]:
+  *                          boilerplate CUT from survivors, docs gutted
+  *                          below `minKeptRatio` rejected outright)
+  *   → quality gate        ([[TextOps.curationGate]]: LM perplexity,
+  *                          compress-ratio band, BPE token budget — one
+  *                          map-side pass, first-failing reason)
+  *   → embedding screen    ([[graft.ml.Pca.reconstructionError]] >
+  *                          `maxRecErr` — optional, only rows with an
+  *                          embedding are screened)
+  *   → packing             (downstream of this function —
+  *                          [[TextOps.packChunks]] on the keepers;
+  *                          packing changes row identity from documents
+  *                          to training chunks, so it is a consumer of
+  *                          this output, not a stage of it)
+  *
+  * Order rationale: exact before near (an exact twin would otherwise
+  * seed a near-dup cluster and could be elected its canonical while
+  * itself already rejected — the whole cluster would die); near before
+  * substring (cutting boilerplate first would perturb shingle sets and
+  * near-dup recall); cuts before the gate (the gate must judge the text
+  * a training run would actually see — doc 5 of the spec passes the
+  * gate ONLY because its boilerplate was cut first); the embedding
+  * screen last (it is the most expensive signal per row, so it sees the
+  * fewest rows).
+  *
+  * Output: ONE row per input document — (doc_id, text, curation_reject)
+  * where `curation_reject` is NULL for keepers and otherwise the FIRST
+  * stage that rejected the row (`no_tokens`, `exact_dup`, `near_dup`,
+  * `boilerplate_gutted`, the [[TextOps.curationGate]] reasons
+  * `high_perplexity` / `low_compress_ratio` / `high_compress_ratio` /
+  * `token_budget`, `embedding_outlier`); `text` is the document's text
+  * AS OF its final stage (post-cut for everything that survived the
+  * substring stage — i.e. keepers carry the text a training run should
+  * ingest, and rejects carry the evidence that condemned them).
+  * Per-stage reject counts are one aggregation away
+  * ([[rejectCounts]]) — no stage in this function runs a count of its
+  * own, so adding the recipe on top of the stages costs zero extra
+  * actions beyond [[Dedup.dedupClusters]]' internal fixpoint (which is
+  * eager by its own contract).
+  *
+  * Scale shape: every stage is the already-probed operator — nothing
+  * here shuffles anything the stages don't. The recipe persists the
+  * three frames that are consulted by more than one downstream leg (the
+  * standardized input; the exact-survivor frame the LSH fixpoint scans
+  * repeatedly; the post-cut survivor frame that feeds the gate, the
+  * screen AND the final union) at MEMORY_AND_DISK, and hands the caller
+  * a [[FuzzyJoin.PersistHandle]] owning all three — materialize the
+  * result (and anything derived), then `close()` (the fuzzyJoinPersisted
+  * contract; closing early degrades to recompute, never to wrong rows).
+  */
+object Curation {
+
+  /** Optional embedding-quality screen: rows of `embeddings` whose
+    * `embCol` reconstruction error under `model` exceeds `maxRecErr`
+    * reject their document as `embedding_outlier`. Documents WITHOUT an
+    * embedding row pass unscreened — absence of evidence is not
+    * garbage, and at 100 TB the embedded subset is typically the
+    * curated minority. */
+  final case class EmbedScreen(embeddings: DataFrame, idCol: String,
+                               embCol: String, model: graft.ml.Pca.PcaModel,
+                               maxRecErr: Double)
+
+  /** Per-stage reject tally of a [[curateCorpus]] result: one row per
+    * reject reason plus the NULL row for keepers. */
+  def rejectCounts(curated: DataFrame): DataFrame =
+    curated.groupBy(col("curation_reject")).agg(count(lit(1)).as("n"))
+
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   lm: graft.ml.NgramLm.LmModel, maxPpl: Double,
+                   bpe: graft.ml.Bpe.BpeModel,
+                   minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
+                   minCompressRatio: Double = 0.0,
+                   maxCompressRatio: Double = Double.MaxValue,
+                   nearThreshold: Double = 0.8,
+                   spanN: Int = 20, minKeptRatio: Double = 0.3,
+                   embedScreen: Option[EmbedScreen] = None)
+      : (DataFrame, FuzzyJoin.PersistHandle) = {
+    require(minKeptRatio >= 0.0 && minKeptRatio <= 1.0,
+      s"curate: minKeptRatio $minKeptRatio outside [0, 1]")
+    require(nearThreshold > 0.0 && nearThreshold <= 1.0,
+      s"curate: nearThreshold $nearThreshold outside (0, 1]")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    def reject(ids: DataFrame, from: DataFrame, reason: String): DataFrame =
+      from.join(ids, Seq("doc_id")).select(col("doc_id"), col("text"),
+        lit(reason).as("curation_reject"))
+
+    // standardized working frame — internal names, one column each way
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .persist(lvl)
+
+    // stage 0: degenerate text out FIRST. A null document is not a
+    // "duplicate" of another null document in any curation sense, and
+    // the dedup stages' shingle algebra degenerates on empty token
+    // streams (null and "" share the singleton empty shingle — they
+    // would cluster as near-dups and one would steal a canonical slot).
+    val degenerate = col("text").isNull || trim(col("text")) === ""
+    val rej0 = base.filter(degenerate)
+      .select(col("doc_id"), col("text"), lit("no_tokens").as("curation_reject"))
+    val s0 = base.filter(!degenerate)
+
+    // stage 1: exact dedup, keep-first
+    val exact = Dedup.exactKeepFirst(s0, "text")
+    val rej1 = reject(exact.filter(col("is_dup") === 1).select("doc_id"),
+      s0, "exact_dup")
+    val s1 = s0.join(exact.filter(col("is_dup") === 0).select("doc_id"),
+      Seq("doc_id")).persist(lvl)
+
+    // stage 2: near dedup (eager — dedupClusters runs its label
+    // fixpoint at call time, which is why s1 is persisted first)
+    val clusters = Dedup.dedupClusters(s1, nearThreshold)
+    val rej2 = reject(clusters.filter(col("is_canonical") === 0)
+      .select("doc_id"), s1, "near_dup")
+    val s2 = s1.join(clusters.filter(col("is_canonical") === 1)
+      .select("doc_id"), Seq("doc_id"))
+
+    // stage 3: substring dedup — cut the shared spans, reject the gutted
+    val spans = Dedup.duplicatedSpans(s2, "doc_id", "text", n = spanN)
+    val cut = Dedup.cutSpans(s2, spans, "doc_id", "text")
+    val rej3 = cut.filter(col("kept_ratio") < minKeptRatio)
+      .select(col("doc_id"), col("text_dedup").as("text"),
+        lit("boilerplate_gutted").as("curation_reject"))
+    val s3 = cut.filter(col("kept_ratio") >= minKeptRatio)
+      .select(col("doc_id"), col("text_dedup").as("text")).persist(lvl)
+
+    // stage 4: the composed quality gate (map-side; first-failing reason)
+    val gated = TextOps.curationGate(s3, "text", lm, maxPpl, bpe,
+      minTokens, maxTokens, minCompressRatio, maxCompressRatio)
+    val rej4 = gated.filter(col("gate_reason").isNotNull)
+      .select(col("doc_id"), col("text"),
+        col("gate_reason").as("curation_reject"))
+    val s4 = gated.filter(col("gate_reason").isNull)
+      .select(col("doc_id"), col("text"))
+
+    // stage 5: embedding-quality screen (optional, evidence-only)
+    val (rej5, s5) = embedScreen match {
+      case None => (None, s4)
+      case Some(es) =>
+        val bad = graft.ml.Pca.reconstructionError(
+            es.embeddings.select(col(es.idCol).as("doc_id"), col(es.embCol)),
+            es.embCol, es.model)
+          .filter(col("pca_rec_err") > es.maxRecErr).select("doc_id")
+        (Some(reject(bad, s4, "embedding_outlier")),
+          s4.join(bad, Seq("doc_id"), "left_anti"))
+    }
+
+    val keepers = s5.select(col("doc_id"), col("text"),
+      lit(null).cast("string").as("curation_reject"))
+    val out = (Seq(keepers, rej0, rej1, rej2, rej3, rej4) ++ rej5)
+      .reduce(_ unionByName _)
+    (out, new FuzzyJoin.PersistHandle(Seq(base, s1, s3)))
+  }
+}

@@ -280,6 +280,120 @@ object TextOps {
        |  JOIN exact e ON q.doc_id = e.doc_id
        |  JOIN clus c ON q.doc_id = c.doc_id)""".stripMargin
 
+  /** Gated-query form of [[curationGate]] (driver oracle slot
+    * `curation_gate`): the composed map-side gate over the documents
+    * corpus with the LM fit on the corpus itself, emitting the exactly
+    * replayable columns — `lm_tokens` (an integer: the whitespace-token
+    * count, which verifies the native tokenizer verbatim) and
+    * `gate_reason` (the first-failing label). The compression and
+    * token-budget bands are left wide open (DuckDB has no deflate, and
+    * a BPE-merge replay in SQL would gate the oracle on a second model
+    * fit), so the active reasons are `no_tokens` / `high_perplexity` /
+    * NULL — which still forces the oracle to reproduce the ENTIRE
+    * Stupid Backoff pipeline (tokenize → 1/2/3-gram counts → top-K
+    * heads → context-gated folded ratios → per-token backoff →
+    * mean-log-score) to agree on every doc's side of the threshold.
+    * `lm_ppl` itself is NOT emitted: cross-engine ln/avg drift is
+    * ~1e-13 relative, unfalsifiably safe against a threshold placed
+    * 0.23 away from the nearest document (measured, sf0.01; 7.4 away
+    * at sf0.1) but NOT against round()'s half-way boundaries —
+    * thresholded reasons are the honest hash-stable surface. */
+  def curationGateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val (lm, bpe) = gateModels(spark, sfDir)
+    curationGate(docs, "text", lm, maxPpl = 14.2, bpe = bpe)
+      .select(col("doc_id"), col("lm_tokens"), col("gate_reason"))
+  }
+
+  private val gateModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String),
+    (SparkSession, (graft.ml.NgramLm.LmModel, graft.ml.Bpe.BpeModel))]()
+
+  /** Session-scoped (LM, BPE) models for [[curationGateQuery]] — the
+    * [[Dedup.clusterIndex]] amortization precedent, verbatim: the fits
+    * are corpus-snapshot-scoped INPUTS (every consumer of the gate
+    * shares one in-domain model), not per-query work, so they are built
+    * once per (app, sfDir) and memoized; `SPARK_GRAFT_COLD=1` (or
+    * `-Dgraft.cold=1`) bypasses the memo so a cold measurement pays the
+    * true cost, and the bench logs the amortized build on its own
+    * forensics line. Same build-then-putIfAbsent discipline (no map-bin
+    * lock across Spark jobs; a lost race is one duplicate driver-side
+    * model, GC'd). */
+  private[graft] def gateModels(spark: SparkSession, sfDir: String)
+      : (graft.ml.NgramLm.LmModel, graft.ml.Bpe.BpeModel) = {
+    def build(): (graft.ml.NgramLm.LmModel, graft.ml.Bpe.BpeModel) = {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val lm = graft.ml.NgramLm.fit(docs, "text")
+      val (bpe, _) = graft.ml.Bpe.fit(docs, "text", numMerges = 50)
+      (lm, bpe)
+    }
+    if (Dedup.coldMode) return build()
+    gateModelCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    val k = (spark.sparkContext.applicationId, sfDir)
+    Option(gateModelCache.get(k)).map(_._2).getOrElse {
+      val built = (spark, build())
+      val prev = gateModelCache.putIfAbsent(k, built)
+      (if (prev != null) prev else built)._2
+    }
+  }
+
+  /** Full DuckDB replay of the Stupid Backoff fit + score + threshold:
+    * same tokenizer contract (lowercase, ASCII `\s+` split, empties
+    * dropped), same top-K head pruning with (count desc, gram) ties,
+    * same context-survival gating of the folded ratios, same add-one
+    * smoothed unigram floor. */
+  val curationGateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, u.pos AS pos, u.w AS w
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts)+1),
+      |          i -> {'pos': i, 'w': ts[i]})) AS u FROM toks)),
+      |ctx AS (
+      |  SELECT doc_id, pos, w,
+      |         lag(w)    OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+      |         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM tok),
+      |g1 AS (SELECT w AS g, count(*) AS n FROM tok GROUP BY 1),
+      |k1 AS (SELECT g, n FROM g1 ORDER BY n DESC, g LIMIT 65536),
+      |g2 AS (SELECT w1 || ' ' || w AS g, count(*) AS n FROM ctx
+      |       WHERE w1 IS NOT NULL GROUP BY 1),
+      |k2 AS (SELECT g, n FROM g2 ORDER BY n DESC, g LIMIT 131072),
+      |g3 AS (SELECT w2 || ' ' || w1 || ' ' || w AS g, count(*) AS n FROM ctx
+      |       WHERE w2 IS NOT NULL GROUP BY 1),
+      |k3 AS (SELECT g, n FROM g3 ORDER BY n DESC, g LIMIT 131072),
+      |consts AS (SELECT (SELECT sum(n) FROM g1) AS bigN,
+      |                  (SELECT count(*) FROM k1) AS U),
+      |r3 AS (SELECT k3.g, k3.n * 1.0 / k2.n AS s FROM k3
+      |       JOIN k2 ON k2.g = list_aggregate(
+      |         (string_split(k3.g, ' '))[1:2], 'string_agg', ' ')),
+      |r2 AS (SELECT k2.g, k2.n * 1.0 / k1.n AS s FROM k2
+      |       JOIN k1 ON k1.g = string_split(k2.g, ' ')[1]),
+      |r1 AS (SELECT g, (n + 1.0) / (c.bigN + c.U + 1) AS s FROM k1, consts c),
+      |scored AS (
+      |  SELECT ctx.doc_id,
+      |    CASE WHEN w2 IS NOT NULL THEN coalesce(t3.s,
+      |           0.4 * coalesce(t2.s, 0.4 * coalesce(t1.s, 1.0 / (c.bigN + c.U + 1))))
+      |         WHEN w1 IS NOT NULL THEN coalesce(t2.s,
+      |           0.4 * coalesce(t1.s, 1.0 / (c.bigN + c.U + 1)))
+      |         ELSE coalesce(t1.s, 1.0 / (c.bigN + c.U + 1)) END AS s
+      |  FROM ctx
+      |  CROSS JOIN consts c
+      |  LEFT JOIN r3 t3 ON w2 IS NOT NULL AND t3.g = w2 || ' ' || w1 || ' ' || w
+      |  LEFT JOIN r2 t2 ON w1 IS NOT NULL AND t2.g = w1 || ' ' || w
+      |  LEFT JOIN r1 t1 ON t1.g = w),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS lm_tokens, exp(-avg(ln(s))) AS ppl
+      |  FROM scored GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(p.lm_tokens, 0) AS lm_tokens,
+      |  CASE WHEN coalesce(p.lm_tokens, 0) = 0 THEN 'no_tokens'
+      |       WHEN p.ppl > 14.2 THEN 'high_perplexity'
+      |       ELSE NULL END AS gate_reason
+      |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
+
   /** Quality-aware canonical selection: one row per near-dup cluster with
     * the member a curation pass should KEEP — the highest-quality document
     * (ties → lowest doc_id) rather than [[Dedup.dedupClusters]]' min-id

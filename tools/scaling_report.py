@@ -37,6 +37,18 @@ def index_build_sec(path):
     return None
 
 
+def gate_models_build_sec(path):
+    """The curation_gate slot's session-scoped (LM, BPE) model build runs
+    OUTSIDE the timed reps (clusterIndex precedent) — lift its forensics
+    line so the amortized cost scales on the record too (r13)."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(r"gate-models build ([0-9.]+) s", line)
+            if m:
+                return float(m.group(1))
+    return None
+
+
 def minhash_premium(path):
     """Production-xxhash64 vs gated-md5 minhash pair generation (r9
     verdict #4): keep the oracle-replay premium on the per-leg record."""
@@ -145,6 +157,26 @@ def lib_additions5(path):
     return None
 
 
+def lib_additions6(path):
+    """Sixth-wave lib additions (r13): sampled mega-df span attribution
+    (same n/maxDf as the base shared_span_pairs line) and the end-to-end
+    curation recipe; the recipe's protocol label (rep1-over-budget vs
+    med-of-3) rides along like lib_additions4's fuzzy label."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"lib_additions6 span_pairs_sampled=([0-9.]+) s "
+                r"curate_corpus=([0-9.]+) s"
+                r"(?: \(med of 3; curate: ([^)]+)\))?", line)
+            if m:
+                out = {"span_pairs_sampled_sec": float(m.group(1)),
+                       "curate_corpus_sec": float(m.group(2))}
+                if m.group(3):
+                    out["curate_protocol"] = m.group(3)
+                return out
+    return None
+
+
 def bpe_fit32k(path):
     """BPE at realistic merge scale (r12): corpus fit at 32768 requested
     merges (learned count reported — the corpus may exhaust first) and
@@ -196,23 +228,27 @@ def main():
         "data_ratio": data_ratio,
         "small": {"sf_dir": small.get("sf"), "total_sec": small["value"],
                   "index_build_sec": index_build_sec(small_path),
+                  "gate_models_build_sec": gate_models_build_sec(small_path),
                   "minhash_premium": minhash_premium(small_path),
                   "lib_additions": lib_additions(small_path),
                   "lib_additions2": lib_additions2(small_path),
                   "lib_additions3": lib_additions3(small_path),
                   "lib_additions4": lib_additions4(small_path),
                   "lib_additions5": lib_additions5(small_path),
+                  "lib_additions6": lib_additions6(small_path),
                   "bpe_fit32k": bpe_fit32k(small_path),
                   "asof_native": asof_native(small_path),
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
                 "index_build_sec": index_build_sec(big_path),
+                "gate_models_build_sec": gate_models_build_sec(big_path),
                 "minhash_premium": minhash_premium(big_path),
                 "lib_additions": lib_additions(big_path),
                 "lib_additions2": lib_additions2(big_path),
                 "lib_additions3": lib_additions3(big_path),
                 "lib_additions4": lib_additions4(big_path),
                 "lib_additions5": lib_additions5(big_path),
+                "lib_additions6": lib_additions6(big_path),
                 "bpe_fit32k": bpe_fit32k(big_path),
                 "asof_native": asof_native(big_path),
                 "queries": qb},
