@@ -22,12 +22,24 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+  // Two-level rank map (left symbol -> right symbol -> rank) so the hot
+  // pair-probe allocates NOTHING. The first draft probed one map with a
+  // `a + " " + b` concatenated key — one char[]+String allocation per
+  // adjacent pair per merge round, ~1.6 BILLION at the sf10 probe scale,
+  // and whether C2's escape analysis elided them depended on JIT state
+  // (inlining depth through the generated-class call site), which made
+  // the composed curation gate's wall time swing 20× run-to-run
+  // (20 s → 83 s reps in BENCH_FORENSICS_r13_scaleprobe_sf10 while the
+  // thread dumps showed every task burning CPU right here). String keys
+  // cache their hashCode, so the two probes of EXISTING instances are
+  // pure lookups.
+  @transient private lazy val ranks:
+      java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]](
+      merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      // the space join is unambiguous: symbols come from the characters
-      // of whitespace-split words (never a space) plus the "</w>" marker
-      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+      m.computeIfAbsent(a, _ => new java.util.HashMap[String, Integer](4))
+        .putIfAbsent(b, Integer.valueOf(i))
     }
     m
   }
@@ -47,16 +59,23 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   private def encodeWord(w: String): scala.collection.mutable.ArrayBuffer[String] = {
     val syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
     var i = 0
-    while (i < w.length) { syms += w.charAt(i).toString; i += 1 }
+    // single-char symbols come from the shared ASCII cache (one alloc
+    // per NON-ascii char only) — the per-char .toString was the other
+    // per-row allocation hot spot
+    while (i < w.length) { syms += BpeEncode.charSym(w.charAt(i)); i += 1 }
     if (syms.nonEmpty) syms(syms.length - 1) += graft.ml.Bpe.WordEnd
     var done = syms.length <= 1
     while (!done) {
-      // lowest-rank adjacent pair present in the word
+      // lowest-rank adjacent pair present in the word — two cached-hash
+      // probes per pair, zero allocation
       var bestRank = Int.MaxValue
       var j = 0
       while (j < syms.length - 1) {
-        val r = ranks.get(syms(j) + " " + syms(j + 1))
-        if (r != null && r < bestRank) bestRank = r
+        val inner = ranks.get(syms(j))
+        if (inner != null) {
+          val r = inner.get(syms(j + 1))
+          if (r != null && r < bestRank) bestRank = r
+        }
         j += 1
       }
       if (bestRank == Int.MaxValue) done = true
@@ -100,4 +119,11 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 object BpeEncode {
   def apply(c: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(c), merges))
+
+  private val AsciiSyms: Array[String] =
+    Array.tabulate(128)(i => String.valueOf(i.toChar))
+
+  /** Single-character symbol, allocation-free for ASCII. */
+  private[functions] def charSym(c: Char): String =
+    if (c < 128) AsciiSyms(c) else String.valueOf(c)
 }
