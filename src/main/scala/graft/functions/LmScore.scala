@@ -42,9 +42,16 @@ case class LmScoreDoc(child: Expression, uni: Map[String, Double],
                       bi: Map[String, Double], tri: Map[String, Double],
                       floor1: Double, alpha: Double) extends UnaryExpression {
 
+  // bi/tri are NESTED (context -> ... -> score) rather than flat maps on
+  // space-joined keys, so the per-token probes allocate NOTHING — the
+  // flat form concatenated a fresh key string per probe (~2/token), the
+  // same escape-analysis-dependent churn pattern the r13 probe caught in
+  // BpeEncode. Splitting happens once here, at model-ship time; the
+  // Double values are the SAME objects either way, so the bit-equality
+  // contract with the join form is untouched.
   @transient private lazy val uniH = LmScoreDoc.toJava(uni)
-  @transient private lazy val biH = LmScoreDoc.toJava(bi)
-  @transient private lazy val triH = LmScoreDoc.toJava(tri)
+  @transient private lazy val biH = LmScoreDoc.toNested2(bi)
+  @transient private lazy val triH = LmScoreDoc.toNested3(tri)
   // floor1/alpha ride the same reference array in codegen: emitting a
   // double as a source literal can lose the last bit through the decimal
   // round-trip, and bit equality with the join form is the contract
@@ -90,13 +97,44 @@ object LmScoreDoc {
     h
   }
 
+  /** "w1 w" keys split once into w1 -> (w -> score). */
+  private[functions] def toNested2(m: Map[String, Double])
+      : java.util.HashMap[String, java.util.HashMap[String, java.lang.Double]] = {
+    val h = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Double]]()
+    m.foreach { case (k, v) =>
+      val sp = k.indexOf(' ')
+      h.computeIfAbsent(k.substring(0, sp),
+          _ => new java.util.HashMap[String, java.lang.Double](4))
+        .put(k.substring(sp + 1), java.lang.Double.valueOf(v))
+    }
+    h
+  }
+
+  /** "w2 w1 w" keys split once into w2 -> w1 -> (w -> score). */
+  private[functions] def toNested3(m: Map[String, Double]): java.util.HashMap[
+      String, java.util.HashMap[String, java.util.HashMap[String, java.lang.Double]]] = {
+    val h = new java.util.HashMap[String,
+      java.util.HashMap[String, java.util.HashMap[String, java.lang.Double]]]()
+    m.foreach { case (k, v) =>
+      val s1 = k.indexOf(' ')
+      val s2 = k.indexOf(' ', s1 + 1)
+      h.computeIfAbsent(k.substring(0, s1), _ => new java.util.HashMap[
+          String, java.util.HashMap[String, java.lang.Double]](4))
+        .computeIfAbsent(k.substring(s1 + 1, s2),
+          _ => new java.util.HashMap[String, java.lang.Double](4))
+        .put(k.substring(s2 + 1), java.lang.Double.valueOf(v))
+    }
+    h
+  }
+
   /** The per-document loop. Score per position (identical to the join
     * form's coalesce chain): s1 = uni(w) | floor1; sBi = bi(w1 w) |
     * α·s1; position ≥2 → tri(w2 w1 w) | α·sBi, position 1 → sBi,
     * position 0 → s1. */
   def score(s: UTF8String, uni: java.util.HashMap[String, java.lang.Double],
-            bi: java.util.HashMap[String, java.lang.Double],
-            tri: java.util.HashMap[String, java.lang.Double],
+            bi: java.util.HashMap[String, java.util.HashMap[String, java.lang.Double]],
+            tri: java.util.HashMap[String,
+              java.util.HashMap[String, java.util.HashMap[String, java.lang.Double]]],
             params: Array[Double]): InternalRow = {
     val floor1 = params(0)
     val alpha = params(1)
@@ -112,11 +150,15 @@ object LmScoreDoc {
       val sTok =
         if (i == 0) s1
         else {
-          val b = bi.get(t(i - 1) + " " + w)
+          // nested probes: zero allocation (see the lazy-val note)
+          val bInner = bi.get(t(i - 1))
+          val b = if (bInner == null) null else bInner.get(w)
           val sBi = if (b == null) alpha * s1 else b.doubleValue()
           if (i == 1) sBi
           else {
-            val tr = tri.get(t(i - 2) + " " + t(i - 1) + " " + w)
+            val tMid = tri.get(t(i - 2))
+            val tInner = if (tMid == null) null else tMid.get(t(i - 1))
+            val tr = if (tInner == null) null else tInner.get(w)
             if (tr == null) alpha * sBi else tr.doubleValue()
           }
         }

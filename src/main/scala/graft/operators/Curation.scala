@@ -167,4 +167,125 @@ object Curation {
       .reduce(_ unionByName _)
     (out, new FuzzyJoin.PersistHandle(Seq(base, s1, s3)))
   }
+
+  /** Owns everything a [[curateIncrement]] call pinned: the persisted
+    * batch frames AND the incremental-label fixpoint's checkpoint.
+    * Same contract as the other handles: materialize first, `close()`
+    * after; early close degrades to recompute, never to wrong rows. */
+  final class IncrementHandle private[operators] (inner: Seq[AutoCloseable])
+      extends AutoCloseable {
+    override def close(): Unit = inner.foreach(_.close())
+  }
+
+  /** The DAILY-INCREMENT form of [[curateCorpus]]: curate a NEW batch of
+    * documents against an EXISTING curated corpus in O(batch) work plus
+    * one corpus scan — no corpus shuffle, no corpus-wide fixpoint
+    * (re-deriving connected components over 100 TB because 0.1% new
+    * documents arrived is not viable; this is [[Dedup.incrementalLabels]]'
+    * contract lifted to the whole recipe).
+    *
+    * Stages, and how they differ from the batch recipe:
+    *  - no_tokens fast-path and within-batch exact dedup: identical.
+    *  - near dedup is the INCREMENTAL machinery: LSH candidates within
+    *    the batch plus batch-bucket probes against the corpus
+    *    ([[Dedup.incrementalCandidatePairs]] — batch side broadcast, the
+    *    corpus side scanned once, never shuffled), then
+    *    [[Dedup.incrementalLabels]]' frozen-old-labels attach. A new doc
+    *    ATTACHED to an existing cluster duplicates content the corpus
+    *    already has → `dup_of_corpus` (its corpus `cluster_id` is kept
+    *    on the reject row — the forensics answer "duplicate of WHAT").
+    *    Exact duplicates of corpus docs land here too (identical
+    *    shingle sets ⇒ identical signatures ⇒ guaranteed band
+    *    collision, Jaccard 1 ≥ any threshold). Unattached new
+    *    components keep their min-id canonical; the rest are
+    *    `near_dup`, exactly like the batch recipe.
+    *  - there is NO substring-cut stage: cutting spans shared with the
+    *    CORPUS needs a persisted corpus gram index (a real future
+    *    component, not something to fake with a corpus-wide gram join
+    *    that would dwarf the increment); within-batch-only spans on a
+    *    daily increment would mostly miss (the boilerplate's other
+    *    copies live in the corpus). The gate's compression-ratio tail
+    *    is the increment's boilerplate backstop, honestly weaker.
+    *  - the quality gate runs with CORPUS-fit models passed in (the
+    *    in-domain distribution is the corpus's, not the increment's —
+    *    fitting the LM on one day's crawl would make every topical
+    *    shift "out of domain").
+    *  - optional embedding screen: identical.
+    *
+    * Output: one row per input doc — (doc_id, text, cluster_id,
+    * curation_reject). `cluster_id` is the increment label where one
+    * was assigned (NULL for no_tokens / within-batch exact rejects):
+    * keepers' (doc_id, cluster_id) rows are EXACTLY what the caller
+    * appends to `oldLabels` before the next increment — the daily loop
+    * closes over this output. `rejectCounts` works unchanged. */
+  def curateIncrement(newDocs: DataFrame, idCol: String, textCol: String,
+                      oldDocs: DataFrame, oldLabels: DataFrame,
+                      lm: graft.ml.NgramLm.LmModel, maxPpl: Double,
+                      bpe: graft.ml.Bpe.BpeModel,
+                      minTokens: Int = 1, maxTokens: Int = Int.MaxValue,
+                      minCompressRatio: Double = 0.0,
+                      maxCompressRatio: Double = Double.MaxValue,
+                      nearThreshold: Double = 0.8,
+                      md5Family: Boolean = false,
+                      embedScreen: Option[EmbedScreen] = None)
+      : (DataFrame, IncrementHandle) = {
+    require(nearThreshold > 0.0 && nearThreshold <= 1.0,
+      s"curate increment: nearThreshold $nearThreshold outside (0, 1]")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val base = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .persist(lvl)
+    val degenerate = col("text").isNull || trim(col("text")) === ""
+    val rej0 = base.filter(degenerate)
+      .select(col("doc_id"), col("text"),
+        lit(null).cast("long").as("cluster_id"),
+        lit("no_tokens").as("curation_reject"))
+    val s0 = base.filter(!degenerate)
+    val exact = Dedup.exactKeepFirst(s0, "text")
+    val rej1 = s0.join(exact.filter(col("is_dup") === 1).select("doc_id"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        lit(null).cast("long").as("cluster_id"),
+        lit("exact_dup").as("curation_reject"))
+    val s1 = s0.join(exact.filter(col("is_dup") === 0).select("doc_id"),
+      Seq("doc_id")).persist(lvl)
+    val (nn, no) = Dedup.incrementalCandidatePairs(s1,
+      oldDocs.select(col("doc_id"), col("text")), "text",
+      threshold = nearThreshold, md5Family = md5Family)
+    val (labels, labelH) = Dedup.incrementalLabels(s1, oldLabels, nn, no)
+    def labeledReject(ids: DataFrame, reason: String): DataFrame =
+      s1.join(ids, Seq("doc_id")).select(col("doc_id"), col("text"),
+        col("cluster_id"), lit(reason).as("curation_reject"))
+    val rej2a = labeledReject(labels.filter(col("attached_to_existing") === 1)
+      .select("doc_id", "cluster_id"), "dup_of_corpus")
+    val rej2b = labeledReject(labels.filter(col("attached_to_existing") === 0
+        && col("cluster_id") =!= col("doc_id"))
+      .select("doc_id", "cluster_id"), "near_dup")
+    val s2 = s1.join(labels.filter(col("attached_to_existing") === 0
+        && col("cluster_id") === col("doc_id"))
+      .select("doc_id", "cluster_id"), Seq("doc_id")).persist(lvl)
+    val gated = TextOps.curationGate(s2, "text", lm, maxPpl, bpe,
+      minTokens, maxTokens, minCompressRatio, maxCompressRatio)
+    val rej3 = gated.filter(col("gate_reason").isNotNull)
+      .select(col("doc_id"), col("text"), col("cluster_id"),
+        col("gate_reason").as("curation_reject"))
+    val s3 = gated.filter(col("gate_reason").isNull)
+      .select(col("doc_id"), col("text"), col("cluster_id"))
+    val (rej4, s4) = embedScreen match {
+      case None => (None, s3)
+      case Some(es) =>
+        val bad = graft.ml.Pca.reconstructionError(
+            es.embeddings.select(col(es.idCol).as("doc_id"), col(es.embCol)),
+            es.embCol, es.model)
+          .filter(col("pca_rec_err") > es.maxRecErr).select("doc_id")
+        (Some(s3.join(bad, Seq("doc_id")).select(col("doc_id"), col("text"),
+          col("cluster_id"), lit("embedding_outlier").as("curation_reject"))),
+          s3.join(bad, Seq("doc_id"), "left_anti"))
+    }
+    val keepers = s4.select(col("doc_id"), col("text"), col("cluster_id"),
+      lit(null).cast("string").as("curation_reject"))
+    val out = (Seq(keepers, rej0, rej1, rej2a, rej2b, rej3) ++ rej4)
+      .reduce(_ unionByName _)
+    (out, new IncrementHandle(Seq(new FuzzyJoin.PersistHandle(
+      Seq(base, s1, s2)), labelH)))
+  }
 }

@@ -14,6 +14,8 @@ class CurationRecipeSpec extends SparkSpec {
   private val fox = "the quick brown fox jumps over the lazy dog"
   private val hen = "a small red hen walks near the old stone wall"
   private val boiler = (0 until 30).map(i => s"boil$i").mkString(" ")
+  private def uniq(tag: String, n: Int): String =
+    (0 until n).map(i => s"${tag}w$i").mkString(" ")
 
   test("curateCorpus: every stage rejects its planted doc, keepers survive with post-cut text, counts from one aggregation") {
     import graft.ml.{Bpe, NgramLm, Pca}
@@ -102,6 +104,87 @@ class CurationRecipeSpec extends SparkSpec {
       Curation.curateCorpus(docs, "doc_id", "text", lm, 50.0, bpe,
         nearThreshold = 0.0)._2.close()
     }
+  }
+
+  test("curateIncrement: batch curated against an existing corpus in O(batch); keepers carry appendable labels") {
+    import graft.ml.{Bpe, NgramLm}
+    // existing corpus: in-domain text, its cluster index built with the
+    // md5 LSH family (the dedupClusters default) — the increment runs
+    // with md5Family = true so probe events match the index's generator
+    val old = Seq(
+      (1L, s"$fox ${uniq("oa", 20)}"),
+      (2L, s"$hen $hen ${uniq("ob", 15)}"),
+      (3L, uniq("oc", 40))
+    ).toDF("doc_id", "text")
+    val oldLabels = Dedup.dedupClusters(old, threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    // corpus-fit gate models (the in-domain distribution is the CORPUS's)
+    val train = Seq((1L, s"$fox " * 20 + s"$hen " * 20)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 50)
+
+    // fresh IN-DOMAIN text (every bigram occurs in the train corpus, so
+    // the gate passes) whose 3-shingle arrangement differs from every
+    // corpus doc (so the near stage does not attach it)
+    val fresh = "the lazy dog the lazy dog the quick brown fox jumps over " +
+      "the lazy dog a small red hen walks near the old stone wall " +
+      "a small red hen"
+    val batch = Seq(
+      (101L, s"$fox ${uniq("oa", 20)}"),      // exact copy of corpus doc 1
+      (102L, s"$hen $hen ${uniq("ob", 15)} a"), // near-dup of corpus doc 2
+      (103L, fresh),                          // fresh; canonical of {103,104}
+      (104L, s"$fresh a"),                    // near-dup of 103
+      (105L, fresh),                          // exact copy of 103 (in batch)
+      (106L, ""),                             // no_tokens
+      (107L, "zzq xkw vvp mmt ssr qqa wwb eec rrd ttf"), // high_perplexity
+      (108L, s"$fox $hen")                    // fresh keeper
+    ).toDF("doc_id", "text")
+
+    val (curated, handle) = Curation.curateIncrement(batch, "doc_id", "text",
+      old, oldLabels, lm, maxPpl = 50.0, bpe, minTokens = 5,
+      minCompressRatio = 0.12, maxCompressRatio = 1.5,
+      nearThreshold = 0.8, md5Family = true)
+    try {
+      val rows = curated.collect()
+      assert(rows.length == 8, s"one row per batch doc: ${rows.length}")
+      val reason = rows.map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+      val cluster = rows.map(r =>
+        r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      // duplicates of the corpus are rejected AND name what they duplicate
+      assert(reason(101L).contains("dup_of_corpus"), reason(101L).toString)
+      assert(cluster(101L).contains(1L), s"101 cluster: ${cluster(101L)}")
+      assert(reason(102L).contains("dup_of_corpus"), reason(102L).toString)
+      assert(cluster(102L).contains(2L), s"102 cluster: ${cluster(102L)}")
+      // within-batch structure: 105 exact-dups 103; 104 near-dups it;
+      // 103 is the unattached component's min-id canonical and KEEPS
+      assert(reason(105L).contains("exact_dup"), reason(105L).toString)
+      assert(reason(104L).contains("near_dup"), reason(104L).toString)
+      assert(cluster(104L).contains(103L), s"104 cluster: ${cluster(104L)}")
+      assert(reason(103L).isEmpty && cluster(103L).contains(103L),
+        s"103: ${reason(103L)} / ${cluster(103L)}")
+      assert(reason(106L).contains("no_tokens") && cluster(106L).isEmpty)
+      assert(reason(107L).contains("high_perplexity"), reason(107L).toString)
+      assert(reason(108L).isEmpty && cluster(108L).contains(108L),
+        s"108: ${reason(108L)} / ${cluster(108L)}")
+      // the keepers' (doc_id, cluster_id) rows are the exact append for
+      // the next increment's oldLabels — closing the daily loop
+      val nextLabels = oldLabels.unionByName(
+        curated.filter(col("curation_reject").isNull)
+          .select("doc_id", "cluster_id"))
+      assert(nextLabels.count() == 5, "3 old + 2 new keepers")
+      // day 2: a copy of yesterday's keeper 103 must now be dup_of_corpus
+      val day2 = Seq((201L, fresh)).toDF("doc_id", "text")
+      val (c2, h2) = Curation.curateIncrement(day2, "doc_id", "text",
+        old.unionByName(batch.filter(col("doc_id").isin(103L, 108L))),
+        nextLabels, lm, maxPpl = 50.0, bpe, minTokens = 5,
+        minCompressRatio = 0.12, maxCompressRatio = 1.5,
+        nearThreshold = 0.8, md5Family = true)
+      try {
+        val r2 = c2.collect().head
+        assert(r2.getString(3) == "dup_of_corpus" && r2.getLong(2) == 103L,
+          r2.toString)
+      } finally h2.close()
+    } finally handle.close()
   }
 
   test("curateCorpus on the corpus: stages only ever narrow, keepers pass a re-run of each gate") {

@@ -167,12 +167,15 @@ def lib_additions6(path):
             m = re.search(
                 r"lib_additions6 span_pairs_sampled=([0-9.]+) s "
                 r"curate_corpus=([0-9.]+) s"
+                r"(?: curate_increment=([0-9.]+) s)?"
                 r"(?: \(med of 3; curate: ([^)]+)\))?", line)
             if m:
                 out = {"span_pairs_sampled_sec": float(m.group(1)),
                        "curate_corpus_sec": float(m.group(2))}
                 if m.group(3):
-                    out["curate_protocol"] = m.group(3)
+                    out["curate_increment_sec"] = float(m.group(3))
+                if m.group(4):
+                    out["curate_protocol"] = m.group(4)
                 return out
     return None
 
