@@ -480,18 +480,24 @@ object Bench {
       // fixpoint) is an INPUT, prefit outside the timer like the models
       val batch13 = docs.filter(col("doc_id") % 10 === 0)
       val old13 = docs.filter(col("doc_id") % 10 =!= 0)
+      val lvl13 = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val oldLabels13 = graft.operators.Dedup
         .dedupClusters(old13, threshold = 0.8)
-        .select(col("doc_id"), col("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("doc_id"), col("cluster_id")).persist(lvl13)
       oldLabels13.count()
+      // yesterday's gram index is an input too — prefit like the labels
+      val gramIx13 = graft.operators.Dedup.gramIndex(old13, "text", n = 15)
+        .persist(lvl13)
+      gramIx13.count()
       val incT = med(() => {
         val (inc, h) = graft.operators.Curation.curateIncrement(
           batch13, "doc_id", "text", old13, oldLabels13, lm13,
-          maxPpl = 1e6, bpe13, nearThreshold = 0.8, md5Family = true)
+          maxPpl = 1e6, bpe13, nearThreshold = 0.8, md5Family = true,
+          spanIndex = Some(gramIx13), spanN = 15, minKeptRatio = 0.1)
         try evaluate(inc) finally h.close()
       })
       oldLabels13.unpersist(blocking = false)
+      gramIx13.unpersist(blocking = false)
       tee.log(f"[bench] lib_additions6 span_pairs_sampled=$sampT%.3f s " +
         f"curate_corpus=$curT%.3f s curate_increment=$incT%.3f s " +
         s"(med of 3; curate: $curProto)")

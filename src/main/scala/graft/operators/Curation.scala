@@ -199,13 +199,19 @@ object Curation {
     *    collision, Jaccard 1 ≥ any threshold). Unattached new
     *    components keep their min-id canonical; the rest are
     *    `near_dup`, exactly like the batch recipe.
-    *  - there is NO substring-cut stage: cutting spans shared with the
-    *    CORPUS needs a persisted corpus gram index (a real future
-    *    component, not something to fake with a corpus-wide gram join
-    *    that would dwarf the increment); within-batch-only spans on a
-    *    daily increment would mostly miss (the boilerplate's other
-    *    copies live in the corpus). The gate's compression-ratio tail
-    *    is the increment's boilerplate backstop, honestly weaker.
+    *  - the substring-cut stage runs IFF the caller supplies
+    *    `spanIndex` (a [[Dedup.gramIndex]] frame — built once per
+    *    corpus snapshot, persisted/bucketed like the label index):
+    *    [[Dedup.duplicatedSpansIncrement]] flags spans duplicated
+    *    against the corpus OR within the batch (batch gram set
+    *    broadcast, corpus index scanned once, never shuffled), the
+    *    spans are CUT, and docs gutted below `minKeptRatio` reject as
+    *    `boilerplate_gutted` — identical semantics to the batch
+    *    recipe's stage. Without an index the stage is SKIPPED
+    *    (within-batch-only spans on a daily increment would mostly
+    *    miss: the boilerplate's other copies live in the corpus), and
+    *    the gate's compression-ratio tail is the honestly-weaker
+    *    backstop.
     *  - the quality gate runs with CORPUS-fit models passed in (the
     *    in-domain distribution is the corpus's, not the increment's —
     *    fitting the LM on one day's crawl would make every topical
@@ -227,10 +233,14 @@ object Curation {
                       maxCompressRatio: Double = Double.MaxValue,
                       nearThreshold: Double = 0.8,
                       md5Family: Boolean = false,
+                      spanIndex: Option[DataFrame] = None,
+                      spanN: Int = 20, minKeptRatio: Double = 0.3,
                       embedScreen: Option[EmbedScreen] = None)
       : (DataFrame, IncrementHandle) = {
     require(nearThreshold > 0.0 && nearThreshold <= 1.0,
       s"curate increment: nearThreshold $nearThreshold outside (0, 1]")
+    require(minKeptRatio >= 0.0 && minKeptRatio <= 1.0,
+      s"curate increment: minKeptRatio $minKeptRatio outside [0, 1]")
     val lvl = StorageLevel.MEMORY_AND_DISK
     val base = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .persist(lvl)
@@ -263,7 +273,24 @@ object Curation {
     val s2 = s1.join(labels.filter(col("attached_to_existing") === 0
         && col("cluster_id") === col("doc_id"))
       .select("doc_id", "cluster_id"), Seq("doc_id")).persist(lvl)
-    val gated = TextOps.curationGate(s2, "text", lm, maxPpl, bpe,
+    // optional substring stage: cut corpus-or-batch-duplicated spans,
+    // reject the gutted — texts downstream (incl. keepers) are post-cut
+    val (rej2c, s2b) = spanIndex match {
+      case None => (None, s2)
+      case Some(ix) =>
+        val spans = Dedup.duplicatedSpansIncrement(s2, "doc_id", "text",
+          ix, n = spanN)
+        val cut = Dedup.cutSpans(s2, spans, "doc_id", "text")
+          .join(s2.select("doc_id", "cluster_id"), Seq("doc_id"))
+        (Some(cut.filter(col("kept_ratio") < minKeptRatio)
+          .select(col("doc_id"), col("text_dedup").as("text"),
+            col("cluster_id"),
+            lit("boilerplate_gutted").as("curation_reject"))),
+          cut.filter(col("kept_ratio") >= minKeptRatio)
+            .select(col("doc_id"), col("text_dedup").as("text"),
+              col("cluster_id")).persist(lvl))
+    }
+    val gated = TextOps.curationGate(s2b, "text", lm, maxPpl, bpe,
       minTokens, maxTokens, minCompressRatio, maxCompressRatio)
     val rej3 = gated.filter(col("gate_reason").isNotNull)
       .select(col("doc_id"), col("text"), col("cluster_id"),
@@ -283,9 +310,10 @@ object Curation {
     }
     val keepers = s4.select(col("doc_id"), col("text"), col("cluster_id"),
       lit(null).cast("string").as("curation_reject"))
-    val out = (Seq(keepers, rej0, rej1, rej2a, rej2b, rej3) ++ rej4)
-      .reduce(_ unionByName _)
-    (out, new IncrementHandle(Seq(new FuzzyJoin.PersistHandle(
-      Seq(base, s1, s2)), labelH)))
+    val out = (Seq(keepers, rej0, rej1, rej2a, rej2b) ++ rej2c ++
+      Seq(rej3) ++ rej4).reduce(_ unionByName _)
+    val persisted = Seq(base, s1, s2) ++ (if (s2b ne s2) Seq(s2b) else Nil)
+    (out, new IncrementHandle(Seq(
+      new FuzzyJoin.PersistHandle(persisted), labelH)))
   }
 }

@@ -1106,6 +1106,69 @@ object Dedup {
       .select(col(idCol), mergeWindowSpans(col("_ps"), n).as("spans"))
   }
 
+  /** Corpus gram INDEX for incremental substring dedup: the DISTINCT
+    * positional n-gram hashes of the corpus, one `h` column — the
+    * membership set [[duplicatedSpansIncrement]] probes a new batch
+    * against. Build it once per corpus snapshot (one tokenize+hash pass,
+    * one distinct exchange of 8-byte hashes) and persist it like
+    * [[clusterIndex]]'s labels or a bucketed table (`sources.Bucketing`
+    * on `h` makes the daily probe join shuffle-free); membership is all
+    * the increment needs — positions and df stay with the documents. */
+  def gramIndex(docs: DataFrame, textCol: String, n: Int = 20): DataFrame = {
+    require(n >= 2 && n <= 1000, s"gramIndex: n=$n out of [2, 1000]")
+    docs.select(explode(graft.functions.ShingleHashSeq(
+        lower(trim(col(textCol))), n)).as("h"))
+      .distinct()
+  }
+
+  /** Incremental substring COVERAGE — the per-batch twin of
+    * [[duplicatedSpans]] and the missing stage of the daily-increment
+    * curation loop: the maximal token spans of NEW documents whose
+    * length-n windows are duplicated either AGAINST THE CORPUS (gram
+    * hash present in `corpusGrams`, a [[gramIndex]] frame) or WITHIN
+    * the batch (≥ `minDf` distinct new documents — two new crawls of
+    * one template must flag even before the corpus ever sees it). One
+    * union of duplicated positions, one merge fold — the same span
+    * algebra ([[duplicatedSpans]]'s `mergeWindowSpans`), so batch and
+    * increment spans cannot drift.
+    *
+    * Scale shape (the [[incrementalCandidatePairs]] probe discipline):
+    * the batch's distinct gram hashes are BROADCAST against the corpus
+    * index — the corpus side is scanned once and never shuffled, the
+    * hits come back batch-sized, and everything downstream is O(batch).
+    * A corpus-side shuffle here would dwarf the increment, which is
+    * exactly why [[Curation.curateIncrement]] shipped WITHOUT this
+    * stage until the index existed. */
+  def duplicatedSpansIncrement(newDocs: DataFrame, idCol: String,
+                               textCol: String, corpusGrams: DataFrame,
+                               n: Int = 20, minDf: Int = 2): DataFrame = {
+    require(n >= 2 && n <= 1000, s"duplicatedSpansIncrement: n=$n out of [2, 1000]")
+    require(minDf >= 2, s"duplicatedSpansIncrement: minDf=$minDf must be >= 2")
+    require(corpusGrams.columns.contains("h"),
+      "duplicatedSpansIncrement: corpusGrams must be a gramIndex frame " +
+        s"with an 'h' column, got [${corpusGrams.columns.mkString(", ")}]")
+    val reserved = Set("pos", "h", "_df", "_ps", "spans")
+    require(!reserved.contains(idCol),
+      s"duplicatedSpansIncrement: idCol '$idCol' collides with an " +
+        "internal working column — rename the id column first")
+    val grams = newDocs.select(col(idCol),
+        posexplode(graft.functions.ShingleHashSeq(
+          lower(trim(col(textCol))), n)).as(Seq("pos", "h")))
+    val inBatch = grams.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("h"))
+    // batch gram set broadcast, corpus index streamed: hits ≤ batch grams
+    val vsCorpus = corpusGrams.select(col("h"))
+      .join(broadcast(grams.select(col("h")).distinct()), Seq("h"))
+    val dupHashes = inBatch.unionByName(vsCorpus).distinct()
+    grams.join(broadcast(dupHashes), Seq("h"))
+      .select(col(idCol), col("pos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+      .select(col(idCol), mergeWindowSpans(col("_ps"), n).as("spans"))
+  }
+
   /** Fold a SORTED position list into maximal merged [p, p+n) spans —
     * ONE definition shared by the coverage operator ([[duplicatedSpans]])
     * and the pairwise aligner ([[sharedSpanPairs]]), so the span algebra

@@ -187,6 +187,81 @@ class CurationRecipeSpec extends SparkSpec {
     } finally handle.close()
   }
 
+  test("curateIncrement with a gram index: corpus boilerplate is cut from the batch; batch-only templates flag too") {
+    import graft.ml.{Bpe, NgramLm}
+    val boiler2 = (0 until 30).map(i => s"b2x$i").mkString(" ")
+    val tmpl = (0 until 15).map(i => s"tmplx$i").mkString(" ")
+    // two distinct boilerplate blocks live ONLY in the corpus (one each)
+    val old = Seq(
+      (1L, s"${uniq("oa", 40)} $boiler"),
+      (2L, s"${uniq("ob", 10)} $boiler2"),
+      (3L, uniq("oc", 30))
+    ).toDF("doc_id", "text")
+    val oldLabels = Dedup.dedupClusters(old, threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    val index = Dedup.gramIndex(old, "text", n = 10)
+    val train = Seq((1L, s"$fox " * 20 + s"$hen " * 20)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 50)
+
+    // each keeper's unique part is its OWN in-domain cycle (every bigram
+    // seen in train), so no two batch docs share a 10-token window
+    // outside the planted blocks — the first draft chained the SAME
+    // phrase sequences in two docs and the operator (correctly) flagged
+    // the real 10-token overlaps it created
+    val cyc1 = ("the lazy dog " * 9).trim                       // 27 tokens
+    val cyc2 = ("the quick brown fox jumps over " * 3).trim     // 18 tokens
+    val cyc3 = ("a small red hen walks near " * 3).trim         // 18 tokens
+    val batch = Seq(
+      // boiler appears ONCE in the batch: only the corpus index can cut it
+      (101L, s"$cyc1 $boiler"),
+      // mostly corpus boilerplate -> gutted (again: corpus-index-only)
+      (102L, s"the lazy dog $boiler2"),
+      // a batch-only template shared by two new docs: the within-batch
+      // leg must cut it even though the corpus has never seen it
+      (103L, s"$cyc2 $tmpl"),
+      (104L, s"$cyc3 $tmpl")
+    ).toDF("doc_id", "text")
+
+    val (curated, handle) = Curation.curateIncrement(batch, "doc_id", "text",
+      old, oldLabels, lm, maxPpl = 50.0, bpe, minTokens = 5,
+      minCompressRatio = 0.12, maxCompressRatio = 1.5,
+      nearThreshold = 0.8, md5Family = true,
+      spanIndex = Some(index), spanN = 10, minKeptRatio = 0.3)
+    try {
+      val rows = curated.collect()
+      assert(rows.length == 4, s"${rows.length}")
+      val byId = rows.map(r => r.getLong(0) ->
+        (Option(r.getString(3)), r.getString(1))).toMap
+      // 101: keeper, corpus boiler cut verbatim (27/57 kept >= 0.3)
+      assert(byId(101L)._1.isEmpty, byId(101L).toString)
+      assert(byId(101L)._2 == cyc1, s"101 text: ${byId(101L)._2}")
+      // 102: gutted by the corpus block (3/33 kept), evidence text carried
+      assert(byId(102L)._1.contains("boilerplate_gutted"), byId(102L).toString)
+      assert(byId(102L)._2 == "the lazy dog", s"102 text: ${byId(102L)._2}")
+      // 103/104: keepers with the batch-only template cut
+      assert(byId(103L)._1.isEmpty && byId(103L)._2 == cyc2, byId(103L).toString)
+      assert(byId(104L)._1.isEmpty && byId(104L)._2 == cyc3, byId(104L).toString)
+      // without the index, the corpus boilerplate sails through untouched
+      val (noIx, h2) = Curation.curateIncrement(batch, "doc_id", "text",
+        old, oldLabels, lm, maxPpl = 50.0, bpe, minTokens = 5,
+        minCompressRatio = 0.12, maxCompressRatio = 1.5,
+        nearThreshold = 0.8, md5Family = true)
+      try {
+        val t101 = noIx.filter(col("doc_id") === 101L)
+          .select("text").head.getString(0)
+        assert(t101 == s"$cyc1 $boiler",
+          "index-less increment must not cut (stage skipped, documented)")
+      } finally h2.close()
+    } finally handle.close()
+    // the index builder refuses silly n; the prober refuses a non-index frame
+    intercept[IllegalArgumentException] { Dedup.gramIndex(old, "text", n = 1) }
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpansIncrement(batch, "doc_id", "text",
+        old.select(col("text")), n = 10)
+    }
+  }
+
   test("curateCorpus on the corpus: stages only ever narrow, keepers pass a re-run of each gate") {
     import graft.ml.{Bpe, NgramLm}
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
