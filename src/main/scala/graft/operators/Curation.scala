@@ -50,6 +50,10 @@ import org.apache.spark.storage.StorageLevel
   * AS OF its final stage (post-cut for everything that survived the
   * substring stage — i.e. keepers carry the text a training run should
   * ingest, and rejects carry the evidence that condemned them).
+  * Post-cut text keeps the document's ORIGINAL CASE ([[Dedup.cutSpans]]
+  * cuts from original-case tokens; only whitespace runs collapse) —
+  * the recipe never case-folds what it keeps, it only case-folds what
+  * it HASHES.
   * Per-stage reject counts are one aggregation away
   * ([[rejectCounts]]) — no stage in this function runs a count of its
   * own, so adding the recipe on top of the stages costs zero extra
@@ -111,7 +115,11 @@ object Curation {
     // the dedup stages' shingle algebra degenerates on empty token
     // streams (null and "" share the singleton empty shingle — they
     // would cluster as near-dups and one would steal a canonical slot).
-    val degenerate = col("text").isNull || trim(col("text")) === ""
+    // Whitespace-only is the TOKENIZER's notion (`\s`-only text — the
+    // same class the `\s+` split sees), not trim()'s ASCII-space-only
+    // one: a '\t'- or '\n'-only document has zero tokens too (r13
+    // ADVICE — trim() let those flow into the shingle algebra).
+    val degenerate = col("text").isNull || col("text").rlike("^\\s*$")
     val rej0 = base.filter(degenerate)
       .select(col("doc_id"), col("text"), lit("no_tokens").as("curation_reject"))
     val s0 = base.filter(!degenerate)
@@ -153,10 +161,14 @@ object Curation {
     val (rej5, s5) = embedScreen match {
       case None => (None, s4)
       case Some(es) =>
+        // distinct: a doc with several embedding rows (re-embeds, shard
+        // overlap) must reject ONCE — duplicate outlier ids would break
+        // the one-row-per-input-document invariant (r13 ADVICE)
         val bad = graft.ml.Pca.reconstructionError(
             es.embeddings.select(col(es.idCol).as("doc_id"), col(es.embCol)),
             es.embCol, es.model)
           .filter(col("pca_rec_err") > es.maxRecErr).select("doc_id")
+          .distinct()
         (Some(reject(bad, s4, "embedding_outlier")),
           s4.join(bad, Seq("doc_id"), "left_anti"))
     }
@@ -244,7 +256,9 @@ object Curation {
     val lvl = StorageLevel.MEMORY_AND_DISK
     val base = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .persist(lvl)
-    val degenerate = col("text").isNull || trim(col("text")) === ""
+    // same tokenizer-matched whitespace class as the batch recipe's
+    // stage 0 (see curateCorpus — trim() misses '\t'/'\n'-only text)
+    val degenerate = col("text").isNull || col("text").rlike("^\\s*$")
     val rej0 = base.filter(degenerate)
       .select(col("doc_id"), col("text"),
         lit(null).cast("long").as("cluster_id"),
@@ -300,10 +314,12 @@ object Curation {
     val (rej4, s4) = embedScreen match {
       case None => (None, s3)
       case Some(es) =>
+        // distinct for the same one-row-per-doc reason as the batch form
         val bad = graft.ml.Pca.reconstructionError(
             es.embeddings.select(col(es.idCol).as("doc_id"), col(es.embCol)),
             es.embCol, es.model)
           .filter(col("pca_rec_err") > es.maxRecErr).select("doc_id")
+          .distinct()
         (Some(s3.join(bad, Seq("doc_id")).select(col("doc_id"), col("text"),
           col("cluster_id"), lit("embedding_outlier").as("curation_reject"))),
           s3.join(bad, Seq("doc_id"), "left_anti"))

@@ -840,11 +840,16 @@ object Dedup {
     * md5-60 shingle hashes, splitmix signature mixing in UHUGEINT
     * mod-2^64, band keys, bucket-join candidates, exact jaccard on the
     * hash sets. Ends at the `pairs` CTE; consumers append their own tail:
-    * the dedup_minhash profile, the dedup_ngram pair list, and (r10) the
-    * cluster closure — one proven replay, three gated surfaces. */
-  val md5MinhashPairsCtes: String =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    * the dedup_minhash profile, the dedup_ngram pair list, the (r10)
+    * cluster closure, and (r14) the curation-recipe oracle — one proven
+    * replay, four gated surfaces. `src` = the (doc_id, text) relation the
+    * pairs are generated over: band keys are per-document, so pairs over
+    * a SUBSET of documents (the recipe's exact-dedup survivors) are the
+    * full generator's pairs restricted to that subset — the same CTEs
+    * serve both. */
+  def md5MinhashPairsCtesFrom(src: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM $src
       |),
       |sh0 AS (
       |  SELECT doc_id, list_sort(list_distinct(list_transform(
@@ -891,6 +896,8 @@ object Dedup {
       |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
       |  FROM cand JOIN sh0 x ON x.doc_id = cand.doc_id_a
       |            JOIN sh0 y ON y.doc_id = cand.doc_id_b)""".stripMargin
+
+  val md5MinhashPairsCtes: String = md5MinhashPairsCtesFrom("documents")
 
   val dedupMinhashSql: String =
     s"""WITH $md5MinhashPairsCtes,
@@ -1055,12 +1062,21 @@ object Dedup {
     * tokens, so original whitespace runs collapse to single spaces —
     * the same normalization every tokenized consumer downstream (and
     * the reference pipeline's space-separated format) already applies.
+    * Tokens keep their ORIGINAL CASE: span detection hashes lowercased
+    * grams, but the span indices address token POSITIONS, which
+    * case-folding cannot move — so the text a keeper carries is the
+    * document's own words minus the cut ranges, not a case-normalized
+    * copy (r13 ADVICE: the old wsTokens-based cut silently lowercased
+    * every surviving document, a contract the scaladoc never stated).
     * `kept_ratio` carries the per-doc survival fraction so curation can
     * gate on "mostly boilerplate" docs directly. */
   def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
                textCol: String): DataFrame = {
     val joined = docs.join(spans, Seq(idCol), "left")
-    val toks = graft.operators.TextOps.wsTokens(col(textCol))
+    // original-case tokens: same `\s+` boundaries as the hashing pass's
+    // lower(trim(...)) tokenizer (lowercasing never creates or removes
+    // whitespace), so position i here IS position i in the span frame
+    val toks = split(trim(col(textCol)), "\\s+")
     val kept = filter(toks, (_, i) =>
       coalesce(!exists(col("spans"),
         s => i >= s.getField("start") && i < s.getField("end")), lit(true)))
@@ -1304,20 +1320,31 @@ object Dedup {
     * boilerplate block would be a quadratic artifact nobody reads.
     *
     * Output: the [[sharedSpanPairs]] six span coordinates plus
-    * `span_df` (the largest per-gram document frequency merged into the
-    * run — for sampled boilerplate this IS the "~N documents share this"
-    * estimate; exact, not sketched, because the df gate already counts
-    * it) and `sampled` (true iff the run contains a gram beyond maxDf,
-    * i.e. its pair list is an example, not an enumeration). Low-df rows
-    * are IDENTICAL to the base operator's (SubstringDedupSpec pins
-    * this), so this is a superset report, not a different operator.
+    * `span_df` (the largest per-gram document frequency among the
+    * windows merged into THIS span — per merged span, not per
+    * (pair, diagonal) group, so a low-df run that happens to share a
+    * diagonal with a distant mega-df run keeps its own honest df; for
+    * sampled boilerplate this IS the "~N documents share this" estimate;
+    * exact, not sketched, because the df gate already counts it) and
+    * `sampled` (true iff THIS span contains a gram beyond maxDf, i.e.
+    * its pair list is an example, not an enumeration). Rows with
+    * `sampled = false` are bit-identical to the base operator's
+    * (SubstringDedupSpec pins this); a base run that a sampled mega-df
+    * window overlaps or abuts merges INTO the containing sampled run —
+    * the run genuinely is one contiguous shared block for that pair, so
+    * reporting it split would be the lie.
     *
-    * Scale: the sample ranking is one ids-only exchange on (h, id) with
-    * a per-hash top-k (window over the gram hash — each hash group holds
-    * df rows, sorted once, k kept), then the identical alignment join as
-    * the base path over `small ∪ sampled` hits, whose per-gram fan-out
-    * is ≤ C(max(maxDf, sampleDocs), 2) by construction. The same
-    * intra-document repetition caveat as the base operator applies. */
+    * Scale: the sample ranking is one ids-only exchange on (h, id) into
+    * the bounded-state `smallest_k` aggregate — O(sampleDocs) state per
+    * gram with map-side partials (the r13 shape was a row_number()
+    * window: an O(df log df) single-task sort per mega gram, which for
+    * the df-millions license block this operator exists for is exactly
+    * the skew the house bans; same rows by construction — bottom-k
+    * under the same (xxhash64(id), id) total order). Then the identical
+    * alignment join as the base path over `small ∪ sampled` hits, whose
+    * per-gram fan-out is ≤ C(max(maxDf, sampleDocs), 2) by
+    * construction. The same intra-document repetition caveat as the
+    * base operator applies. */
   def sharedSpanPairsSampled(docs: DataFrame, idCol: String, textCol: String,
                              n: Int = 20, maxDf: Int = 16,
                              sampleDocs: Int = 8): DataFrame = {
@@ -1330,8 +1357,8 @@ object Dedup {
       s"sharedSpanPairsSampled: sampleDocs=$sampleDocs > maxDf=$maxDf " +
         "would make the sampled path MORE quadratic than the gate it " +
         "relieves; raise maxDf instead if that spend is intended")
-    val reserved = Set("pos", "h", "_df", "_ps", "_diag", "_s", "_rk",
-      "id_a", "id_b", "pos_a", "pos_b", "span_df", "sampled")
+    val reserved = Set("pos", "h", "_df", "_ps", "_diag", "_s", "_ks",
+      "_pd", "id_a", "id_b", "pos_a", "pos_b", "span_df", "sampled")
     require(!reserved.contains(idCol),
       s"sharedSpanPairsSampled: idCol '$idCol' collides with an internal " +
         "working column — rename the id column first")
@@ -1346,13 +1373,17 @@ object Dedup {
     // mega-df grams: keep only the bottom-`sampleDocs` documents per
     // hash under the GLOBAL deterministic per-document rank (ties by
     // id — total order, so the sample is unique and replayable; see
-    // the scaladoc for why the rank must not depend on h)
+    // the scaladoc for why the rank must not depend on h). smallest_k
+    // keeps O(sampleDocs) state per gram with map-side partials — a
+    // window would sort all df rows of a mega gram in one task
     val megaSample = hits.filter(col("_df") > maxDf)
       .select(col("h"), col(idCol)).distinct()
-      .withColumn("_rk", row_number().over(Window.partitionBy(col("h"))
-        .orderBy(xxhash64(col(idCol)), col(idCol))))
-      .filter(col("_rk") <= sampleDocs)
-      .select(col("h"), col(idCol))
+      .groupBy(col("h"))
+      .agg(graft.functions.SmallestK.smallestK(
+        struct(xxhash64(col(idCol)).as("rk"), col(idCol).as("id")),
+        sampleDocs).as("_ks"))
+      .select(col("h"), explode(col("_ks")).as("_pd"))
+      .select(col("h"), col("_pd.id").as(idCol))
     val mega = hits.filter(col("_df") > maxDf)
       .join(megaSample, Seq("h", idCol))
     val all = small.unionByName(mega)
@@ -1361,16 +1392,42 @@ object Dedup {
     val gb = all.select(col("h"), col(idCol).as("id_b"), col("pos").as("pos_b"))
     ga.join(gb, Seq("h")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (col("pos_a") - col("pos_b")).as("_diag"), col("pos_a"), col("_df"))
+        (col("pos_a") - col("pos_b")).as("_diag"),
+        struct(col("pos_a").as("p"), col("_df").as("df")).as("_pd"))
       .groupBy(col("id_a"), col("id_b"), col("_diag"))
-      .agg(sort_array(collect_list(col("pos_a"))).as("_ps"),
-        max(col("_df")).as("span_df"))
-      .select(col("id_a"), col("id_b"), col("_diag"), col("span_df"),
-        explode(mergeWindowSpans(col("_ps"), n)).as("_s"))
+      // (p, df) pairs sorted by position — one gram hash per (doc, pos),
+      // so p is unique within the group and the struct sort is a sort
+      // by position; the merge fold then carries each span's OWN max df
+      .agg(sort_array(collect_list(col("_pd"))).as("_ps"))
+      .select(col("id_a"), col("id_b"), col("_diag"),
+        explode(mergeWindowSpansDf(col("_ps"), n)).as("_s"))
       .select(col("id_a"), col("id_b"),
         col("_s.start").as("start_a"), col("_s.end").as("end_a"),
         (col("_s.start") - col("_diag")).cast("int").as("start_b"),
         (col("_s.end") - col("_diag")).cast("int").as("end_b"),
-        col("span_df"), (col("span_df") > maxDf).as("sampled"))
+        col("_s.df").as("span_df"), (col("_s.df") > maxDf).as("sampled"))
   }
+
+  /** [[mergeWindowSpans]] over (position, df) structs: identical span
+    * algebra, but each merged span carries the MAX per-gram df of the
+    * windows folded into it — so [[sharedSpanPairsSampled]]'s `span_df`
+    * and `sampled` are properties of the span itself, not inherited
+    * from whatever else shares the (pair, diagonal) group (r13 ADVICE:
+    * a low-df-only run used to inherit a distant mega run's df). */
+  private def mergeWindowSpansDf(sortedPds: Column, n: Int): Column =
+    aggregate(sortedPds,
+      array().cast("array<struct<start:int,end:int,df:bigint>>"),
+      (acc, pd) => {
+        val last = element_at(acc, -1)
+        val p = pd.getField("p")
+        when(size(acc) > 0 && p <= last.getField("end"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("start").as("start"),
+              (p + n).cast("int").as("end"),
+              greatest(last.getField("df"), pd.getField("df")).as("df")))))
+          .otherwise(concat(acc,
+            array(struct(p.cast("int").as("start"),
+              (p + n).cast("int").as("end"),
+              pd.getField("df").as("df")))))
+      })
 }

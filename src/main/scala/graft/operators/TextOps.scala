@@ -338,31 +338,37 @@ object TextOps {
     }
   }
 
-  /** Full DuckDB replay of the Stupid Backoff fit + score + threshold:
-    * same tokenizer contract (lowercase, ASCII `\s+` split, empties
-    * dropped), same top-K head pruning with (count desc, gram) ties,
-    * same context-survival gating of the folded ratios, same add-one
-    * smoothed unigram floor. */
-  val curationGateSql: String =
-    """WITH toks AS (
+  /** Shared DuckDB CTE chain for the Stupid Backoff FIT on the full
+    * documents corpus — same tokenizer contract as the native kernel
+    * (lowercase, ASCII `\s+` split, empties dropped), same top-K head
+    * pruning with (count desc, gram) ties, same context-survival gating
+    * of the folded ratios, same add-one smoothed unigram floor. Ends at
+    * the ratio tables `r1`/`r2`/`r3` (+ `consts`, and `fctx` = the
+    * fit corpus's own token stream with its two lags); consumers append
+    * a [[backoffScoredCte]] tail over whatever (doc_id, w, w1, w2)
+    * token stream they score — the gate scores the corpus itself, the
+    * curation-recipe oracle scores post-cut survivor streams. One
+    * proven replay, two gated surfaces. */
+  private[operators] val backoffFitCtes: String =
+    """ftoks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
       |  FROM documents),
-      |tok AS (
+      |ftok AS (
       |  SELECT doc_id, u.pos AS pos, u.w AS w
       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts)+1),
-      |          i -> {'pos': i, 'w': ts[i]})) AS u FROM toks)),
-      |ctx AS (
+      |          i -> {'pos': i, 'w': ts[i]})) AS u FROM ftoks)),
+      |fctx AS (
       |  SELECT doc_id, pos, w,
       |         lag(w)    OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
       |         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-      |  FROM tok),
-      |g1 AS (SELECT w AS g, count(*) AS n FROM tok GROUP BY 1),
+      |  FROM ftok),
+      |g1 AS (SELECT w AS g, count(*) AS n FROM ftok GROUP BY 1),
       |k1 AS (SELECT g, n FROM g1 ORDER BY n DESC, g LIMIT 65536),
-      |g2 AS (SELECT w1 || ' ' || w AS g, count(*) AS n FROM ctx
+      |g2 AS (SELECT w1 || ' ' || w AS g, count(*) AS n FROM fctx
       |       WHERE w1 IS NOT NULL GROUP BY 1),
       |k2 AS (SELECT g, n FROM g2 ORDER BY n DESC, g LIMIT 131072),
-      |g3 AS (SELECT w2 || ' ' || w1 || ' ' || w AS g, count(*) AS n FROM ctx
+      |g3 AS (SELECT w2 || ' ' || w1 || ' ' || w AS g, count(*) AS n FROM fctx
       |       WHERE w2 IS NOT NULL GROUP BY 1),
       |k3 AS (SELECT g, n FROM g3 ORDER BY n DESC, g LIMIT 131072),
       |consts AS (SELECT (SELECT sum(n) FROM g1) AS bigN,
@@ -372,19 +378,32 @@ object TextOps {
       |         (string_split(k3.g, ' '))[1:2], 'string_agg', ' ')),
       |r2 AS (SELECT k2.g, k2.n * 1.0 / k1.n AS s FROM k2
       |       JOIN k1 ON k1.g = string_split(k2.g, ' ')[1]),
-      |r1 AS (SELECT g, (n + 1.0) / (c.bigN + c.U + 1) AS s FROM k1, consts c),
-      |scored AS (
-      |  SELECT ctx.doc_id,
+      |r1 AS (SELECT g, (n + 1.0) / (c.bigN + c.U + 1) AS s FROM k1, consts c)"""
+      .stripMargin
+
+  /** The Stupid Backoff scoring tail over a (doc_id, w, w1, w2) CTE
+    * named `ctxSrc` — one `scored` CTE emitting the per-token backoff
+    * probability under [[backoffFitCtes]]' ratio tables. */
+  private[operators] def backoffScoredCte(ctxSrc: String): String =
+    s"""scored AS (
+      |  SELECT $ctxSrc.doc_id,
       |    CASE WHEN w2 IS NOT NULL THEN coalesce(t3.s,
       |           0.4 * coalesce(t2.s, 0.4 * coalesce(t1.s, 1.0 / (c.bigN + c.U + 1))))
       |         WHEN w1 IS NOT NULL THEN coalesce(t2.s,
       |           0.4 * coalesce(t1.s, 1.0 / (c.bigN + c.U + 1)))
       |         ELSE coalesce(t1.s, 1.0 / (c.bigN + c.U + 1)) END AS s
-      |  FROM ctx
+      |  FROM $ctxSrc
       |  CROSS JOIN consts c
       |  LEFT JOIN r3 t3 ON w2 IS NOT NULL AND t3.g = w2 || ' ' || w1 || ' ' || w
       |  LEFT JOIN r2 t2 ON w1 IS NOT NULL AND t2.g = w1 || ' ' || w
-      |  LEFT JOIN r1 t1 ON t1.g = w),
+      |  LEFT JOIN r1 t1 ON t1.g = w)""".stripMargin
+
+  /** Full DuckDB replay of the Stupid Backoff fit + score + threshold
+    * ([[backoffFitCtes]] + [[backoffScoredCte]] over the fit corpus's
+    * own token stream). */
+  val curationGateSql: String =
+    s"""WITH $backoffFitCtes,
+      |${backoffScoredCte("fctx")},
       |perdoc AS (
       |  SELECT doc_id, count(*) AS lm_tokens, exp(-avg(ln(s))) AS ppl
       |  FROM scored GROUP BY doc_id)

@@ -262,6 +262,48 @@ class CurationRecipeSpec extends SparkSpec {
     }
   }
 
+  test("curateCorpus: tab/newline-only text is no_tokens; duplicate embedding rows reject a doc once; keeper case survives") {
+    import graft.ml.{Bpe, NgramLm, Pca}
+    val train = Seq((1L, s"$fox " * 20 + s"$hen " * 20)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 50)
+    val docs = Seq(
+      (1L, "The Quick Brown Fox Jumps Over The Lazy Dog"), // keeper, MIXED case
+      (2L, "\t\n \t"),                    // whitespace the tokenizer sees as
+      (3L, "\n\n"),                       // empty but ASCII trim() does not
+      (4L, hen)                           // keeper / outlier per screen below
+    ).toDF("doc_id", "text")
+    val rnd = new scala.util.Random(7L)
+    val fitRows = (100 until 160).map { i =>
+      (i.toLong, Array(rnd.nextGaussian() * 5, rnd.nextGaussian() * 2, 0.0, 0.0))
+    }.toDF("id", "emb")
+    val model = Pca.fit(fitRows, "emb", k = 2)
+    // doc 4 appears TWICE in the embedding table, both rows off-subspace:
+    // exactly one embedding_outlier row must come back (r13 ADVICE — the
+    // un-deduplicated screen emitted one reject per embedding row)
+    val screen = Seq(
+      (4L, Array(0.0, 0.0, 5.0, 0.0)),
+      (4L, Array(0.0, 0.0, 6.0, 0.0))
+    ).toDF("id", "emb")
+    val (curated, handle) = Curation.curateCorpus(docs, "doc_id", "text",
+      lm, maxPpl = 50.0, bpe, nearThreshold = 0.8, spanN = 10,
+      embedScreen = Some(Curation.EmbedScreen(screen, "id", "emb", model,
+        maxRecErr = 1.0)))
+    try {
+      val rows = curated.collect()
+      assert(rows.length == 4, s"one row per input doc: ${rows.length}")
+      val reason = rows.map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(reason(2L).contains("no_tokens") && reason(3L).contains("no_tokens"),
+        s"tab/newline-only must be no_tokens: ${reason(2L)} / ${reason(3L)}")
+      assert(reason(4L).contains("embedding_outlier"), reason(4L).toString)
+      // the keeper's text is its own words, original case (cutSpans fix)
+      val keeper = rows.find(_.getLong(0) == 1L).get
+      assert(reason(1L).isEmpty, reason(1L).toString)
+      assert(keeper.getString(1) == "The Quick Brown Fox Jumps Over The Lazy Dog",
+        s"keeper text case-folded: ${keeper.getString(1)}")
+    } finally handle.close()
+  }
+
   test("curateCorpus on the corpus: stages only ever narrow, keepers pass a re-run of each gate") {
     import graft.ml.{Bpe, NgramLm}
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

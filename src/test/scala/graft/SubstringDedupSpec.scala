@@ -255,6 +255,69 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("cutSpans keeps the original case: detection hashes lowercase, the cut returns the document's own words") {
+    // doc 1 carries the shared block in MIXED case, doc 2 in lowercase:
+    // the lowercased gram hashes still match (the span is found), but the
+    // text each doc gets back is its OWN casing minus the cut — the r13
+    // ADVICE caught the old wsTokens-based cut silently lowercasing every
+    // surviving document, including ones with zero spans cut
+    val mixedBoiler = (0 until 30).map(i => s"Boil$i").mkString(" ")
+    val upperTail = (0 until 20).map(i => s"TAIL$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 20)} $mixedBoiler $upperTail"),
+      (2L, s"${uniq("c", 25)} ${mixedBoiler.toLowerCase} ${uniq("d", 10)}"),
+      (3L, s"Untouched Doc ${uniq("e", 20)}")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 10)
+    val cut = Dedup.cutSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == s"${uniq("a", 20)} $upperTail", s"doc 1: ${cut(1L)}")
+    assert(cut(2L) == s"${uniq("c", 25)} ${uniq("d", 10)}", s"doc 2: ${cut(2L)}")
+    // a doc with NO spans cut must come back verbatim (token-joined),
+    // not case-folded
+    assert(cut(3L) == s"Untouched Doc ${uniq("e", 20)}", s"doc 3: ${cut(3L)}")
+  }
+
+  test("sharedSpanPairsSampled: span_df and sampled are per merged span, not per diagonal group") {
+    // 100 docs share a mega boilerplate block; two of the SAMPLED docs
+    // additionally share a private 15-token block on the SAME diagonal.
+    // The private run must keep its own df (2, sampled=false) instead of
+    // inheriting the mega run's 100 (the r13 ADVICE finding) — and the
+    // mega run must still report df=100, sampled=true.
+    // replicate the operator's sample selection driver-side: bottom-8
+    // ids under (xxhash64(id), id) — the sample depends only on ids, so
+    // the fixture can plant the private block on two docs it KNOWS are
+    // sampled
+    val ranked = ss.range(1, 101)
+      .select(col("id"), xxhash64(col("id")).as("rk"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sorted.take(8).map(_._2)
+    val Seq(a, b) = ranked.sorted.take(2).toSeq
+    val priv = (0 until 15).map(i => s"privp$i").mkString(" ")
+    val docs = (1 to 100).map { i =>
+      val base = s"${uniq(s"u$i", 12)} $boiler"
+      val text = if (i.toLong == a || i.toLong == b)
+        s"$base ${uniq(s"gap$i", 10)} $priv" else base
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val rows = Dedup.sharedSpanPairsSampled(docs, "doc_id", "text",
+      n = 10, maxDf = 16, sampleDocs = 8).collect()
+    // C(8,2) mega alignments plus ONE private low-df alignment
+    assert(rows.length == 8 * 7 / 2 + 1, s"got ${rows.length} rows")
+    val privRows = rows.filter(r => !r.getBoolean(7))
+    assert(privRows.length == 1, s"low-df rows: ${privRows.mkString("; ")}")
+    val pr = privRows.head
+    assert((pr.getLong(0), pr.getLong(1)) == ((math.min(a, b), math.max(a, b))))
+    // priv occupies tokens [52, 67) of both docs; its own honest df is 2
+    assert((pr.getInt(2), pr.getInt(3), pr.getInt(4), pr.getInt(5)) ==
+      ((52, 67, 52, 67)), pr.toString)
+    assert(pr.getLong(6) == 2L, s"span_df must be the span's own df: $pr")
+    rows.filter(_.getBoolean(7)).foreach { r =>
+      assert(r.getLong(6) == 100L && (r.getInt(2), r.getInt(3)) == ((12, 42)),
+        s"mega run: $r")
+    }
+  }
+
   test("guardrails: n and minDf bounds; reserved id-column names refused") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
