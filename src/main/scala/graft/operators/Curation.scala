@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -179,6 +179,179 @@ object Curation {
       .reduce(_ unionByName _)
     (out, new FuzzyJoin.PersistHandle(Seq(base, s1, s3)))
   }
+
+  /** Gated-query form of [[curateCorpus]] (driver oracle slot
+    * `curation_recipe`): the WHOLE batch recipe over the documents
+    * corpus, hash-matched per document — (doc_id, text-as-of-final-
+    * stage, curation_reject) — against a DuckDB replay that composes
+    * every stage's already-proven oracle: the md5 keep-first window
+    * (dedup_exact_keep_first), the md5-minhash LSH pairs + recursive-CTE
+    * closure over the exact-dedup SURVIVORS (dedup_clusters — band keys
+    * are per-document, so survivor pairs are the full generator's pairs
+    * restricted to survivors), an exact gram-string replay of the
+    * substring coverage + cut (window positions, token-index coverage,
+    * original-case reassembly, the rounded kept_ratio — gram EQUALITY is
+    * all [[Dedup.duplicatedSpans]]' xxhash64 kernel encodes, so grouping
+    * by the gram string is the same operator modulo hash collisions, the
+    * dedup_minhash md5-family precedent's cheaper sibling), and the full
+    * Stupid Backoff fit + re-scoring of each survivor's POST-CUT token
+    * stream (curation_gate) with the threshold verdict.
+    *
+    * Configuration, argued: `nearThreshold = 0.5` is the proven cluster
+    * replay's threshold; `spanN = 5` and `minKeptRatio = 0.9` are a
+    * STRICT profile chosen so the substring stage FIRES at the verify
+    * SF — the corpus's only cross-document shared windows of ≥ 6 tokens
+    * live inside near-dup clusters, which stage 2 removes (measured:
+    * 24/6/448 near_dup/boilerplate_gutted/high_perplexity rejects and 22
+    * keepers at sf0.01), and a stage the data never exercises would gate
+    * nothing. kept_ratio is a ratio of two integers rounded identically
+    * in both engines, so the 0.9 comparison is drift-free by
+    * construction; `maxPpl = 14.2` is curation_gate's threshold, and the
+    * nearest post-cut survivor sits 0.26 away at sf0.01 (the measured-
+    * margin honesty rule). The compression and token-budget bands stay
+    * wide open for the same reason as curation_gate's (DuckDB has no
+    * deflate and a second model fit would gate the oracle on BPE
+    * internals), so those reasons are spec-gated
+    * (CurationRecipeSpec), not hash-gated.
+    *
+    * Block lifetime: the recipe's near-dup fixpoint leaves ONE label
+    * checkpoint alive (localCheckpoint lineage is truncated — it CANNOT
+    * be freed before the result is materialized), and the driver's
+    * query contract hands back a bare DataFrame with nobody downstream
+    * to close a handle. So the query is SESSION-SCOPED like
+    * [[Dedup.clusterIndex]] and [[TextOps.gateModels]]: built once per
+    * (app, sfDir) — one bounded checkpoint + the three persisted stage
+    * frames live for the session, every rep re-evaluates the (lazy)
+    * verdict frame against them, and `SPARK_GRAFT_COLD=1` bypasses the
+    * memo so a cold measurement pays the true fixpoint cost (the
+    * uncached per-call cost also stays on lib_additions6's
+    * `curate_corpus` forensics line, where the handle IS closed per
+    * rep). */
+  def curationRecipeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    def build(): DataFrame = {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val (lm, bpe) = TextOps.gateModels(spark, sfDir)
+      val (out, _) = curateCorpus(docs, "doc_id", "text", lm,
+        maxPpl = 14.2, bpe, nearThreshold = 0.5, spanN = 5,
+        minKeptRatio = 0.9)
+      // the handle is deliberately NOT closed: its three persisted
+      // frames are the session state this memo exists to own
+      out
+    }
+    if (Dedup.coldMode) return build()
+    recipeCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    val k = (spark.sparkContext.applicationId, sfDir)
+    Option(recipeCache.get(k)).map(_._2).getOrElse {
+      val built = (spark, build())
+      val prev = recipeCache.putIfAbsent(k, built)
+      (if (prev != null) prev else built)._2
+    }
+  }
+
+  private val recipeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (SparkSession, DataFrame)]()
+
+  /** The composed DuckDB oracle for [[curationRecipeQuery]] — each
+    * stage's proven CTE chain, chained on the previous stage's
+    * survivors. See the query's scaladoc for the stage-by-stage
+    * correspondence. */
+  val curationRecipeSql: String =
+    s"""WITH RECURSIVE
+      |deg AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE text IS NULL OR regexp_matches(text, '^\\s*$$')),
+      |surv0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM deg)),
+      |exd AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      |    FROM surv0)
+      |  WHERE doc_id != keep_id),
+      |s1 AS (
+      |  SELECT doc_id, text FROM surv0
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM exd)),
+      |${Dedup.md5MinhashPairsCtesFrom("s1")},
+      |strong AS (SELECT doc_id_a, doc_id_b FROM pairs WHERE jaccard >= 0.5),
+      |edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM strong
+      |          UNION SELECT doc_id_b, doc_id_a FROM strong),
+      |reach(v, l) AS (
+      |  SELECT doc_id, doc_id FROM s1
+      |  UNION
+      |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+      |neard AS (
+      |  SELECT v AS doc_id FROM reach GROUP BY v HAVING min(l) != v),
+      |s2 AS (
+      |  SELECT doc_id, text FROM s1
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM neard)),
+      |stoks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      |  FROM s2),
+      |sgrams AS (
+      |  SELECT doc_id, i AS pos,
+      |    list_aggregate(ts[i+1:i+5], 'string_agg', ' ') AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts)-4)) AS i
+      |        FROM stoks WHERE len(ts) >= 5)),
+      |cutpos AS (
+      |  SELECT DISTINCT doc_id, pos FROM sgrams
+      |  WHERE gram IN (SELECT gram FROM sgrams GROUP BY gram
+      |                 HAVING count(DISTINCT doc_id) >= 2)),
+      |toki AS (
+      |  SELECT doc_id, unnest(range(len(ts))) AS i, unnest(ts) AS w
+      |  FROM stoks),
+      |cuti AS (
+      |  SELECT DISTINCT t.doc_id, t.i FROM toki t
+      |  JOIN cutpos c ON c.doc_id = t.doc_id AND t.i >= c.pos
+      |    AND t.i < c.pos + 5),
+      |ratio AS (
+      |  SELECT s.doc_id,
+      |    round((len(s.ts) - coalesce(c.nc, 0)) * 1.0 / len(s.ts), 4)
+      |      AS kept_ratio
+      |  FROM stoks s LEFT JOIN (
+      |    SELECT doc_id, count(*) AS nc FROM cuti GROUP BY doc_id) c
+      |    USING (doc_id)),
+      |otoki AS (
+      |  SELECT doc_id, unnest(range(len(ts))) AS i, unnest(ts) AS w
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+      |        FROM s2)),
+      |cuttext AS (
+      |  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.i) AS text
+      |  FROM otoki t
+      |  WHERE NOT EXISTS (SELECT 1 FROM cuti c
+      |                    WHERE c.doc_id = t.doc_id AND c.i = t.i)
+      |  GROUP BY t.doc_id),
+      |${TextOps.backoffFitCtes},
+      |kept AS (
+      |  SELECT t.doc_id, t.w,
+      |    row_number() OVER (PARTITION BY t.doc_id ORDER BY t.i) AS pos
+      |  FROM toki t
+      |  WHERE t.doc_id IN (SELECT doc_id FROM ratio WHERE kept_ratio >= 0.9)
+      |    AND NOT EXISTS (SELECT 1 FROM cuti c
+      |                    WHERE c.doc_id = t.doc_id AND c.i = t.i)),
+      |kctx AS (
+      |  SELECT doc_id, pos, w,
+      |         lag(w)    OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+      |         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM kept),
+      |${TextOps.backoffScoredCte("kctx")},
+      |perdoc AS (
+      |  SELECT doc_id, exp(-avg(ln(s))) AS ppl FROM scored GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id IN (SELECT doc_id FROM deg) THEN d.text
+      |       WHEN d.doc_id IN (SELECT doc_id FROM exd) THEN d.text
+      |       WHEN d.doc_id IN (SELECT doc_id FROM neard) THEN d.text
+      |       ELSE ct.text END AS text,
+      |  CASE WHEN d.doc_id IN (SELECT doc_id FROM deg) THEN 'no_tokens'
+      |       WHEN d.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
+      |       WHEN d.doc_id IN (SELECT doc_id FROM neard) THEN 'near_dup'
+      |       WHEN r.kept_ratio < 0.9 THEN 'boilerplate_gutted'
+      |       WHEN p.ppl > 14.2 THEN 'high_perplexity'
+      |       ELSE NULL END AS curation_reject
+      |FROM documents d
+      |LEFT JOIN ratio r ON r.doc_id = d.doc_id
+      |LEFT JOIN cuttext ct ON ct.doc_id = d.doc_id
+      |LEFT JOIN perdoc p ON p.doc_id = d.doc_id""".stripMargin
 
   /** Owns everything a [[curateIncrement]] call pinned: the persisted
     * batch frames AND the incremental-label fixpoint's checkpoint.

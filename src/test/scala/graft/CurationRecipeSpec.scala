@@ -304,6 +304,106 @@ class CurationRecipeSpec extends SparkSpec {
     } finally handle.close()
   }
 
+  test("cross-form coherence: curateIncrement against an EMPTY corpus reproduces curateCorpus doc-for-doc") {
+    // the two recipes share stages but diverge in dedup machinery (full
+    // fixpoint vs frozen-labels attach; duplicatedSpans vs the gram-index
+    // probe). With nothing to attach TO — empty corpus, empty label
+    // index, an empty gram index so the substring stage is the
+    // within-batch leg alone — every divergence must vanish: same
+    // verdict, same text, per document. This is the spec that keeps the
+    // two code paths from drifting apart across rounds.
+    import graft.ml.{Bpe, NgramLm, Pca}
+    val train = Seq((1L, s"$fox " * 20 + s"$hen " * 20)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 50)
+    val hen3 = s"$hen $hen $hen"
+    val docs = Seq(
+      (1L, fox), (2L, fox), (3L, hen3), (4L, s"$hen3 a"),
+      (5L, s"$fox $fox $fox $fox $fox $fox $boiler"),
+      (6L, s"the quick brown fox $boiler"),
+      (7L, "zzq xkw vvp mmt ssr qqa wwb eec rrd ttf"),
+      (8L, "the the the the the the the the the the " * 30),
+      (9L, "the quick"), (10L, ""), (11L, null.asInstanceOf[String]),
+      (12L, "a small red hen walks near the lazy dog")
+    ).toDF("doc_id", "text")
+    val rnd = new scala.util.Random(31L)
+    val fitRows = (100 until 160).map { i =>
+      (i.toLong, Array(rnd.nextGaussian() * 5, rnd.nextGaussian() * 2, 0.0, 0.0))
+    }.toDF("id", "emb")
+    val model = Pca.fit(fitRows, "emb", k = 2)
+    val screen = Curation.EmbedScreen(Seq(
+      (3L, Array(1.0, 1.0, 0.0, 0.0)),
+      (5L, Array(-2.0, 0.5, 0.0, 0.0)),
+      (12L, Array(0.0, 0.0, 5.0, 0.0))
+    ).toDF("id", "emb"), "id", "emb", model, maxRecErr = 1.0)
+
+    val (batchOut, h1) = Curation.curateCorpus(docs, "doc_id", "text",
+      lm, maxPpl = 50.0, bpe, minTokens = 5, maxTokens = 10000,
+      minCompressRatio = 0.12, maxCompressRatio = 1.5,
+      nearThreshold = 0.8, spanN = 10, minKeptRatio = 0.3,
+      embedScreen = Some(screen))
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val emptyIx = Dedup.gramIndex(emptyDocs, "text", n = 10)
+    val (incOut, h2) = Curation.curateIncrement(docs, "doc_id", "text",
+      emptyDocs, emptyLabels, lm, maxPpl = 50.0, bpe, minTokens = 5,
+      maxTokens = 10000, minCompressRatio = 0.12, maxCompressRatio = 1.5,
+      nearThreshold = 0.8, md5Family = true, spanIndex = Some(emptyIx),
+      spanN = 10, minKeptRatio = 0.3, embedScreen = Some(screen))
+    try {
+      val a = batchOut.collect()
+        .map(r => r.getLong(0) -> (Option(r.getString(2)), Option(r.getString(1))))
+        .toMap
+      val b = incOut.collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.getString(3)), Option(r.getString(1))),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      assert(a.keySet == b.keySet && a.size == 12)
+      a.foreach { case (id, (reason, text)) =>
+        assert(b(id)._1._1 == reason,
+          s"doc $id: batch=$reason increment=${b(id)._1._1}")
+        assert(b(id)._1._2 == text,
+          s"doc $id text diverged: '$text' vs '${b(id)._1._2}'")
+      }
+      // nothing can be dup_of_corpus, and the increment's labels are the
+      // batch's own component structure (4 near-dups 3; canonicals self)
+      assert(!b.values.exists(_._1._1.contains("dup_of_corpus")))
+      assert(b(4L)._2.contains(3L) && b(3L)._2.contains(3L))
+    } finally { h1.close(); h2.close() }
+  }
+
+  test("curation_recipe gated query: one verdict per document, labels from the recipe's vocabulary, keepers re-gated") {
+    // the driver's hash gate proves value equality against DuckDB at
+    // sf0.01; this spec pins the query GLUE at the spec SF — row
+    // identity, label vocabulary, and that a keeper really does pass a
+    // re-run of the composed gate on its emitted (post-cut) text
+    val out = Curation.curationRecipeQuery(spark, sf)
+    val rows = out.collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, s"${rows.length} rows for $nDocs docs")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "doc_id must be unique in the verdict frame")
+    val allowed = Set("no_tokens", "exact_dup", "near_dup",
+      "boilerplate_gutted", "high_perplexity", "low_compress_ratio",
+      "high_compress_ratio", "token_budget")
+    val reasons = rows.flatMap(r => Option(r.getString(2))).toSet
+    assert(reasons.subsetOf(allowed), s"unknown labels: ${reasons -- allowed}")
+    assert(rows.exists(_.isNullAt(2)), "no keepers at the spec SF")
+    // keepers' emitted text re-passes the gate the recipe applied
+    import graft.operators.TextOps
+    val keepers = out.filter(col("curation_reject").isNull)
+      .select("doc_id", "text")
+    val (lm, bpe) = { // same session-scoped models the query used
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      (graft.ml.NgramLm.fit(docs, "text"),
+        graft.ml.Bpe.fit(docs, "text", numMerges = 50)._1)
+    }
+    val regated = TextOps.curationGate(keepers, "text", lm, maxPpl = 14.2, bpe)
+    assert(regated.filter(col("gate_reason").isNotNull).count() == 0,
+      "a keeper failed a re-run of the composed gate on its emitted text")
+  }
+
   test("curateCorpus on the corpus: stages only ever narrow, keepers pass a re-run of each gate") {
     import graft.ml.{Bpe, NgramLm}
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
