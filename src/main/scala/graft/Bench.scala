@@ -368,9 +368,17 @@ object Bench {
         .select(col("c_custkey").as("id"),
           org.apache.spark.sql.functions.format_string(
             "Customer#%09d", col("c_custkey")).as("s"))
+      // SPARK_GRAFT_FUZZY_BUDGET raises the rep1 budget when a leg
+      // deliberately pays for the canonical med-of-3 protocol (r13
+      // verdict: a matching protocol beats a labeled mismatch) — the
+      // default keeps the ~17 min/rep sf10 join from tripling every
+      // routine leg
+      val fuzzyBudget = sys.env.get("SPARK_GRAFT_FUZZY_BUDGET")
+        .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+        .getOrElse(120.0)
       val (fzT, fzProto) = medOrRep1(() => evaluate(
         graft.operators.FuzzyJoin.fuzzyPairs(cust, "id", "s", maxDist = 1)),
-        budgetSecs = 120)
+        budgetSecs = fuzzyBudget)
       val emb = graft.Tables.embeddings(spark, sfDir)
       val pcaT = med(() => {
         val m = graft.ml.Pca.fit(emb, "embedding", k = 8)

@@ -374,7 +374,12 @@ object Curation {
     *  - near dedup is the INCREMENTAL machinery: LSH candidates within
     *    the batch plus batch-bucket probes against the corpus
     *    ([[Dedup.incrementalCandidatePairs]] — batch side broadcast, the
-    *    corpus side scanned once, never shuffled), then
+    *    corpus side scanned once, never shuffled; pass `bucketIndex` =
+    *    yesterday's persisted [[Dedup.minhashBuckets]] frame when the
+    *    increment job has no (or expensive) corpus-text access — the
+    *    r14 fixed-batch probe measured the default derive-from-text
+    *    form both FASTER at every scale probed and NEAR-FLAT in corpus
+    *    size, so the index is a decoupling option, not a speedup), then
     *    [[Dedup.incrementalLabels]]' frozen-old-labels attach. A new doc
     *    ATTACHED to an existing cluster duplicates content the corpus
     *    already has → `dup_of_corpus` (its corpus `cluster_id` is kept
@@ -418,6 +423,7 @@ object Curation {
                       maxCompressRatio: Double = Double.MaxValue,
                       nearThreshold: Double = 0.8,
                       md5Family: Boolean = false,
+                      bucketIndex: Option[DataFrame] = None,
                       spanIndex: Option[DataFrame] = None,
                       spanN: Int = 20, minKeptRatio: Double = 0.3,
                       embedScreen: Option[EmbedScreen] = None)
@@ -445,9 +451,14 @@ object Curation {
         lit("exact_dup").as("curation_reject"))
     val s1 = s0.join(exact.filter(col("is_dup") === 0).select("doc_id"),
       Seq("doc_id")).persist(lvl)
+    // bucketIndex = yesterday's persisted minhashBuckets frame when the
+    // caller holds one (the near probe then never touches corpus text);
+    // without it the corpus is hashed once per increment map-side — the
+    // default, measured faster whenever the text is warm and local
     val (nn, no) = Dedup.incrementalCandidatePairs(s1,
       oldDocs.select(col("doc_id"), col("text")), "text",
-      threshold = nearThreshold, md5Family = md5Family)
+      threshold = nearThreshold, md5Family = md5Family,
+      oldBuckets = bucketIndex)
     val (labels, labelH) = Dedup.incrementalLabels(s1, oldLabels, nn, no)
     def labeledReject(ids: DataFrame, reason: String): DataFrame =
       s1.join(ids, Seq("doc_id")).select(col("doc_id"), col("text"),

@@ -122,6 +122,32 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("a prebuilt minhashBuckets index probes identically to deriving from the corpus (both families)") {
+    // the persisted daily shape (r14): yesterday's bucket index fed back
+    // via oldBuckets must produce byte-identical candidate pairs to the
+    // self-contained form that re-derives the corpus buckets — per
+    // family, because band keys differ between families and the index
+    // must be probed with the family it was built with
+    val oldDocs = toDocs(oldRows)
+    val newDocs = toDocs(newRows)
+    for (md5 <- Seq(false, true)) {
+      val ix = Dedup.minhashBuckets(oldDocs, "text", md5Family = md5)
+      val (_, derived) = Dedup.incrementalCandidatePairs(newDocs, oldDocs,
+        threshold = 0.5, md5Family = md5)
+      val (_, viaIx) = Dedup.incrementalCandidatePairs(newDocs, oldDocs,
+        threshold = 0.5, md5Family = md5, oldBuckets = Some(ix))
+      val a = derived.collect().map(_.toString).sorted.toSeq
+      val b = viaIx.collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"md5Family=$md5: index probe diverged from derive")
+      assert(b.nonEmpty, s"md5Family=$md5: fixture found no new-old pairs")
+    }
+    // a frame that is not a bucket index is refused up front
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalCandidatePairs(newDocs, oldDocs,
+        oldBuckets = Some(oldDocs))
+    }
+  }
+
   test("simhashPairs: identical docs at hamming 0, near-dups found, unrelated excluded") {
     // long docs: with ~300 distinct-ish tokens each sketch bit has a wide
     // vote margin, so a one-token edit flips few bits (hamming stays <= 3);
