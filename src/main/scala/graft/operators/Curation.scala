@@ -341,7 +341,9 @@ object Curation {
       |  CASE WHEN d.doc_id IN (SELECT doc_id FROM deg) THEN d.text
       |       WHEN d.doc_id IN (SELECT doc_id FROM exd) THEN d.text
       |       WHEN d.doc_id IN (SELECT doc_id FROM neard) THEN d.text
-      |       ELSE ct.text END AS text,
+      |       -- coalesce: a doc whose EVERY token is cut has no cuttext
+      |       -- group, while Spark's concat_ws over an empty array is ''
+      |       ELSE coalesce(ct.text, '') END AS text,
       |  CASE WHEN d.doc_id IN (SELECT doc_id FROM deg) THEN 'no_tokens'
       |       WHEN d.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
       |       WHEN d.doc_id IN (SELECT doc_id FROM neard) THEN 'near_dup'
