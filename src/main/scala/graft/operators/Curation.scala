@@ -62,13 +62,16 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: every stage is the already-probed operator — nothing
   * here shuffles anything the stages don't. The recipe persists the
-  * three frames that are consulted by more than one downstream leg (the
+  * FOUR frames that are consulted by more than one downstream leg (the
   * standardized input; the exact-survivor frame the LSH fixpoint scans
-  * repeatedly; the post-cut survivor frame that feeds the gate, the
-  * screen AND the final union) at MEMORY_AND_DISK, and hands the caller
-  * a [[FuzzyJoin.PersistHandle]] owning all three — materialize the
-  * result (and anything derived), then `close()` (the fuzzyJoinPersisted
-  * contract; closing early degrades to recompute, never to wrong rows).
+  * repeatedly; the post-cut frame feeding both the gutted-reject leg
+  * and the keeper path — persisting only the keeper side re-ran the
+  * span exchanges once more per evaluation, the r14 plan-audit find;
+  * the gated frame feeding both the gate-reject leg and the keepers) at
+  * MEMORY_AND_DISK, and hands the caller a [[FuzzyJoin.PersistHandle]]
+  * owning all four — materialize the result (and anything derived),
+  * then `close()` (the fuzzyJoinPersisted contract; closing early
+  * degrades to recompute, never to wrong rows).
   */
 object Curation {
 
@@ -139,18 +142,27 @@ object Curation {
     val s2 = s1.join(clusters.filter(col("is_canonical") === 1)
       .select("doc_id"), Seq("doc_id"))
 
-    // stage 3: substring dedup — cut the shared spans, reject the gutted
+    // stage 3: substring dedup — cut the shared spans, reject the gutted.
+    // `cut` is the persisted frame, not s3: the gutted-reject leg and the
+    // keeper leg BOTH read it, and the alternative (persisting only the
+    // keeper side) re-ran the two gram-keyed span exchanges — the
+    // recipe's most expensive stage — once more per evaluation just to
+    // label the gutted docs (r14 plan audit of the 28.5 s sf10 rep).
     val spans = Dedup.duplicatedSpans(s2, "doc_id", "text", n = spanN)
-    val cut = Dedup.cutSpans(s2, spans, "doc_id", "text")
+    val cut = Dedup.cutSpans(s2, spans, "doc_id", "text").persist(lvl)
     val rej3 = cut.filter(col("kept_ratio") < minKeptRatio)
       .select(col("doc_id"), col("text_dedup").as("text"),
         lit("boilerplate_gutted").as("curation_reject"))
     val s3 = cut.filter(col("kept_ratio") >= minKeptRatio)
-      .select(col("doc_id"), col("text_dedup").as("text")).persist(lvl)
+      .select(col("doc_id"), col("text_dedup").as("text"))
 
-    // stage 4: the composed quality gate (map-side; first-failing reason)
+    // stage 4: the composed quality gate (map-side; first-failing
+    // reason). Persisted for the same two-consumer reason as `cut`: the
+    // reject leg and the keeper leg would otherwise each re-run the
+    // LM/deflate/BPE kernels over every surviving document.
     val gated = TextOps.curationGate(s3, "text", lm, maxPpl, bpe,
       minTokens, maxTokens, minCompressRatio, maxCompressRatio)
+      .persist(lvl)
     val rej4 = gated.filter(col("gate_reason").isNotNull)
       .select(col("doc_id"), col("text"),
         col("gate_reason").as("curation_reject"))
@@ -177,7 +189,7 @@ object Curation {
       lit(null).cast("string").as("curation_reject"))
     val out = (Seq(keepers, rej0, rej1, rej2, rej3, rej4) ++ rej5)
       .reduce(_ unionByName _)
-    (out, new FuzzyJoin.PersistHandle(Seq(base, s1, s3)))
+    (out, new FuzzyJoin.PersistHandle(Seq(base, s1, cut, gated)))
   }
 
   /** Gated-query form of [[curateCorpus]] (driver oracle slot
@@ -475,23 +487,31 @@ object Curation {
       .select("doc_id", "cluster_id"), Seq("doc_id")).persist(lvl)
     // optional substring stage: cut corpus-or-batch-duplicated spans,
     // reject the gutted — texts downstream (incl. keepers) are post-cut
-    val (rej2c, s2b) = spanIndex match {
-      case None => (None, s2)
+    val (rej2c, s2b, cutPersist) = spanIndex match {
+      case None => (None, s2, Nil)
       case Some(ix) =>
         val spans = Dedup.duplicatedSpansIncrement(s2, "doc_id", "text",
           ix, n = spanN)
+        // persist the CUT frame, not just its keeper side — the gutted
+        // leg would otherwise re-run the span probe per evaluation
+        // (the batch recipe's r14 plan-audit find, same shape here)
         val cut = Dedup.cutSpans(s2, spans, "doc_id", "text")
           .join(s2.select("doc_id", "cluster_id"), Seq("doc_id"))
+          .persist(lvl)
         (Some(cut.filter(col("kept_ratio") < minKeptRatio)
           .select(col("doc_id"), col("text_dedup").as("text"),
             col("cluster_id"),
             lit("boilerplate_gutted").as("curation_reject"))),
           cut.filter(col("kept_ratio") >= minKeptRatio)
             .select(col("doc_id"), col("text_dedup").as("text"),
-              col("cluster_id")).persist(lvl))
+              col("cluster_id")),
+          Seq(cut))
     }
+    // gated persisted for its two consumers (reject + keeper legs) —
+    // the LM/deflate/BPE kernels run once per doc per evaluation
     val gated = TextOps.curationGate(s2b, "text", lm, maxPpl, bpe,
       minTokens, maxTokens, minCompressRatio, maxCompressRatio)
+      .persist(lvl)
     val rej3 = gated.filter(col("gate_reason").isNotNull)
       .select(col("doc_id"), col("text"), col("cluster_id"),
         col("gate_reason").as("curation_reject"))
@@ -514,7 +534,7 @@ object Curation {
       lit(null).cast("string").as("curation_reject"))
     val out = (Seq(keepers, rej0, rej1, rej2a, rej2b) ++ rej2c ++
       Seq(rej3) ++ rej4).reduce(_ unionByName _)
-    val persisted = Seq(base, s1, s2) ++ (if (s2b ne s2) Seq(s2b) else Nil)
+    val persisted = Seq(base, s1, s2) ++ cutPersist ++ Seq(gated)
     (out, new IncrementHandle(Seq(
       new FuzzyJoin.PersistHandle(persisted), labelH)))
   }
