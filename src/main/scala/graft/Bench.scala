@@ -168,6 +168,16 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] curation-recipe session build FAILED: $e")
     }
+    // same for the daily-increment query's session state (r15): corpus
+    // labels + models + gram index are corpus-snapshot inputs, the
+    // increment's own fixpoint runs eagerly at build
+    if (!cold) try {
+      val t0 = System.nanoTime()
+      graft.operators.Curation.curationIncrementQuery(spark, sfDir)
+      tee.log(f"[bench] curation-increment session build ${(System.nanoTime() - t0) / 1e9}%.3f s (corpus labels + models + gram index + increment fixpoint; amortized across curation_increment reps)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] curation-increment session build FAILED: $e")
+    }
     // steady-state measurement: one untimed pass over every query first, so
     // the timed pass reports throughput rather than one-off whole-stage
     // codegen (Janino) compile times — the cost a long-lived session or any
@@ -274,6 +284,23 @@ object Bench {
         "oracle-replayability cost, not engine cost)")
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] minhash_premium FAILED: $e")
+    }
+    // forensics-only (r15): same oracle-replay-premium split for the
+    // exact keep-first window — the r14 verdict's worst sf10 ratio
+    // (29×, CPU-bound) — md5-of-full-text (gated flavor) vs the
+    // codegen'd xxhash64 production twin over the SAME window exchange,
+    // so the delta isolates the hash cost from the exchange cost.
+    try {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val prod = med(() => evaluate(
+        graft.operators.Dedup.exactKeepFirstHashed(docs, "text")))
+      val md5T = med(() => evaluate(
+        graft.operators.Dedup.exactKeepFirst(docs, "text")))
+      tee.log(f"[bench] exact_keepfirst_premium production_xxhash64=$prod%.3f s " +
+        f"gated_md5=$md5T%.3f s premium=${md5T - prod}%.3f s (med of 3; " +
+        "oracle-replayability cost, not engine cost)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] exact_keepfirst_premium FAILED: $e")
     }
     // forensics-only (r10): measured numbers for the lib-level additions
     // that have no gated slot — the one-pass profiler over the events

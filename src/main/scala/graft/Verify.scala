@@ -44,6 +44,14 @@ object Verify {
       System.err.println(s"[verify] curation-recipe build failed: ${e.getMessage}")
     }
     timings += "_curation_recipe_build" -> (System.nanoTime() - tRcp0) / 1e9
+    // and the daily-increment query's session build (two label fixpoints:
+    // the corpus index and the increment's own — r15)
+    val tInc0 = System.nanoTime()
+    try graft.operators.Curation.curationIncrementQuery(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] curation-increment build failed: ${e.getMessage}")
+    }
+    timings += "_curation_increment_build" -> (System.nanoTime() - tInc0) / 1e9
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

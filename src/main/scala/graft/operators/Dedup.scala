@@ -36,6 +36,24 @@ object Dedup {
       .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
   }
 
+  /** Production twin of [[exactKeepFirst]]: the same keep-first window
+    * keyed on `xxhash64(text)` instead of md5 (r15, the minhash_premium
+    * pattern — the r14 verdict flagged dedup_exact_keep_first as the
+    * board's worst sf10 ratio, 29×, and asked whether the premium is the
+    * hash or the exchange; the bench's `exact_keepfirst_premium` line
+    * prices both flavors side by side every leg). The md5 flavor exists
+    * solely so DuckDB can replay the hash in the oracle; xxhash64 is the
+    * codegen'd 64-bit house hash — same dedup semantics modulo a ~2⁻⁶⁴
+    * per-pair collision odds (a collision would conflate two DISTINCT
+    * texts into one group; at lake scale pair counts ~2⁴⁰ that risk is
+    * accepted everywhere else the lib uses 64-bit hashing, and callers
+    * that cannot accept it keep the md5 flavor). */
+  def exactKeepFirstHashed(docs: DataFrame, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)))
+    docs.select(col("doc_id"), min(col("doc_id")).over(w).as("keep_id"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
+  }
+
   // ---------- MinHash + LSH ----------
 
   /** Word k-shingles of the lowercased text, de-duplicated. */
@@ -669,37 +687,58 @@ object Dedup {
   }
 
   /** Corpus MinHash BUCKET INDEX — the persisted form of the corpus side
-    * of [[incrementalCandidatePairs]]' probe join: one row per
-    * (document, band) with the document's full shingle-hash set carried
-    * for exact Jaccard verification on collision —
-    * (doc_id, sh, band, bh). Build once per corpus snapshot and persist
-    * next to [[clusterIndex]]'s labels and [[gramIndex]]; the increment
-    * then probes yesterday's index WITHOUT touching corpus text.
+    * of [[incrementalCandidatePairs]]' probe join, NORMALIZED into two
+    * frames (r15, the r14 verdict's layout find): `buckets` = one small
+    * row per (document, band) — (doc_id, band, bh) — carrying ONLY the
+    * band key, and `shingles` = the document's full shingle-hash set
+    * ONCE per document — (doc_id, sh) — joined back only for the
+    * collision hits (batch-sized by construction) that need exact
+    * Jaccard verification. Build once per corpus snapshot and persist
+    * both frames next to [[clusterIndex]]'s labels and [[gramIndex]]
+    * (bucket `buckets` on (band, bh) and `shingles` on doc_id for
+    * shuffle-free probes); the increment then probes yesterday's index
+    * WITHOUT touching corpus text.
     *
-    * What this buys, measured honestly (r14 fixed-batch probe, sf10 =
-    * 500k-doc corpus, quiet box, pinned heap): DECOUPLING, not speed.
-    * Deriving the buckets from corpus text costs one map-side
-    * tokenize+hash pass and measured 7.8 s/increment; probing the
-    * persisted index measured 11.5 s — the index carries the shingle
-    * set once per (doc, band), ~8× per document, which is MORE bytes
-    * than the text it replaces, so scanning it loses to re-hashing
-    * whenever the text is warm and local. Reach for the index when text
-    * access itself is the expensive part: the corpus lives cold/remote,
-    * the increment job is not granted text access, or tokenization is
-    * far heavier than this repo's. The derive form stays the default —
-    * and the same probe measured it NEAR-FLAT in corpus size (8.3 s at
-    * 50k docs, 7.8 s at 500k), so neither form threatens the
-    * increment's O(batch) + one-scan contract.
+    * Why normalized: the r14 layout carried the shingle set once per
+    * (doc, band) — with 8 bands, ~8× the shingle bytes per document,
+    * MORE bytes than the text it replaced — and the r14 fixed-batch
+    * probe duly measured that index SLOWER than re-deriving from text
+    * (11.5 vs 7.8 s at a 500k-doc corpus). This layout stores the set
+    * once; the collision-hit join that re-attaches it scans the
+    * shingle frame map-side against a broadcast batch-sized hit list,
+    * so the probe still never shuffles the corpus. The r15 probe
+    * re-prices the index against the derive-from-text default (numbers
+    * in SURVEY §3.5).
     *
     * Family coherence: band keys are built exactly like the matching
     * pair generator's — xxhash64 slice keys for the production family,
     * comma-joined signature strings for the md5 (oracle-replayable)
     * family — so an index built with one family must be probed with the
     * same `md5Family` flag ([[incrementalCandidatePairs]]' existing
-    * contract, now load-bearing across a persistence boundary). */
+    * contract, load-bearing across a persistence boundary). Both frames
+    * come from one builder call so the pair cannot mix snapshots or
+    * families. */
+  final case class BucketIndex(buckets: DataFrame, shingles: DataFrame)
+
   def minhashBuckets(docs: DataFrame, textCol: String = "text", k: Int = 3,
                      numHashes: Int = 32, bands: Int = 8,
-                     md5Family: Boolean = false): DataFrame = {
+                     md5Family: Boolean = false): BucketIndex = {
+    val inline = bucketRowsInline(docs, textCol, k, numHashes, bands, md5Family)
+    def shingleSet(c: org.apache.spark.sql.Column) =
+      if (md5Family) md5ShingleHashes(c, k)
+      else graft.functions.ShingleHashSet(lower(trim(c)), k)
+    BucketIndex(
+      buckets = inline.select(col("doc_id"), col("band"), col("bh")),
+      shingles = docs.select(col("doc_id"), shingleSet(col(textCol)).as("sh")))
+  }
+
+  /** One-pass (doc_id, sh, band, bh) bucket rows with the shingle set
+    * carried INLINE — the shape the derive-from-text probe path and the
+    * batch side use (one scan, no re-join); [[minhashBuckets]] projects
+    * the normalized persisted frames out of the same pipeline. */
+  private def bucketRowsInline(docs: DataFrame, textCol: String, k: Int,
+                               numHashes: Int, bands: Int,
+                               md5Family: Boolean): DataFrame = {
     val rowsPerBand = requireBandScheme(numHashes, bands)
     def shingleSet(c: org.apache.spark.sql.Column) =
       if (md5Family) md5ShingleHashes(c, k)
@@ -747,35 +786,59 @@ object Dedup {
       textCol: String = "text", k: Int = 3, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.7,
       md5Family: Boolean = false,
-      oldBuckets: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      oldBuckets: Option[BucketIndex] = None): (DataFrame, DataFrame) = {
     requireBandScheme(numHashes, bands)
-    oldBuckets.foreach { b =>
-      val need = Seq("doc_id", "sh", "band", "bh")
-      require(need.forall(b.columns.contains),
+    oldBuckets.foreach { ix =>
+      val needB = Seq("doc_id", "band", "bh")
+      val needS = Seq("doc_id", "sh")
+      require(needB.forall(ix.buckets.columns.contains) &&
+          needS.forall(ix.shingles.columns.contains),
         s"incrementalCandidatePairs: oldBuckets must be a minhashBuckets " +
-          s"frame with columns ${need.mkString(", ")}, got " +
-          s"[${b.columns.mkString(", ")}] — and it must have been built " +
-          "with the SAME (k, numHashes, bands, hash family) as this probe")
+          s"index (buckets: ${needB.mkString(", ")}; shingles: " +
+          s"${needS.mkString(", ")}), got buckets " +
+          s"[${ix.buckets.columns.mkString(", ")}] / shingles " +
+          s"[${ix.shingles.columns.mkString(", ")}] — and it must have " +
+          "been built with the SAME (k, numHashes, bands, hash family) " +
+          "as this probe")
     }
-    def buckets(docs: DataFrame): DataFrame =
-      minhashBuckets(docs, textCol, k, numHashes, bands, md5Family)
     // within-batch pairs: the full generator at batch scale
     val nn =
       if (md5Family) minhashPairsMd5(newDocs, textCol, k, numHashes, bands, threshold)
       else minhashPairs(newDocs, textCol, k, numHashes, bands, threshold)
     // probe join: batch buckets broadcast against the corpus buckets;
-    // exact Jaccard verification only on bucket collisions. The corpus
-    // side is `oldBuckets` when the caller holds a persisted
-    // minhashBuckets index (probing without corpus-text access), else
-    // derived from oldDocs in one map-side pass — the DEFAULT, and the
-    // measured-faster form whenever the text is warm and local (see
-    // minhashBuckets' scaladoc for the r14 probe numbers).
-    val no = broadcast(buckets(newDocs).select(col("band"), col("bh"),
-        col("doc_id").as("doc_id_a"), col("sh").as("sh_a")))
-      .join(oldBuckets.getOrElse(buckets(oldDocs)).select(col("band"), col("bh"),
-        col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("band", "bh"))
-      .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
+    // exact Jaccard verification only on bucket collisions. The batch
+    // side always carries its shingle sets inline (one map-side pass,
+    // batch-sized). The corpus side is the persisted index when the
+    // caller holds one — band keys scanned WITHOUT the shingle payload,
+    // hits (batch-sized by construction) broadcast back against the
+    // once-per-document shingle frame — else derived from oldDocs in
+    // one inline map-side pass, the DEFAULT whenever the text is warm
+    // and local (see minhashBuckets' scaladoc).
+    val newB = broadcast(
+      bucketRowsInline(newDocs, textCol, k, numHashes, bands, md5Family)
+        .select(col("band"), col("bh"),
+          col("doc_id").as("doc_id_a"), col("sh").as("sh_a")))
+    val hits = oldBuckets match {
+      case None =>
+        newB.join(bucketRowsInline(oldDocs, textCol, k, numHashes, bands,
+            md5Family)
+          .select(col("band"), col("bh"), col("doc_id").as("doc_id_b"),
+            col("sh").as("sh_b")), Seq("band", "bh"))
+          .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
+          .dropDuplicates("doc_id_a", "doc_id_b")
+      case Some(ix) =>
+        // dedup BEFORE attaching sh_b: the collision list is batch-sized,
+        // so the shingle frame is scanned once map-side against a
+        // broadcast hit list — the corpus still never shuffles
+        val collisions = newB.join(ix.buckets.select(col("band"), col("bh"),
+            col("doc_id").as("doc_id_b")), Seq("band", "bh"))
+          .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"))
+          .dropDuplicates("doc_id_a", "doc_id_b")
+        ix.shingles.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+          .join(broadcast(collisions), Seq("doc_id_b"))
+          .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
+    }
+    val no = hits
       .withColumn("common",
         graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", {

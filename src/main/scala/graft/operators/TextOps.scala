@@ -347,13 +347,16 @@ object TextOps {
     * fit corpus's own token stream with its two lags); consumers append
     * a [[backoffScoredCte]] tail over whatever (doc_id, w, w1, w2)
     * token stream they score — the gate scores the corpus itself, the
-    * curation-recipe oracle scores post-cut survivor streams. One
-    * proven replay, two gated surfaces. */
-  private[operators] val backoffFitCtes: String =
-    """ftoks AS (
+    * curation-recipe oracle scores post-cut survivor streams, and the
+    * curation-increment oracle fits on its corpus HALF (`src`
+    * parameterized r15, the md5MinhashPairsCtesFrom precedent: the fit
+    * corpus is whatever relation the caller's models were fit on). One
+    * proven replay, three gated surfaces. */
+  private[operators] def backoffFitCtesFrom(src: String): String =
+    s"""ftoks AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
-      |  FROM documents),
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+      |  FROM $src),
       |ftok AS (
       |  SELECT doc_id, u.pos AS pos, u.w AS w
       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts)+1),
@@ -380,6 +383,8 @@ object TextOps {
       |       JOIN k1 ON k1.g = string_split(k2.g, ' ')[1]),
       |r1 AS (SELECT g, (n + 1.0) / (c.bigN + c.U + 1) AS s FROM k1, consts c)"""
       .stripMargin
+
+  private[operators] val backoffFitCtes: String = backoffFitCtesFrom("documents")
 
   /** The Stupid Backoff scoring tail over a (doc_id, w, w1, w2) CTE
     * named `ctxSrc` — one `scored` CTE emitting the per-token backoff

@@ -97,9 +97,13 @@ object IncrementProbe {
       g.count(); g
     }
     val bucketIx = timed("prefit minhash bucket index") {
-      val b = graft.operators.Dedup.minhashBuckets(corpus, "text",
-        md5Family = true).persist(lvl)
-      b.count(); b
+      // r15 normalized layout: persist BOTH frames (band keys small,
+      // shingle sets once per document)
+      val ix = graft.operators.Dedup.minhashBuckets(corpus, "text",
+        md5Family = true)
+      val b = graft.operators.Dedup.BucketIndex(
+        ix.buckets.persist(lvl), ix.shingles.persist(lvl))
+      b.buckets.count(); b.shingles.count(); b
     }
     val (lm, bpe) = timed("prefit gate models") {
       (graft.ml.NgramLm.fit(corpus, "text", maxUnigrams = 4096,

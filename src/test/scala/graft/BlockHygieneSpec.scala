@@ -24,12 +24,12 @@ class BlockHygieneSpec extends SparkSpec {
 
   test("every SparkEntry query leaves getPersistentRDDs at the baseline " +
        "(sole sanctioned survivors: the session cluster-index checkpoint " +
-       "and the session curation-recipe state)") {
+       "and the session curation recipe + increment state)") {
     val sc = spark.sparkContext
     // Build (or memo-hit) the session-scoped state first: the shared
     // cluster index's single final label checkpoint (shared by
     // dedup_clusters / dedup_canonical_best / pipeline_curation) and the
-    // curation recipe's fixpoint checkpoint + three persisted stage
+    // curation recipe's fixpoint checkpoint + four persisted stage
     // frames (r14 — the recipe's near-dup fixpoint leaves a truncated-
     // lineage checkpoint that cannot be freed before materialization, so
     // the gated query is session-scoped like the index; see
@@ -37,6 +37,10 @@ class BlockHygieneSpec extends SparkSpec {
     // builds means every query must come out clean.
     graft.operators.Dedup.clusterIndex(spark, sf, threshold = 0.5).count()
     graft.operators.Curation.curationRecipeQuery(spark, sf).count()
+    // the daily-increment query is session-scoped too (r15): its corpus
+    // index + increment fixpoint checkpoints and persisted stage frames
+    // are sanctioned survivors exactly like the recipe's
+    graft.operators.Curation.curationIncrementQuery(spark, sf).count()
     val baseline = sc.getPersistentRDDs.keySet
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       fn(spark, sf).count()

@@ -404,6 +404,55 @@ class CurationRecipeSpec extends SparkSpec {
       "a keeper failed a re-run of the composed gate on its emitted text")
   }
 
+  test("curation_increment gated query: one verdict per batch doc, dup_of_corpus carries a corpus cluster, keepers' labels are appendable") {
+    // the driver's hash gate proves value equality against DuckDB at
+    // sf0.01; this spec pins the query GLUE at the spec SF — batch row
+    // identity (odd doc_ids), the label vocabulary incl. the
+    // increment-only dup_of_corpus, that attached rejects really carry
+    // a CORPUS (even-id) cluster, that keepers' (doc_id, cluster_id)
+    // rows are the self-canonical labels the daily loop appends, and
+    // that keepers re-pass the gate with the CORPUS-fit models
+    val out = Curation.curationIncrementQuery(spark, sf)
+    val rows = out.collect()
+    val nBatch = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(rows.length == nBatch, s"${rows.length} rows for $nBatch batch docs")
+    assert(rows.forall(_.getLong(0) % 2 == 1), "a corpus (even) doc leaked in")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "doc_id must be unique in the verdict frame")
+    val allowed = Set("no_tokens", "exact_dup", "dup_of_corpus", "near_dup",
+      "boilerplate_gutted", "high_perplexity", "low_compress_ratio",
+      "high_compress_ratio", "token_budget")
+    val reasons = rows.flatMap(r => Option(r.getString(3))).toSet
+    assert(reasons.subsetOf(allowed), s"unknown labels: ${reasons -- allowed}")
+    // the class this query exists to gate: batch docs duplicating
+    // corpus content, carrying the corpus cluster they duplicate
+    val attached = rows.filter(r =>
+      Option(r.getString(3)).contains("dup_of_corpus"))
+    assert(attached.nonEmpty, "dup_of_corpus never fired at the spec SF")
+    assert(attached.forall(r => !r.isNullAt(2) && r.getLong(2) % 2 == 0),
+      "a dup_of_corpus row's cluster_id is not a corpus (even) doc")
+    // keepers: present, self-canonical — their (doc_id, cluster_id)
+    // rows ARE the append to oldLabels before the next increment
+    val keepers = rows.filter(_.isNullAt(3))
+    assert(keepers.nonEmpty, "no keepers at the spec SF")
+    assert(keepers.forall(r => r.getLong(2) == r.getLong(0)),
+      "a keeper is not its own canonical")
+    // keepers' emitted (post-cut) text re-passes the gate under the
+    // same corpus-half-fit models the query used
+    import graft.operators.TextOps
+    val corpus = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 0 && !(col("text").isNull ||
+        col("text").rlike("^\\s*$")))
+    val lm = graft.ml.NgramLm.fit(corpus, "text")
+    val (bpe, _) = graft.ml.Bpe.fit(corpus, "text", numMerges = 50)
+    val keeperDf = out.filter(col("curation_reject").isNull)
+      .select("doc_id", "text")
+    val regated = TextOps.curationGate(keeperDf, "text", lm, maxPpl = 28.4, bpe)
+    assert(regated.filter(col("gate_reason").isNotNull).count() == 0,
+      "a keeper failed a re-run of the composed gate on its emitted text")
+  }
+
   test("curateCorpus on the corpus: stages only ever narrow, keepers pass a re-run of each gate") {
     import graft.ml.{Bpe, NgramLm}
     val docs = Tables.documents(spark, sf).select("doc_id", "text")

@@ -25,6 +25,18 @@ class DedupTextSpec extends SparkSpec {
     val dup = kf.filter(col("is_dup") === 1).select("doc_id", "keep_id")
       .as[(Long, Long)].collect().toSet
     assert(dup == Set((4L, 1L)))
+    // the xxhash64 production twin (r15): same verdicts row for row as
+    // the md5 (oracle-replayable) flavor, on the fixture AND the corpus
+    val prodFix = Dedup.exactKeepFirstHashed(docs, "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(prodFix == kf.collect().map(_.toString).sorted.toSeq,
+      "xxhash64 keep-first diverged from md5 on the fixture")
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val a = Dedup.exactKeepFirst(corpus, "text")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Dedup.exactKeepFirstHashed(corpus, "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "xxhash64 keep-first diverged from md5 on the corpus")
   }
 
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {

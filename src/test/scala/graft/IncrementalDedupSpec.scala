@@ -141,10 +141,11 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(a == b, s"md5Family=$md5: index probe diverged from derive")
       assert(b.nonEmpty, s"md5Family=$md5: fixture found no new-old pairs")
     }
-    // a frame that is not a bucket index is refused up front
+    // frames that are not a bucket index are refused up front (the
+    // case class fixes the roles, but not the schemas)
     intercept[IllegalArgumentException] {
       Dedup.incrementalCandidatePairs(newDocs, oldDocs,
-        oldBuckets = Some(oldDocs))
+        oldBuckets = Some(Dedup.BucketIndex(oldDocs, oldDocs)))
     }
   }
 

@@ -12,14 +12,15 @@ class LineBudgetSpec extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keySet.toSeq.sorted
 
-  test("gated query set is the 93 the line budget was sized for") {
+  test("gated query set is the 94 the line budget was sized for") {
     // adding a gated query without re-checking the budget is exactly the
     // failure mode this suite exists to catch — update the budget story
     // (or prefer a lib-level operator) before bumping this number
     // (r13: 90 → 92 with fuzzy_pairs + curation_gate; r14: 92 → 93 with
-    // curation_recipe; the worst-case ladder tests below re-size the
-    // budget with the real name set)
-    assert(names.size == 93, s"query count changed: ${names.size}")
+    // curation_recipe; r15: 93 → 94 with curation_increment; the
+    // worst-case ladder tests below re-size the budget with the real
+    // name set)
+    assert(names.size == 94, s"query count changed: ${names.size}")
   }
 
   test("real names + realistic centisecond values fit with full detail") {

@@ -80,6 +80,21 @@ def lib_additions(path):
     return None
 
 
+def exact_keepfirst_premium(path):
+    """Production-xxhash64 vs gated-md5 exact keep-first window (r15
+    verdict #5: dedup_exact_keep_first was the board's worst sf10 ratio
+    at 29x — this line decomposes hash cost vs exchange cost per leg)."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"exact_keepfirst_premium production_xxhash64=([0-9.]+) s "
+                r"gated_md5=([0-9.]+) s", line)
+            if m:
+                return {"production_xxhash64_sec": float(m.group(1)),
+                        "gated_md5_sec": float(m.group(2))}
+    return None
+
+
 def lib_additions2(path):
     """Second-wave lib additions (r10): interval-overlap join, manifest
     build, reservoir sample — same per-leg treatment."""
@@ -233,6 +248,7 @@ def main():
                   "index_build_sec": index_build_sec(small_path),
                   "gate_models_build_sec": gate_models_build_sec(small_path),
                   "minhash_premium": minhash_premium(small_path),
+                  "exact_keepfirst_premium": exact_keepfirst_premium(small_path),
                   "lib_additions": lib_additions(small_path),
                   "lib_additions2": lib_additions2(small_path),
                   "lib_additions3": lib_additions3(small_path),
@@ -246,6 +262,7 @@ def main():
                 "index_build_sec": index_build_sec(big_path),
                 "gate_models_build_sec": gate_models_build_sec(big_path),
                 "minhash_premium": minhash_premium(big_path),
+                "exact_keepfirst_premium": exact_keepfirst_premium(big_path),
                 "lib_additions": lib_additions(big_path),
                 "lib_additions2": lib_additions2(big_path),
                 "lib_additions3": lib_additions3(big_path),
