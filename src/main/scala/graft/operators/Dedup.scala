@@ -706,9 +706,15 @@ object Dedup {
     * (11.5 vs 7.8 s at a 500k-doc corpus). This layout stores the set
     * once; the collision-hit join that re-attaches it scans the
     * shingle frame map-side against a broadcast batch-sized hit list,
-    * so the probe still never shuffles the corpus. The r15 probe
-    * re-prices the index against the derive-from-text default (numbers
-    * in SURVEY §3.5).
+    * so the probe still never shuffles the corpus. Re-priced by the
+    * r15 fixed-batch probe (INCREMENT_PROBE_r15.json, med-of-3, pinned
+    * heap): at a 500k-doc corpus the normalized index now BEATS the
+    * derive-from-text form (6.77 vs 7.72 s — r14's layout lost 11.46
+    * vs 7.82); at 50k docs it still loses (9.18 vs 5.97 — the probe's
+    * extra exchanges are a fixed overhead a small warm corpus
+    * undercuts). So: derive stays the default for small/warm corpora,
+    * and the index is both the text-access DECOUPLING option and the
+    * measured faster path once the corpus is large.
     *
     * Family coherence: band keys are built exactly like the matching
     * pair generator's — xxhash64 slice keys for the production family,
