@@ -106,6 +106,46 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("minhash bucket index persists as two bucketed tables; the re-read index probes byte-identically and shuffle-free") {
+    // the storage contract of the r15 NORMALIZED BucketIndex: `buckets`
+    // persisted bucketed on bh (the probe's join key), `shingles`
+    // bucketed on doc_id (the collision re-attach key), and the daily
+    // incrementalCandidatePairs probe against the RE-READ pair equals
+    // the fresh-index probe row for row with the corpus side never
+    // shuffled (batch side + hit list broadcast)
+    val tmp = java.nio.file.Files.createTempDirectory("buckix").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val ix = operators.Dedup.minhashBuckets(corpus, "text", md5Family = true)
+    Bucketing.writeBucketed(ix.buckets, s"$tmp/b", "minhash_b", "bh", 4)
+    Bucketing.writeBucketed(ix.shingles, s"$tmp/s", "minhash_s", "doc_id", 4)
+    try {
+      val reread = operators.Dedup.BucketIndex(
+        Bucketing.readTable(spark, "minhash_b"),
+        Bucketing.readTable(spark, "minhash_s"))
+      val (_, fresh) = operators.Dedup.incrementalCandidatePairs(
+        batch, corpus, threshold = 0.5, md5Family = true,
+        oldBuckets = Some(ix))
+      val (_, viaTable) = operators.Dedup.incrementalCandidatePairs(
+        batch, corpus, threshold = 0.5, md5Family = true,
+        oldBuckets = Some(reread))
+      val a = fresh.collect().map(_.toString).sorted.toSeq
+      val b = viaTable.collect().map(_.toString).sorted.toSeq
+      assert(a == b, "probe via the bucketed tables diverges from the fresh index")
+      assert(b.nonEmpty, "fixture found no new-old pairs — the spec is vacuous")
+      val plan = viaTable.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"index probe shuffled a join side; plan:\n${plan.take(1500)}")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast probe joins; plan:\n${plan.take(1500)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS minhash_b")
+      spark.sql("DROP TABLE IF EXISTS minhash_s")
+    }
+  }
+
   test("date-partitioned writes get partition pruning on read") {
     val tmp = java.nio.file.Files.createTempDirectory("part").toString
     val ev = Tables.events(spark, sf)
