@@ -279,9 +279,13 @@ object Curation {
     recipeCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
     val k = (spark.sparkContext.applicationId, sfDir)
     Option(recipeCache.get(k)).map(_._2).getOrElse {
-      val built = (spark, build()._1)
-      val prev = recipeCache.putIfAbsent(k, built)
-      (if (prev != null) prev else built)._2
+      val (df, h) = build()
+      val prev = recipeCache.putIfAbsent(k, (spark, df))
+      // losing a concurrent first-call race would otherwise strand the
+      // loser's persisted stage frames for the app lifetime with no
+      // handle retained — close them; the loser's frame is discarded,
+      // so the close degradation never reaches a consumer
+      if (prev != null) { h.close(); prev._2 } else df
     }
   }
 
@@ -401,8 +405,14 @@ object Curation {
 
   /** Owns everything a [[curateIncrement]] call pinned: the persisted
     * batch frames AND the incremental-label fixpoint's checkpoint.
-    * Same contract as the other handles: materialize first, `close()`
-    * after; early close degrades to recompute, never to wrong rows. */
+    * Contract: materialize first, `close()` after — and note the
+    * degradation is STRONGER than the persist-only handles'. The
+    * persist side merely recomputes on re-evaluation, but freeing the
+    * label checkpoint truncates lineage that cannot be rebuilt: a frame
+    * from THIS call re-evaluated after `close()` fails with missing
+    * checkpoint blocks, it does not recompute. Close only once the
+    * frame is dropped (never wrong rows either way — a dead frame
+    * throws, it can't return stale data). */
   final class IncrementHandle private[operators] (inner: Seq[AutoCloseable])
       extends AutoCloseable {
     override def close(): Unit = inner.foreach(_.close())
@@ -636,7 +646,12 @@ object Curation {
     * [[curationRecipeQuery]] (two label fixpoints — the corpus index
     * build and the increment's own — leave truncated-lineage
     * checkpoints), with the same cold-mode hygiene: each cold call
-    * closes the previous cold call's handle. */
+    * closes the previous cold call's handle. Unlike the recipe's
+    * persist-only handle, this close frees the fixpoint CHECKPOINT too,
+    * so the previous cold frame becomes invalid (re-evaluation fails
+    * with missing checkpoint blocks — it does NOT recompute); safe under
+    * the bench's sequential evaluate-then-rebuild pattern, which never
+    * touches a prior frame after the next cold build. */
   def curationIncrementQuery(spark: SparkSession, sfDir: String): DataFrame = {
     def build(): (DataFrame, IncrementHandle) = {
       val docs = graft.Tables.documents(spark, sfDir)
@@ -666,9 +681,13 @@ object Curation {
     incrementCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
     val k = (spark.sparkContext.applicationId, sfDir)
     Option(incrementCache.get(k)).map(_._2).getOrElse {
-      val built = (spark, build()._1)
-      val prev = incrementCache.putIfAbsent(k, built)
-      (if (prev != null) prev else built)._2
+      val (df, h) = build()
+      val prev = incrementCache.putIfAbsent(k, (spark, df))
+      // same race hygiene as the recipe memo: a losing first call must
+      // close its own handle (persisted frames + the fixpoint
+      // checkpoint) — its frame is discarded, so the invalidation the
+      // checkpoint-free implies never reaches a consumer
+      if (prev != null) { h.close(); prev._2 } else df
     }
   }
 

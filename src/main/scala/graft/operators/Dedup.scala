@@ -724,7 +724,37 @@ object Dedup {
     * contract, load-bearing across a persistence boundary). Both frames
     * come from one builder call so the pair cannot mix snapshots or
     * families. */
-  final case class BucketIndex(buckets: DataFrame, shingles: DataFrame)
+  final case class BucketIndex(buckets: DataFrame, shingles: DataFrame) {
+    /** Corpus size (one `shingles` row per document) — computed once per
+      * index instance (= once per corpus snapshot) and cached, so the
+      * crossover advisory costs one count on the first probe and nothing
+      * after. */
+    lazy val docCount: Long = shingles.count()
+  }
+
+  /** The measured index-vs-derive crossover (INCREMENT_PROBE_r15, med-of-3,
+    * pinned heap, fixed 5000-doc batch): at a 50k-doc corpus the persisted
+    * index LOSES to deriving buckets from text (9.18 vs 5.97 s — the
+    * probe's extra exchanges are a fixed overhead a small warm corpus
+    * undercuts); at 500k docs it WINS (6.77 vs 7.72 s). The boundary is
+    * between those two measured points; ~100k is the documented rule of
+    * thumb (README "daily loop"). Below this, prefer derive-from-text
+    * unless the point of the index is text-access DECOUPLING (probing
+    * yesterday's snapshot without holding its text). */
+  val bucketIndexCrossoverDocs: Long = 100000L
+
+  /** The crossover advisory [[incrementalCandidatePairs]] logs when a
+    * persisted [[BucketIndex]] is supplied for a corpus under
+    * [[bucketIndexCrossoverDocs]] — exposed so the rule is spec-pinnable:
+    * Some(message) under the crossover, None at or above it. */
+  def bucketIndexAdvisory(ix: BucketIndex): Option[String] =
+    if (ix.docCount < bucketIndexCrossoverDocs)
+      Some(s"bucketIndex supplied for a ${ix.docCount}-doc corpus, under " +
+        s"the measured index-vs-derive crossover (~$bucketIndexCrossoverDocs " +
+        "docs, INCREMENT_PROBE_r15): deriving buckets from text is the " +
+        "measured faster path at this size — keep the index only if you " +
+        "need text-access decoupling from yesterday's snapshot")
+    else None
 
   def minhashBuckets(docs: DataFrame, textCol: String = "text", k: Int = 3,
                      numHashes: Int = 32, bands: Int = 8,
@@ -806,6 +836,11 @@ object Dedup {
           s"[${ix.shingles.columns.mkString(", ")}] — and it must have " +
           "been built with the SAME (k, numHashes, bands, hash family) " +
           "as this probe")
+      // one-line crossover advisory (r15 verdict #4 operationalized):
+      // docCount is cached on the index instance, so this is one count
+      // job per corpus snapshot, then free
+      bucketIndexAdvisory(ix).foreach(m =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(m))
     }
     // within-batch pairs: the full generator at batch scale
     val nn =

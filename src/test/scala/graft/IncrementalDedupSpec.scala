@@ -149,6 +149,26 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("bucket-index crossover advisory: fires under the measured crossover, silent above") {
+    val ss = TestSpark.spark
+    // a real (tiny) index is under the ~100k crossover → advisory
+    val small = Dedup.minhashBuckets(toDocs(oldRows), "text")
+    val msg = Dedup.bucketIndexAdvisory(small)
+    assert(msg.isDefined, "advisory must fire for a corpus under the crossover")
+    assert(msg.get.contains(s"${oldRows.size}-doc corpus"))
+    // at/above the crossover the advisory stays silent — docCount is one
+    // row per document in the shingles frame, so a synthetic frame pins
+    // the threshold without building a 100k-doc index
+    val big = Dedup.BucketIndex(
+      buckets = small.buckets,
+      shingles = ss.range(Dedup.bucketIndexCrossoverDocs)
+        .select(col("id").as("doc_id"), array().as("sh")))
+    assert(Dedup.bucketIndexAdvisory(big).isEmpty,
+      "advisory must not fire at or above the crossover")
+    // and docCount is cached on the instance (one job per snapshot)
+    assert(big.docCount == Dedup.bucketIndexCrossoverDocs)
+  }
+
   test("simhashPairs: identical docs at hamming 0, near-dups found, unrelated excluded") {
     // long docs: with ~300 distinct-ish tokens each sketch bit has a wide
     // vote margin, so a one-token edit flips few bits (hamming stays <= 3);
