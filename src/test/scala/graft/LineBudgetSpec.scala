@@ -69,6 +69,50 @@ class LineBudgetSpec extends AnyFunSuite {
     assert(line.startsWith("""{"metric":"total","value":"""))
   }
 
+  test("health block rides the realistic driver line without costing the map") {
+    // r15 verdict #2: BENCH_r{N}.json must carry {load, page-supply rate,
+    // boot time} so a hot or slow-page-supply leg is machine-checkable in
+    // the artifact, not just in forensics prose. The no-health 94-query
+    // line sits at 1960/1980 (1dp rung), so health is the compact
+    // positional array [load(1dp), mbs(int), boot_s(int)].
+    val results = names.map(_ -> 3.21).toMap
+    val health = Bench.healthJson(0.93, 5012.4, 2100)
+    assert(health == """[0.9,5012,2]""", health)
+    val line = Bench.formatLine(results, Nil, "sf0.1", Some(health))
+    assert(line.length <= 1980, s"len=${line.length}")
+    assert(line.contains(""","h":[0.9,5012,2],"sf":"""), line)
+    assert(names.forall(n => line.contains("\"" + n + "\":")),
+      s"health block cost the per-query map at realistic values:\n$line")
+  }
+
+  test("ladder sheds health before the per-query map, and keeps it on the headline rungs") {
+    // the map is what cross-round like-for-like comparisons read: a
+    // wide health block (sick box: big boot_s, hot load) must never be
+    // what evicts it. Force the margin with a health string wide enough
+    // to blow the 1dp+health rung at realistic values.
+    val results = names.map(_ -> 3.21).toMap
+    val wide = Bench.healthJson(12.3, 1234567.0, 999999000)
+    val line = Bench.formatLine(results, Nil, "sf0.1", Some(wide))
+    assert(line.length <= 1980, s"len=${line.length}")
+    assert(names.forall(n => line.contains("\"" + n + "\":")),
+      s"map lost to a wide health block:\n$line")
+    // mass failure blows every map rung; the headline rung keeps health
+    val failedLine = Bench.formatLine(
+      names.map(_ -> -999.99).toMap, names.toList, "sf0.1",
+      Some(Bench.healthJson(6.30, 240.0, 330000)))
+    assert(failedLine.length <= 1980, s"len=${failedLine.length}")
+    assert(failedLine.startsWith("""{"metric":"total","value":"""))
+    assert(failedLine.contains(""""h":[6.3,240,330]"""), failedLine)
+  }
+
+  test("health probe measures a positive page-supply rate") {
+    val (load, mbs, bootMs) = Bench.healthProbe()
+    assert(mbs > 0, s"mbs=$mbs")
+    assert(bootMs >= 0)
+    // load average is -1 on platforms without the metric; accept either
+    assert(load == -1.0 || load >= 0.0)
+  }
+
   test("trailing-zero stripping keeps values valid JSON numbers") {
     val line = Bench.formatLine(
       Map("a" -> 0.50, "b" -> 1.00, "c" -> 0.001, "d" -> 12.30), Nil, "sf0.1")

@@ -228,6 +228,54 @@ def asof_native(path):
     return None
 
 
+def health(path, bench_json):
+    """Per-leg box-health block (r15 verdict #2): load average at launch,
+    fresh-page supply rate (MB/s, 512 MB direct-buffer touch), and JVM
+    uptime at main entry (bills the pinned-heap pre-touch). Emitted by
+    graft.Bench as a [bench] health forensics line and embedded in the
+    JSON line's "health" field; parse either so pre-r16 logs degrade to
+    None instead of crashing."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"\[bench\] health load_avg=([0-9.]+) "
+                r"pagetouch_mb_s=(\d+) jvm_boot_ms=(\d+)", line)
+            if m:
+                return {"load_avg": float(m.group(1)),
+                        "pagetouch_mb_s": int(m.group(2)),
+                        "jvm_boot_ms": int(m.group(3))}
+    h = bench_json.get("h")
+    if isinstance(h, list) and len(h) == 3:
+        # compact positional form [load(1dp), mbs, boot_s] — the driver
+        # line's 1980-char budget can't afford named keys
+        return {"load_avg": h[0], "pagetouch_mb_s": h[1],
+                "jvm_boot_ms": h[2] * 1000}
+    return None
+
+
+def health_gate(h):
+    """The r15 evidence: the sick box supplied fresh pages at ~240 MB/s
+    aggregate (healthy: multiple GB/s) and the hot driver leg launched at
+    load 6.3 (untouched queries +25%). Gate thresholds sit an order of
+    magnitude inside both failure signatures. Caveat discovered while
+    building this (r16): a pinned-heap leg's OWN AlwaysPreTouch burns
+    minutes of many-thread SYS before main runs, so the 1-min load read
+    at main entry is self-contaminated whenever boot took long — the
+    load check only applies to fast-boot (< 60 s) runs like the driver
+    bench leg, which is exactly the leg the r15 load finding was about."""
+    if h is None:
+        return "MISSING: no health block (pre-r16 jar?)"
+    bad = []
+    if h["pagetouch_mb_s"] is not None and h["pagetouch_mb_s"] < 1000:
+        bad.append(f"page supply {h['pagetouch_mb_s']} MB/s < 1000 "
+                   f"(r15 sick box: ~240)")
+    if (h["load_avg"] is not None and h["load_avg"] > 2.0
+            and (h["jvm_boot_ms"] is None or h["jvm_boot_ms"] < 60000)):
+        bad.append(f"load_avg {h['load_avg']} > 2.0 at launch "
+                   f"(r15 hot leg: 6.3)")
+    return "pass" if not bad else "FAIL: " + "; ".join(bad)
+
+
 def main():
     small_path, big_path, data_ratio, out_path = sys.argv[1:5]
     data_ratio = float(data_ratio)
@@ -241,10 +289,14 @@ def main():
     vals = sorted(r for r in ratios.values() if r is not None)
     median = vals[len(vals) // 2] if vals else None
     rnd = re.search(r"_r(\d+)", out_path)
+    h_small, h_big = health(small_path, small), health(big_path, big)
+    gates = {"small": health_gate(h_small), "big": health_gate(h_big)}
     out = {
         "round": int(rnd.group(1)) if rnd else None,
         "data_ratio": data_ratio,
+        "health_gate": gates,
         "small": {"sf_dir": small.get("sf"), "total_sec": small["value"],
+                  "health": h_small,
                   "index_build_sec": index_build_sec(small_path),
                   "gate_models_build_sec": gate_models_build_sec(small_path),
                   "minhash_premium": minhash_premium(small_path),
@@ -259,6 +311,7 @@ def main():
                   "asof_native": asof_native(small_path),
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
+                "health": h_big,
                 "index_build_sec": index_build_sec(big_path),
                 "gate_models_build_sec": gate_models_build_sec(big_path),
                 "minhash_premium": minhash_premium(big_path),
@@ -283,11 +336,24 @@ def main():
         "fixed_cost_dominated": {q: r for q, r in ratios.items()
                                  if r is not None and r < 0.3 * data_ratio},
     }
+    # a failed gate doesn't block the artifact (the r15 disclosure was
+    # only possible because the polluted legs stayed on the record) — it
+    # labels it so no reader can mistake a host measurement for an
+    # engine measurement, and the comparator prints the warning loudly
+    failed_gates = {k: v for k, v in gates.items() if v != "pass"}
+    if failed_gates:
+        out["health_warning"] = (
+            "BOX HEALTH GATE FAILED — wall times in this artifact measure "
+            "the host, not the engine; do not compare across rounds: "
+            + "; ".join(f"{k}: {v}" for k, v in sorted(failed_gates.items())))
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    if failed_gates:
+        print(f"*** {out['health_warning']}")
     print(f"total {small['value']:.1f}s -> {big['value']:.1f}s "
           f"(x{out['total_ratio']}) median query ratio {median} "
-          f"superlinear {len(out['superlinear'])}")
+          f"superlinear {len(out['superlinear'])} "
+          f"health_gate small={gates['small']} big={gates['big']}")
 
 
 if __name__ == "__main__":
