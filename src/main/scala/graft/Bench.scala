@@ -109,28 +109,30 @@ object Bench {
     * scaling_report.py gates cross-leg comparisons on this block
     * (mbs >= 1000 and load <= 2.0) and labels the artifact loudly when
     * either leg fails. */
-  def healthProbe(): (Double, Double, Long) = {
+  def healthProbe(chunks: Int = 4, chunkMb: Int = 512): (Double, Double, Long) = {
     import java.lang.management.ManagementFactory
     val load = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val bootMs = ManagementFactory.getRuntimeMXBean.getUptime
-    // 2 GiB in two 1 GiB buffers (allocateDirect is int-bounded): the r16
-    // cliff measurement showed the host hands out the FIRST ~1-2 GiB from
-    // a fast pool (~2 GB/s) and collapses to ~200 MB/s steady-state when
-    // sick — a sub-GiB probe reads the pool, not the supply rate the run
-    // will live on. 2 GiB blends one fast and one steady GiB: a sick box
-    // reads ~350-400 MB/s, a healthy one multiple GB/s; costs ~1 s
-    // healthy / ~10 s sick, once, before Spark exists.
-    val gib = 1024 * 1024 * 1024
+    // 2 GiB default (4 × 512 MB buffers; allocateDirect is int-bounded):
+    // the r16 cliff measurement showed the host hands out the FIRST
+    // ~1-2 GiB from a fast pool (~2 GB/s) and collapses to ~200 MB/s
+    // steady-state when sick — a sub-GiB probe reads the pool, not the
+    // supply rate the run will live on. 2 GiB blends past the pool: a
+    // sick box reads ~100-400 MB/s, a healthy one multiple GB/s; costs
+    // ~1 s healthy / ~10-20 s sick, once, before Spark exists. The size
+    // params exist for the spec (shape test at 128 MB) — the gate's
+    // calibration assumes the 2 GiB default.
+    val bytes = chunkMb * 1024 * 1024
     val t0 = System.nanoTime()
     var g = 0
-    while (g < 2) {
-      val buf = java.nio.ByteBuffer.allocateDirect(gib)
+    while (g < chunks) {
+      val buf = java.nio.ByteBuffer.allocateDirect(bytes)
       var i = 0
-      while (i < gib) { buf.put(i, 1.toByte); i += 4096 }
+      while (i < bytes) { buf.put(i, 1.toByte); i += 4096 }
       g += 1
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    (load, 2048 / sec, bootMs)
+    (load, chunks.toLong * chunkMb / sec, bootMs)
   }
 
   /** Compact health block for the driver line: `[load, mbs, boot_s]` —
@@ -278,6 +280,17 @@ object Bench {
       // never be billed to the rep that happened to be running when a
       // periodic timer fired (the r6 spike hypothesis)
       System.gc()
+      // sample the host's page-supply rate in the same untimed gap: the
+      // r16 clean-box re-leg found the slow-page-supply state strikes in
+      // WAVES (identical task counts, task-CPU 6-10x for tens of seconds,
+      // clean reps between — ts_logreg_embed reps 28.7/18.1/2.6 s in one
+      // med-of-3), so a boot-time health block alone cannot attribute a
+      // polluted median. 64 MB per gap (untimed): ~0.03 s healthy,
+      // ~0.3-0.6 s during a throttle wave — the per-query trace lets the
+      // scaling report separate "engine regressed" from "host wave hit
+      // reps 1-2" mechanically.
+      val (_, gapMbs, _) = healthProbe(chunks = 1, chunkMb = 64)
+      tee.log(s"[bench] gap_health $name mbs=${gapMbs.round}")
       val repStats = (1 to reps).map { rep =>
         Forensics.drainListenerBus(spark, taskTimes)
         val task0 = taskTimes.snapshot()

@@ -756,6 +756,31 @@ object Dedup {
         "need text-access decoupling from yesterday's snapshot")
     else None
 
+  /** Roll a persisted [[BucketIndex]] forward by one increment's keepers
+    * — the bucket-index sibling of the daily loop's gram-index refresh
+    * (README: `gramIx.unionByName(gramIndex(keepers)).distinct()`). The
+    * increment's frames are built with ONE [[minhashBuckets]] call and
+    * unioned per frame, so the result is row-identical to rebuilding the
+    * index over corpus ∪ keepers (doc_ids are disjoint by the loop's own
+    * id discipline; no distinct needed — and none is taken, so a caller
+    * who appends the same day twice gets duplicate bucket rows rather
+    * than a silent dedup masking the mistake).
+    *
+    * Scheme coherence: `k`/`numHashes`/`bands`/`md5Family` MUST match
+    * the original build — the same cross-persistence contract the
+    * md5Family flag already carries ([[incrementalCandidatePairs]]:
+    * band keys differ between hash families, and between band schemes).
+    * The refreshed index picks up a fresh cached [[BucketIndex.docCount]]
+    * on first probe, so the crossover advisory tracks the grown corpus. */
+  def bucketIndexAppend(ix: BucketIndex, newDocs: DataFrame,
+                        textCol: String = "text", k: Int = 3,
+                        numHashes: Int = 32, bands: Int = 8,
+                        md5Family: Boolean = false): BucketIndex = {
+    val add = minhashBuckets(newDocs, textCol, k, numHashes, bands, md5Family)
+    BucketIndex(ix.buckets.unionByName(add.buckets),
+      ix.shingles.unionByName(add.shingles))
+  }
+
   def minhashBuckets(docs: DataFrame, textCol: String = "text", k: Int = 3,
                      numHashes: Int = 32, bands: Int = 8,
                      md5Family: Boolean = false): BucketIndex = {

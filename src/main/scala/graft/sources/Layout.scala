@@ -46,6 +46,28 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Append-mode sibling of [[writeClustered]] for accreting tables —
+    * the daily-verdict pattern (`Curation.curateIncrement` output lands
+    * as one increment per day) and append-style log ingests. The
+    * increment is range-clustered and sorted WITHIN ITSELF, so each new
+    * file owns a tight slice of the increment's key domain while every
+    * existing file stays byte-identical on disk — which is exactly the
+    * shape [[Manifest.update]] exploits to bring the table's manifest
+    * forward by scanning ONLY the new files (O(increment) maintenance,
+    * the property that keeps the pair viable at 100 TB). Increments with
+    * disjoint key ranges (per-day id blocks, time-ordered ingest) keep
+    * whole-table pruning as tight as a full re-cluster; overlapping
+    * ranges degrade pruning only across the overlap, never correctness. */
+  def appendClustered(df: DataFrame, path: String, nFiles: Int,
+                      sortCols: String*): Unit = {
+    require(nFiles > 0, s"layout: nFiles must be positive, got $nFiles")
+    require(sortCols.nonEmpty, "layout: need at least one cluster column")
+    val cols = sortCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
   /** Morton (z-order) key over two numeric columns, on an EQUI-DEPTH
     * grid: each dimension is bucketed by its own quantiles (one
     * `approxQuantile` stats pass per dimension — bounded driver-side

@@ -171,22 +171,31 @@ object GenScale {
       })
   }
 
-  def generate(spark: SparkSession, srcDir: String, dstDir: String, factor: Int): Unit =
+  def generate(spark: SparkSession, srcDir: String, dstDir: String,
+               factor: Int, only: Set[String] = Set.empty): Unit =
     scaled(spark, srcDir, factor).foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
-      System.err.println(s"[genscale] wrote $name")
+      if (only.isEmpty || only.contains(name)) {
+        df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+        System.err.println(s"[genscale] wrote $name")
+      } else System.err.println(s"[genscale] skipped $name (table filter)")
     }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft-sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional comma-separated table filter (4th arg) — the r16 third
+    // corpus decade needs 5M documents (factor 1000) for the fixed-batch
+    // increment probe; generating the 600M-row lineitem alongside would
+    // cost ~10x the wall and disk for tables the probe never reads
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set.empty)
     val spark = SparkSession.builder()
       .appName("graft-genscale").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.driver.memory", "16g")
       .getOrCreate()
-    try generate(spark, src, dst, factor)
+    try generate(spark, src, dst, factor, only)
     finally spark.stop()
   }
 }

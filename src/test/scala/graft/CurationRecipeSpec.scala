@@ -482,4 +482,92 @@ class CurationRecipeSpec extends SparkSpec {
         .count() == 0, "keepers still share >=15-token windows")
     } finally handle.close()
   }
+
+  test("3-day replay: per-day index refresh feeds the next day; a day-3 reject is attributable ONLY to the day-2 refresh") {
+    import graft.ml.{Bpe, NgramLm}
+    // The README states the index-freshness contract as prose ("a stale
+    // index misses only post-snapshot boilerplate"); this replay pins it
+    // as behavior across three days of the loop. Quality gates are
+    // neutralized (maxPpl = 1e6) — the replay isolates the dedup/index
+    // state rolling forward, CurationRecipeSpec's other cases own the
+    // gate semantics.
+    val corpusText = uniq("oa", 40)
+    val old = Seq((1L, corpusText), (2L, uniq("ob", 30)), (3L, uniq("oc", 30)))
+      .toDF("doc_id", "text")
+    val labels0 = Dedup.dedupClusters(old, threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    val ix0 = Dedup.gramIndex(old, "text", n = 10)
+    val train = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 20)
+    val boilerA = (0 until 30).map(i => s"ba$i").mkString(" ")
+    val boilerB = (0 until 30).map(i => s"bb$i").mkString(" ")
+
+    def day(batch: org.apache.spark.sql.DataFrame,
+            corpus: org.apache.spark.sql.DataFrame,
+            labels: org.apache.spark.sql.DataFrame,
+            ix: org.apache.spark.sql.DataFrame) = {
+      val (v, h) = Curation.curateIncrement(batch, "doc_id", "text",
+        corpus, labels, lm, maxPpl = 1e6, bpe, nearThreshold = 0.8,
+        md5Family = true, spanIndex = Some(ix), spanN = 10,
+        minKeptRatio = 0.3)
+      val rows = v.collect() // materialize, then free the stage caches
+      h.close()
+      rows
+    }
+    def verdictOf(rows: Array[org.apache.spark.sql.Row], id: Long) = {
+      val r = rows.find(_.getLong(0) == id).get
+      (Option(r.getString(3)), r.getString(1))
+    }
+
+    // ---- day 1: boilerplate A enters the corpus via a keeper ----
+    val day1 = Seq(
+      (101L, s"${uniq("k1", 20)} $boilerA"), // keeper (A is brand new)
+      (102L, corpusText)                     // dup_of_corpus, cluster 1
+    ).toDF("doc_id", "text")
+    val rows1 = day(day1, old, labels0, ix0)
+    assert(verdictOf(rows1, 101L)._1.isEmpty, s"${verdictOf(rows1, 101L)}")
+    assert(verdictOf(rows1, 102L)._1.contains("dup_of_corpus"))
+    // roll forward: corpus, labels, AND the gram index (keepers' post-cut
+    // text unioned in — the refresh the README's loop step prescribes)
+    val keepers1 = Seq((101L, verdictOf(rows1, 101L)._2)).toDF("doc_id", "text")
+    val corpus1 = old.unionByName(keepers1)
+    val labels1 = labels0.unionByName(
+      Seq((101L, 101L)).toDF("doc_id", "cluster_id"))
+    val ix1 = ix0.unionByName(Dedup.gramIndex(keepers1, "text", n = 10))
+      .distinct()
+
+    // ---- day 2: A (now indexed) guts a doc; B enters via a keeper ----
+    val day2 = Seq(
+      (201L, s"${uniq("k2", 20)} $boilerB"), // keeper (B is brand new)
+      (202L, s"${uniq("k3", 6)} $boilerA")   // 6/36 kept < 0.3 -> gutted,
+                                             // provable day-1-refresh effect
+    ).toDF("doc_id", "text")
+    val rows2 = day(day2, corpus1, labels1, ix1)
+    assert(verdictOf(rows2, 201L)._1.isEmpty, s"${verdictOf(rows2, 201L)}")
+    assert(verdictOf(rows2, 202L)._1.contains("boilerplate_gutted"),
+      s"${verdictOf(rows2, 202L)}")
+    val keepers2 = Seq((201L, verdictOf(rows2, 201L)._2)).toDF("doc_id", "text")
+    val corpus2 = corpus1.unionByName(keepers2)
+    val labels2 = labels1.unionByName(
+      Seq((201L, 201L)).toDF("doc_id", "cluster_id"))
+    val ix2 = ix1.unionByName(Dedup.gramIndex(keepers2, "text", n = 10))
+      .distinct()
+
+    // ---- day 3: same batch against the refreshed vs the stale index ----
+    val day3 = Seq(
+      (301L, s"${uniq("k4", 6)} $boilerB")
+    ).toDF("doc_id", "text")
+    // refreshed (ix2, contains B via day-2's keeper): gutted
+    val fresh = day(day3, corpus2, labels2, ix2)
+    assert(verdictOf(fresh, 301L)._1.contains("boilerplate_gutted"),
+      s"day-2 index refresh must catch day-2 boilerplate: ${verdictOf(fresh, 301L)}")
+    // stale (ix1, pre-day-2): B unseen, the doc sails through untouched —
+    // the exact "misses only post-snapshot boilerplate" failure mode,
+    // demonstrated rather than asserted in prose
+    val stale = day(day3, corpus2, labels2, ix1)
+    assert(verdictOf(stale, 301L)._1.isEmpty &&
+      verdictOf(stale, 301L)._2 == s"${uniq("k4", 6)} $boilerB",
+      s"stale index must miss ONLY the post-snapshot block: ${verdictOf(stale, 301L)}")
+  }
 }

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup}
+import graft.sources.{Layout, Manifest}
+
+/** The storage side of the daily curation loop (r15 verdict #4): the
+  * README's loop ended at `verdicts.write.parquet(...)` — plain,
+  * unclustered, manifest-less — while the engine owns clustered writes,
+  * manifests and incremental manifest maintenance. This spec executes
+  * the composed pattern end-to-end so it cannot rot:
+  *
+  *   day N   curateIncrement → Manifest.writeWithManifest (clustered
+  *           verdicts + manifest in one consistent single-writer pair)
+  *   day N+1 curateIncrement → Layout.appendClustered (existing files
+  *           untouched) → Manifest.update (scans ONLY the new files)
+  *           → pruned reads skip the other day's files entirely
+  *
+  * with the loud staleness refusal pinned at the exact moment the loop
+  * would hit it (after the append, before the update). */
+class CurationStorageSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  private def uniq(tag: String, n: Int): String =
+    (0 until n).map(i => s"${tag}w$i").mkString(" ")
+
+  test("daily verdicts: clustered+manifested write, incremental day-2 maintenance, pruned per-day reads") {
+    import graft.ml.{Bpe, NgramLm}
+    val tmp = java.nio.file.Files.createTempDirectory("curation_storage").toString
+    val table = s"$tmp/verdicts"
+    val manifestPath = s"$tmp/verdicts_manifest"
+
+    // corpus + frozen labels + corpus-fit models; the quality gates are
+    // neutralized (maxPpl = 1e6, no compress bounds) — this spec pins the
+    // STORAGE contract, CurationRecipeSpec owns the verdict semantics
+    val corpusText = uniq("oa", 40)
+    val old = Seq((1L, corpusText), (2L, uniq("ob", 30)), (3L, uniq("oc", 30)))
+      .toDF("doc_id", "text")
+    val oldLabels = Dedup.dedupClusters(old, threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    val train = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 20)
+
+    def curate(batch: org.apache.spark.sql.DataFrame,
+               corpus: org.apache.spark.sql.DataFrame,
+               labels: org.apache.spark.sql.DataFrame) =
+      Curation.curateIncrement(batch, "doc_id", "text", corpus, labels,
+        lm, maxPpl = 1e6, bpe, nearThreshold = 0.8, md5Family = true)
+
+    // ---- day 1: ids 100-105, every storage-relevant verdict class ----
+    val day1 = Seq(
+      (101L, uniq("k1", 25)),   // keeper
+      (102L, corpusText),       // dup_of_corpus
+      (103L, ""),               // no_tokens
+      (104L, uniq("k4", 25)),   // keeper, canonical of {104, 105}
+      (105L, uniq("k4", 25))    // exact_dup of 104 within the batch
+    ).toDF("doc_id", "text")
+    val (verdicts1, h1) = curate(day1, old, oldLabels)
+    // materialize THROUGH the storage pair first, close the handle after
+    // (the README ordering) — writeWithManifest is the materialization
+    val m1 = Manifest.writeWithManifest(verdicts1, table, manifestPath,
+      cols = Seq("doc_id"), nFiles = 2, clusterBy = Seq("doc_id"))
+    h1.close()
+    assert(m1.count() == 2, "day-1 clustered write should land 2 files")
+    Manifest.requireFresh(spark, table, m1) // consistent by construction
+
+    // ---- day 2: loop closed (labels roll forward), ids 200-203 ----
+    // yesterday's keepers come from the WRITTEN table, not the closed
+    // frame: after handle.close() the verdict frame's checkpoint blocks
+    // are freed and re-evaluating it would fail (the documented
+    // IncrementHandle contract) — the storage pair IS the durable copy
+    val v1 = spark.read.parquet(table)
+      .select("doc_id", "text", "cluster_id", "curation_reject").collect()
+    val k1 = v1.filter(_.isNullAt(3))
+    assert(k1.length == 2, s"day-1 keepers: ${k1.length}")
+    val keepers1 = k1.map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("doc_id", "text")
+    val corpus1 = old.unionByName(keepers1)
+    val labels1 = oldLabels.unionByName(
+      k1.map(r => (r.getLong(0), r.getLong(2))).toSeq
+        .toDF("doc_id", "cluster_id"))
+    val day2 = Seq(
+      (201L, uniq("k6", 25)),       // keeper
+      (202L, uniq("k1", 25)),       // copy of YESTERDAY's keeper -> dup_of_corpus
+      (203L, uniq("k7", 25))        // keeper
+    ).toDF("doc_id", "text")
+    val (verdicts2, h2) = curate(day2, corpus1, labels1)
+    val v2rows = verdicts2.collect()
+    assert(v2rows.count(_.isNullAt(3)) == 2, "2 day-2 keepers")
+    assert(v2rows.exists(r => r.getLong(0) == 202L &&
+      r.getString(3) == "dup_of_corpus" && r.getLong(2) == 101L),
+      "yesterday's keeper must catch today's copy (loop closure)")
+    // append the increment: existing files byte-identical, 2 new files
+    Layout.appendClustered(verdicts2, table, 2, "doc_id")
+    h2.close()
+
+    // the day-1 manifest is now stale — and must REFUSE, not silently
+    // under-read (this is the moment the unmaintained README loop dies)
+    val stale = intercept[IllegalArgumentException] {
+      Manifest.requireFresh(spark, table, m1)
+    }
+    assert(stale.getMessage.contains("missing from manifest"), stale.getMessage)
+
+    // incremental maintenance: day-1 stats rows are reused VERBATIM
+    // (same file, same length, same mtime, same min/max), only the two
+    // appended files are scanned
+    val m2 = Manifest.update(spark, table, m1)
+    assert(m2.count() == 4, s"2 day-1 + 2 day-2 files: ${m2.count()}")
+    // snapshot m1 NOW — Manifest.write(m2) below overwrites the parquet
+    // files m1's lazy plan reads from
+    val m1Collected = m1.collect()
+    val m1Rows = m1Collected.map(_.toString).toSet
+    val day1Files = m1Collected
+      .map(_.getString(m1.schema.fieldIndex("_file"))).toSet
+    val m2Rows = m2.collect().map(_.toString).toSet
+    assert(m1Rows.subsetOf(m2Rows),
+      "day-1 manifest rows must carry over untouched into the updated manifest")
+    Manifest.write(m2, manifestPath) // tomorrow's manifest, maintained
+    val m2Read = Manifest.read(spark, manifestPath)
+    Manifest.requireFresh(spark, table, m2Read)
+
+    // pruning measured: each day's id block survives only to that day's
+    // files (ids are disjoint per day, so the clustered increments own
+    // disjoint doc_id slices)
+    val day2Band = Map("doc_id" -> (200L: Any, 299L: Any))
+    val day1Band = Map("doc_id" -> (100L: Any, 199L: Any))
+    val survDay2 = Manifest.prune(m2Read, day2Band)
+    assert(survDay2.nonEmpty && survDay2.size <= 2 &&
+      survDay2.forall(f => !day1Files.contains(f)),
+      s"day-2 band must prune to day-2 files only: $survDay2")
+    val survDay1 = Manifest.prune(m2Read, day1Band)
+    assert(survDay1.nonEmpty && survDay1.toSet.subsetOf(day1Files),
+      s"day-1 band must prune to day-1 files only: $survDay1")
+
+    // and the pruned read is row-identical to the full-scan filter
+    val full = spark.read.parquet(table)
+      .filter(col("doc_id") >= 200L && col("doc_id") <= 299L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val pruned = Manifest.readPruned(spark, table, m2Read, day2Band)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(pruned == full && full.size == 3,
+      s"pruned day-2 read drifted: $pruned vs $full")
+  }
+
+  test("IncrementStore: the one-call daily storage owner — create, append+maintain, pruned reads, always-fresh manifest") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("increment_store").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/verdicts_manifest",
+      filesPerIncrement = 2)
+
+    // three days of verdict-shaped increments with per-day id blocks
+    def day(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, s"text $i",
+          if (i % 5 == 0) None else Some(i.toLong),
+          if (i % 5 == 0) Some("high_perplexity") else None))
+        .toDF("doc_id", "text", "cluster_id", "curation_reject")
+
+    val m1 = store.writeIncrement(day(100 until 120)) // creates the pair
+    assert(m1.count() == 2)
+    val m2 = store.writeIncrement(day(200 until 220)) // append + update
+    assert(m2.count() == 4)
+    val m3 = store.writeIncrement(day(300 until 330)) // and again
+    assert(m3.count() == 6)
+
+    // the persisted manifest is always current: a read straight off the
+    // store passes the staleness gate without any caller-side repair
+    val day2 = store.readRange(spark,
+      Map("doc_id" -> (200L: Any, 299L: Any)))
+    assert(day2.count() == 20)
+    assert(day2.filter(col("curation_reject").isNull).count() == 16)
+
+    // pruning goes through the manifest, not a directory scan: the day-2
+    // band survives only to day-2's files
+    val surv = Manifest.prune(store.manifest(spark),
+      Map("doc_id" -> (200L: Any, 299L: Any)))
+    assert(surv.nonEmpty && surv.size <= 2,
+      s"day-2 band should prune 6 files to <=2: ${surv.size}")
+
+    // an out-of-band writer makes the next read REFUSE, not under-read
+    day(400 until 410).write.mode("append").parquet(s"$tmp/verdicts")
+    val stale = intercept[IllegalArgumentException] {
+      store.readRange(spark, Map("doc_id" -> (100L: Any, 199L: Any)))
+    }
+    assert(stale.getMessage.contains("missing from manifest"), stale.getMessage)
+    // ...and one maintenance pass over just the foreign files repairs it
+    val m4 = Manifest.update(spark, s"$tmp/verdicts", store.manifest(spark))
+    Manifest.write(m4, s"$tmp/verdicts_manifest")
+    assert(store.readRange(spark,
+      Map("doc_id" -> (400L: Any, 499L: Any))).count() == 10)
+  }
+}

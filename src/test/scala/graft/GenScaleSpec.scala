@@ -30,6 +30,18 @@ class GenScaleSpec extends SparkSpec {
       srcPerUser.agg(max("count")).head().getLong(0))
   }
 
+  test("genscale: table filter writes only the named tables (the r16 documents-only 5M-doc corpus)") {
+    val tmp = java.nio.file.Files.createTempDirectory("genscale_only").toString
+    tools.GenScale.generate(spark, sf, tmp, factor = 2,
+      only = Set("documents", "embeddings"))
+    val written = new java.io.File(tmp).listFiles().map(_.getName).toSet
+    assert(written == Set("documents.parquet", "embeddings.parquet"),
+      s"filter leaked tables: $written")
+    assert(spark.read.parquet(s"$tmp/documents.parquet").count() ==
+      2 * Tables.documents(spark, sf).count(),
+      "filtered generation must still scale the selected table")
+  }
+
   test("genscale: FK integrity per copy (lineitem -> orders, orders -> customer)") {
     assert(scaled("lineitem").join(scaled("orders"),
       col("l_orderkey") === col("o_orderkey"), "left_anti").count() == 0)

@@ -169,6 +169,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(big.docCount == Dedup.bucketIndexCrossoverDocs)
   }
 
+  test("bucketIndexAppend == rebuild over corpus ∪ increment, and probes identically (both families)") {
+    // the daily refresh: yesterday's index + today's keepers must be the
+    // SAME index a full rebuild over the grown corpus would produce —
+    // row-identical frames (no silent dedup, no drift), identical probe
+    // results, fresh docCount for the crossover advisory
+    val oldDocs = toDocs(oldRows)
+    val dayDocs = toDocs(newRows).withColumn("doc_id", col("doc_id") + 1000L)
+    val probe = toDocs(newRows).withColumn("doc_id", col("doc_id") + 2000L)
+    for (md5 <- Seq(false, true)) {
+      val appended = Dedup.bucketIndexAppend(
+        Dedup.minhashBuckets(oldDocs, "text", md5Family = md5),
+        dayDocs, "text", md5Family = md5)
+      val rebuilt = Dedup.minhashBuckets(oldDocs.unionByName(dayDocs),
+        "text", md5Family = md5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rows(appended.buckets) == rows(rebuilt.buckets),
+        s"md5Family=$md5: appended bucket frame diverged from rebuild")
+      assert(rows(appended.shingles) == rows(rebuilt.shingles),
+        s"md5Family=$md5: appended shingle frame diverged from rebuild")
+      val grown = oldDocs.unionByName(dayDocs)
+      val (_, viaAppended) = Dedup.incrementalCandidatePairs(probe, grown,
+        threshold = 0.5, md5Family = md5, oldBuckets = Some(appended))
+      val (_, viaRebuilt) = Dedup.incrementalCandidatePairs(probe, grown,
+        threshold = 0.5, md5Family = md5, oldBuckets = Some(rebuilt))
+      val a = rows(viaAppended)
+      assert(a == rows(viaRebuilt) && a.nonEmpty,
+        s"md5Family=$md5: appended-index probe diverged (or empty fixture)")
+      assert(appended.docCount == oldRows.size + newRows.size,
+        s"docCount must track the grown corpus: ${appended.docCount}")
+    }
+  }
+
   test("simhashPairs: identical docs at hamming 0, near-dups found, unrelated excluded") {
     // long docs: with ~300 distinct-ish tokens each sketch bit has a wide
     // vote margin, so a one-token edit flips few bits (hamming stays <= 3);

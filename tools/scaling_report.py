@@ -276,6 +276,28 @@ def health_gate(h):
     return "pass" if not bad else "FAIL: " + "; ".join(bad)
 
 
+def gap_health(path):
+    """Per-query page-supply samples from the untimed gaps (r16): the
+    slow-page-supply state strikes in waves, so the boot block alone
+    cannot attribute a polluted median. Summarize the trace and name the
+    queries whose gap sample caught a throttle wave (rate an order of
+    magnitude under the leg's own median — relative, because even a
+    healthy leg's absolute rate varies by host generation)."""
+    samples = {}
+    with open(path) as f:
+        for line in f:
+            m = re.search(r"\[bench\] gap_health (\S+) mbs=(\d+)", line)
+            if m:
+                samples[m.group(1)] = int(m.group(2))
+    if not samples:
+        return None
+    vals = sorted(samples.values())
+    med = vals[len(vals) // 2]
+    return {"median_mb_s": med, "min_mb_s": vals[0], "max_mb_s": vals[-1],
+            "wave_hit_queries": sorted(q for q, v in samples.items()
+                                       if v < med / 10)}
+
+
 def main():
     small_path, big_path, data_ratio, out_path = sys.argv[1:5]
     data_ratio = float(data_ratio)
@@ -297,6 +319,7 @@ def main():
         "health_gate": gates,
         "small": {"sf_dir": small.get("sf"), "total_sec": small["value"],
                   "health": h_small,
+                  "gap_health": gap_health(small_path),
                   "index_build_sec": index_build_sec(small_path),
                   "gate_models_build_sec": gate_models_build_sec(small_path),
                   "minhash_premium": minhash_premium(small_path),
@@ -312,6 +335,7 @@ def main():
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
                 "health": h_big,
+                "gap_health": gap_health(big_path),
                 "index_build_sec": index_build_sec(big_path),
                 "gate_models_build_sec": gate_models_build_sec(big_path),
                 "minhash_premium": minhash_premium(big_path),
