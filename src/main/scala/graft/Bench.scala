@@ -633,6 +633,46 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions6 FAILED: $e")
     }
+    // seventh-wave lib additions (r16): the daily-verdict STORAGE pair at
+    // bench scale — sources.IncrementStore writes day 1 (clustered +
+    // manifest in one consistent pair), appends day 2 (manifest brought
+    // forward scanning only the new files), then the day-2 pruned read is
+    // priced against the full-scan filter it row-equals. Writes are
+    // once-per-leg by nature (an append is not idempotent — med-of-3
+    // would write three days), reads get the usual median protocol.
+    try {
+      import org.apache.spark.sql.functions.{col, lit, max, when, percentile_approx}
+      val dir = java.nio.file.Files.createTempDirectory("bench_store").toString
+      val store = graft.sources.IncrementStore(
+        s"$dir/verdicts", s"$dir/manifest", filesPerIncrement = 8)
+      val vdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          col("doc_id").as("cluster_id"),
+          when(col("doc_id") % 10 === 0, "high_perplexity")
+            .otherwise(lit(null)).cast("string").as("curation_reject"))
+      val mid = vdocs.agg(
+        percentile_approx(col("doc_id"), lit(0.5), lit(100)))
+        .head.getLong(0)
+      val hi = vdocs.agg(max(col("doc_id"))).head.getLong(0)
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val w1 = t(store.writeIncrement(vdocs.filter(col("doc_id") < mid)))
+      val w2 = t(store.writeIncrement(vdocs.filter(col("doc_id") >= mid)))
+      val nFiles = store.manifest(spark).count()
+      val surv = graft.sources.Manifest.prune(store.manifest(spark),
+        Map("doc_id" -> (mid: Any, hi: Any))).length
+      val rp = med(() => evaluate(
+        store.readRange(spark, Map("doc_id" -> (mid: Any, hi: Any)))))
+      val rf = med(() => evaluate(
+        spark.read.parquet(s"$dir/verdicts")
+          .filter(col("doc_id") >= mid && col("doc_id") <= hi)))
+      tee.log(f"[bench] lib_additions7 store_day1_write=$w1%.3f s " +
+        f"store_day2_append=$w2%.3f s read_pruned=$rp%.3f s " +
+        f"read_full=$rf%.3f s files=$surv/$nFiles (writes rep1, reads med of 3)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] lib_additions7 FAILED: $e")
+    }
     val sfName = new java.io.File(sfDir).getName
     val out = formatLine(results, failed, sfName,
       Some(healthJson(hLoad, hMbs, hBoot)))

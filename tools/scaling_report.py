@@ -195,6 +195,28 @@ def lib_additions6(path):
     return None
 
 
+def lib_additions7(path):
+    """Seventh-wave lib additions (r16): the IncrementStore daily-verdict
+    storage pair — day-1 clustered+manifested write, day-2 append with
+    O(increment) manifest maintenance, and the day-2 pruned read priced
+    against the full-scan filter it row-equals (files M/N = survivors of
+    the day-2 band / total manifest files)."""
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"lib_additions7 store_day1_write=([0-9.]+) s "
+                r"store_day2_append=([0-9.]+) s read_pruned=([0-9.]+) s "
+                r"read_full=([0-9.]+) s files=(\d+)/(\d+)", line)
+            if m:
+                return {"store_day1_write_sec": float(m.group(1)),
+                        "store_day2_append_sec": float(m.group(2)),
+                        "read_pruned_sec": float(m.group(3)),
+                        "read_full_sec": float(m.group(4)),
+                        "pruned_files": int(m.group(5)),
+                        "total_files": int(m.group(6))}
+    return None
+
+
 def bpe_fit32k(path):
     """BPE at realistic merge scale (r12): corpus fit at 32768 requested
     merges (learned count reported — the corpus may exhaust first) and
@@ -330,6 +352,7 @@ def main():
                   "lib_additions4": lib_additions4(small_path),
                   "lib_additions5": lib_additions5(small_path),
                   "lib_additions6": lib_additions6(small_path),
+                  "lib_additions7": lib_additions7(small_path),
                   "bpe_fit32k": bpe_fit32k(small_path),
                   "asof_native": asof_native(small_path),
                   "queries": qs},
@@ -346,6 +369,7 @@ def main():
                 "lib_additions4": lib_additions4(big_path),
                 "lib_additions5": lib_additions5(big_path),
                 "lib_additions6": lib_additions6(big_path),
+                "lib_additions7": lib_additions7(big_path),
                 "bpe_fit32k": bpe_fit32k(big_path),
                 "asof_native": asof_native(big_path),
                 "queries": qb},
