@@ -634,4 +634,75 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(handle)
   }
+
+  /** The daily curation loop as a Structured Streaming sink — the
+    * streaming twin of [[graft.operators.Curation.curateIncrement]]:
+    * each arriving micro-batch is curated against the frozen corpus
+    * snapshot PLUS everything already accepted this stream (prior
+    * micro-batches' keepers), and the verdict frame is handed to
+    * `onVerdicts` (write it to an `IncrementStore`, append labels —
+    * whatever the day's sink is) BEFORE the stage caches are freed.
+    *
+    * Why foreachBatch and not flatMapGroupsWithState: the loop's state
+    * is not per-key — it is three DataFrames the driver owns across
+    * batches (accepted docs, their cluster labels, optionally the gram
+    * index), each probed by whole-batch joins. foreachBatch is the
+    * Structured Streaming escape hatch for exactly this shape: every
+    * micro-batch is a regular batch frame, so the ENTIRE batch operator
+    * — fixpoint, checkpoint hygiene, verdict classes — runs unchanged,
+    * and stream == sequence-of-batch-calls by construction (spec-pinned
+    * batch-by-batch).
+    *
+    * State roll-forward per micro-batch, all O(micro-batch): keepers are
+    * eagerly localCheckpoint'ed (they must survive the handle close —
+    * the closed handle frees the verdict frame's blocks), then unioned
+    * into the accepted-docs and label frames; the optional gram index
+    * grows by the keepers' post-cut grams (the README's daily refresh,
+    * continuously). The union tree deepens by one per micro-batch —
+    * fine for a day of micro-batches; a long-running stream should
+    * snapshot state through its own store on a daily cadence (which is
+    * the batch loop this stream twins).
+    *
+    * Scale shape: unchanged from the batch operator — the corpus side
+    * is scanned, never shuffled; batch-sized frames broadcast. */
+  def curationIncrementStream(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, labels0: DataFrame,
+      lm: graft.ml.NgramLm.LmModel, maxPpl: Double,
+      bpe: graft.ml.Bpe.BpeModel,
+      nearThreshold: Double = 0.8,
+      md5Family: Boolean = false,
+      spanIndex: Option[DataFrame] = None,
+      spanN: Int = 20, minKeptRatio: Double = 0.3)(
+      onVerdicts: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var oldDocs = corpus
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    var labels = labels0
+    var gramIx = spanIndex
+    newDocs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (v, h) = graft.operators.Curation.curateIncrement(
+            batch, idCol, textCol, oldDocs, labels, lm, maxPpl, bpe,
+            nearThreshold = nearThreshold, md5Family = md5Family,
+            spanIndex = gramIx, spanN = spanN,
+            minKeptRatio = minKeptRatio)
+          // keepers snapshot BEFORE close — post-close the verdict
+          // frame's checkpoint blocks are gone (IncrementHandle contract)
+          val keepers = v.filter(col("curation_reject").isNull)
+            .select(col("doc_id"), col("text"), col("cluster_id"))
+            .localCheckpoint(true)
+          onVerdicts(batchId, v) // consumer materializes, then we free
+          h.close()
+          oldDocs = oldDocs.unionByName(keepers.select("doc_id", "text"))
+          labels = labels.unionByName(
+            keepers.select("doc_id", "cluster_id"))
+          gramIx = gramIx.map(_.unionByName(
+            graft.operators.Dedup.gramIndex(
+              keepers.select("doc_id", "text"), "text", n = spanN))
+            .distinct())
+        }
+      }
+  }
 }

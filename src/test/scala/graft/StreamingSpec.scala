@@ -1168,4 +1168,72 @@ class StreamingSpec extends SparkSpec {
       5L -> Some(5.0),
       4L -> Some(5.0)), s"$got")
   }
+
+  test("curationIncrementStream: micro-batches == sequential batch calls; a batch-2 copy of a batch-1 keeper is dup_of_corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Curation, Dedup}
+    import graft.ml.{Bpe, NgramLm}
+    def uniq(tag: String, n: Int): String =
+      (0 until n).map(i => s"${tag}w$i").mkString(" ")
+    val corpusText = uniq("oa", 40)
+    val corpus = Seq((1L, corpusText), (2L, uniq("ob", 30)), (3L, uniq("oc", 30)))
+      .toDF("doc_id", "text")
+    val labels0 = Dedup.dedupClusters(corpus, threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    val train = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 20)
+
+    val b1 = Seq((101L, uniq("k1", 25)), (102L, corpusText))
+    val b2 = Seq((201L, uniq("k1", 25)), (202L, uniq("k2", 25)))
+
+    // --- streaming: two micro-batches through the foreachBatch sink ---
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map.empty[Long, Set[String]]
+    val ckpt = java.nio.file.Files.createTempDirectory("cur_stream").toString
+    val q = StreamingOps.curationIncrementStream(stream, "doc_id", "text",
+      corpus, labels0, lm, maxPpl = 1e6, bpe,
+      nearThreshold = 0.8, md5Family = true) { (id, v) =>
+        got(id) = v.select("doc_id", "text", "cluster_id", "curation_reject")
+          .collect().map(_.toString).toSet
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // --- batch: the same two days through curateIncrement by hand ---
+    def run(batch: Seq[(Long, String)], oldDocs: org.apache.spark.sql.DataFrame,
+            labels: org.apache.spark.sql.DataFrame) = {
+      val (v, h) = Curation.curateIncrement(batch.toDF("doc_id", "text"),
+        "doc_id", "text", oldDocs, labels, lm, maxPpl = 1e6, bpe,
+        nearThreshold = 0.8, md5Family = true)
+      val rows = v.select("doc_id", "text", "cluster_id", "curation_reject")
+        .collect()
+      h.close()
+      rows
+    }
+    val rows1 = run(b1, corpus, labels0)
+    val keep1 = rows1.filter(_.isNullAt(3))
+    val rows2 = run(b2,
+      corpus.unionByName(keep1.map(r => (r.getLong(0), r.getString(1))).toSeq
+        .toDF("doc_id", "text")),
+      labels0.unionByName(keep1.map(r => (r.getLong(0), r.getLong(2))).toSeq
+        .toDF("doc_id", "cluster_id")))
+
+    assert(got(0L) == rows1.map(_.toString).toSet,
+      s"batch 0 diverged:\n${got(0L)}\nvs\n${rows1.mkString("\n")}")
+    assert(got(1L) == rows2.map(_.toString).toSet,
+      s"batch 1 diverged:\n${got(1L)}\nvs\n${rows2.mkString("\n")}")
+    // and the cross-batch closure is real: 201 (a copy of batch-1 keeper
+    // 101) attaches to 101's cluster as dup_of_corpus in BOTH forms
+    val r201 = rows2.find(_.getLong(0) == 201L).get
+    assert(r201.getString(3) == "dup_of_corpus" && r201.getLong(2) == 101L,
+      r201.toString)
+    val r202 = rows2.find(_.getLong(0) == 202L).get
+    assert(r202.isNullAt(3), r202.toString)
+  }
 }
