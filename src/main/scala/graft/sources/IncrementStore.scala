@@ -70,8 +70,18 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
 
   /** Pruned interval read over the accreted table — only the files whose
     * stats can satisfy `intervals` are opened, the exact predicates
-    * re-applied row-wise, staleness refused loudly. */
+    * re-applied row-wise, staleness refused loudly.
+    *
+    * `staleCheck = false` skips the freshness gate (a directory listing
+    * plus a manifest diff per read — measured at sf10/16 local files to
+    * cost more than the pruning saves, lib_additions7). It is safe
+    * EXACTLY when every write goes through [[writeIncrement]], which
+    * leaves the persisted manifest current by construction; any
+    * out-of-band writer voids that guarantee silently, which is why the
+    * gate stays the default. */
   def readRange(spark: SparkSession,
-                intervals: Map[String, (Any, Any)]): DataFrame =
-    Manifest.readPruned(spark, tablePath, manifest(spark), intervals)
+                intervals: Map[String, (Any, Any)],
+                staleCheck: Boolean = true): DataFrame =
+    Manifest.readPruned(spark, tablePath, manifest(spark), intervals,
+      staleCheck = staleCheck)
 }

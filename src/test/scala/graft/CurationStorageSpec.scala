@@ -178,6 +178,11 @@ class CurationStorageSpec extends SparkSpec {
     assert(surv.nonEmpty && surv.size <= 2,
       s"day-2 band should prune 6 files to <=2: ${surv.size}")
 
+    // the staleCheck=false fast path (store-discipline writes keep the
+    // manifest current by construction) reads identically while fresh
+    assert(store.readRange(spark, Map("doc_id" -> (200L: Any, 299L: Any)),
+      staleCheck = false).count() == 20)
+
     // an out-of-band writer makes the next read REFUSE, not under-read
     day(400 until 410).write.mode("append").parquet(s"$tmp/verdicts")
     val stale = intercept[IllegalArgumentException] {
