@@ -44,17 +44,41 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  private def dataFilesOnDisk(spark: SparkSession): Seq[Path] = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq
+  }
+
   /** Land one increment; returns the refreshed manifest (localized —
     * consultable without re-reading the table). First call creates the
     * pair; later calls append + maintain. The manifest on disk is always
     * left current with the table — callers materialize verdicts THROUGH
-    * this call (it is the write), then close their stage handles. */
+    * this call (it is the write), then close their stage handles.
+    *
+    * Create-vs-append is keyed on the MANIFEST, so a table directory
+    * that already holds parquet data without one (a pre-store table, or
+    * a manifest deleted out-of-band) is refused loudly: the create path
+    * is a SaveMode.Overwrite and would silently destroy the existing
+    * rows. Adopt such a table by building its manifest first
+    * ([[Manifest.build]] + [[Manifest.write]] to `manifestPath`) — the
+    * next writeIncrement then takes the append path. */
   def writeIncrement(increment: DataFrame): DataFrame = {
     val spark = increment.sparkSession
-    if (!exists(spark))
+    if (!exists(spark)) {
+      val preexisting = dataFilesOnDisk(spark)
+      require(preexisting.isEmpty,
+        s"increment store: $tablePath already holds ${preexisting.size} " +
+          s"parquet file(s) but no manifest exists at $manifestPath — the " +
+          "create path would OVERWRITE them. Adopt the table first: " +
+          "Manifest.build + Manifest.write to the manifest path, then " +
+          "writeIncrement appends.")
       Manifest.writeWithManifest(increment, tablePath, manifestPath,
         statsCols, filesPerIncrement, clusterBy)
-    else {
+    } else {
       Layout.appendClustered(increment, tablePath, filesPerIncrement,
         clusterBy: _*)
       val m = Manifest.update(spark, tablePath,
@@ -84,4 +108,62 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
                 staleCheck: Boolean = true): DataFrame =
     Manifest.readPruned(spark, tablePath, manifest(spark), intervals,
       staleCheck = staleCheck)
+
+  /** Targeted row erasure through the store — delete + manifest
+    * maintenance as one consistent pair. The verdict history this store
+    * accretes is exactly the table a right-to-erasure request hits, and
+    * the store owns the clustered layout that makes the delete cheap
+    * ([[Layout.deleteRows]]: only the files whose key ranges cover the
+    * victims are rewritten — dirty-proportional, not table-proportional).
+    * Going around the store (deleteRows to a side directory, swap by
+    * hand) left the manifest stale and every subsequent read refused;
+    * this method does the rewrite, swaps the dirty files in place, and
+    * brings the manifest forward in the same call, so the staleness gate
+    * stays green and clean files keep their manifest rows VERBATIM
+    * (O(dirty) maintenance, the same economics as the append path).
+    *
+    * Single-writer contract, like every other mutation here: between the
+    * file swap and the manifest write a concurrent pruned read would
+    * trip the staleness gate — loudly, which is the documented failure
+    * mode (never an under-read). Concurrent writers need a table
+    * format's commit protocol, per the class scaladoc. */
+  def deleteRows(spark: SparkSession, keyCol: String,
+                 dropKeys: Seq[Any]): Layout.DeleteStats = {
+    require(exists(spark),
+      s"increment store: no manifest at $manifestPath — this table is " +
+        "not store-managed; use Layout.deleteRows directly")
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    // rewrite ONLY the dirty files into a sibling staging dir (clean
+    // files stay where they are — copyClean=false keeps the delete
+    // dirty-proportional; the store IS the "table format" that re-points
+    // the clean files, by simply never touching them)
+    val staging = new Path(tablePath + "__delete_staging")
+    require(!fs.exists(staging),
+      s"increment store: staging dir $staging already exists — a prior " +
+        "delete died mid-swap; inspect and remove it before retrying")
+    val stats = try {
+      val st = Layout.deleteRows(spark, tablePath, staging.toString,
+        keyCol, dropKeys, copyClean = false)
+      // swap each rewritten file over its original under the same name;
+      // Manifest.update sees (len, mtime) change and rescans exactly them
+      fs.listStatus(staging)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          val dst = new Path(table, s.getPath.getName)
+          fs.delete(dst, false)
+          fs.rename(s.getPath, dst)
+          ()
+        }
+      st
+    } finally {
+      fs.delete(staging, true)
+      ()
+    }
+    val m = Manifest.update(spark, tablePath,
+      Manifest.read(spark, manifestPath))
+    Manifest.write(m, manifestPath)
+    stats
+  }
 }

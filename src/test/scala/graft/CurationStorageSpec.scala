@@ -195,4 +195,78 @@ class CurationStorageSpec extends SparkSpec {
     assert(store.readRange(spark,
       Map("doc_id" -> (400L: Any, 499L: Any))).count() == 10)
   }
+
+  test("IncrementStore: refuses to create over a pre-existing manifest-less table (the overwrite hazard), adoptable via Manifest.build") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("store_adopt").toString
+    // a pre-store table: parquet data, no manifest
+    val pre = (1 to 30).map(i => (i.toLong, s"pre $i"))
+      .toDF("doc_id", "text")
+    pre.write.parquet(s"$tmp/table")
+    val store = IncrementStore(s"$tmp/table", s"$tmp/manifest",
+      filesPerIncrement = 2, statsCols = Seq("doc_id"))
+    val inc = (100 to 110).map(i => (i.toLong, s"day $i"))
+      .toDF("doc_id", "text")
+    // keying create-vs-append on manifest existence alone would take the
+    // SaveMode.Overwrite create path here and silently destroy `pre`
+    val refused = intercept[IllegalArgumentException] {
+      store.writeIncrement(inc)
+    }
+    assert(refused.getMessage.contains("OVERWRITE") &&
+      refused.getMessage.contains("Manifest.build"), refused.getMessage)
+    assert(spark.read.parquet(s"$tmp/table").count() == 30,
+      "the refusal must leave the pre-existing table untouched")
+    // adoption: build + persist the manifest, then writeIncrement appends
+    Manifest.write(Manifest.build(spark, s"$tmp/table", Seq("doc_id")),
+      s"$tmp/manifest")
+    store.writeIncrement(inc)
+    assert(spark.read.parquet(s"$tmp/table").count() == 41,
+      "post-adoption writeIncrement must append, not overwrite")
+    assert(store.readRange(spark,
+      Map("doc_id" -> (100L: Any, 199L: Any))).count() == 11)
+  }
+
+  test("IncrementStore.deleteRows: erasure as a consistent pair — only dirty files rewritten, clean manifest rows verbatim, gate stays green") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("store_delete").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/manifest",
+      filesPerIncrement = 2)
+    def day(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, s"text $i",
+          if (i % 5 == 0) None else Some(i.toLong),
+          if (i % 5 == 0) Some("high_perplexity") else None))
+        .toDF("doc_id", "text", "cluster_id", "curation_reject")
+    store.writeIncrement(day(100 until 120))
+    store.writeIncrement(day(200 until 220))
+    store.writeIncrement(day(300 until 330))
+    val before = store.manifest(spark).collect().map(_.toString).toSet
+
+    // erase a band inside day 2: on the per-day clustered layout only
+    // day-2's files can be dirty
+    val stats = store.deleteRows(spark, "doc_id",
+      (205L until 210L).map(x => x: Any))
+    assert(stats.rowsDeleted == 5, s"rowsDeleted=${stats.rowsDeleted}")
+    assert(stats.filesTotal == 6 && stats.filesRewritten <= 2,
+      s"dirty-proportional: ${stats.filesRewritten}/${stats.filesTotal} rewritten")
+
+    // the manifest came forward in the same call: default-gated reads
+    // stay green, the victims are gone, neighbors intact
+    val day2 = store.readRange(spark, Map("doc_id" -> (200L: Any, 299L: Any)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(day2 == ((200L until 205L) ++ (210L until 220L)).toSeq,
+      s"day-2 after delete: $day2")
+    assert(store.readRange(spark,
+      Map("doc_id" -> (100L: Any, 199L: Any))).count() == 20,
+      "untouched day must read unchanged")
+
+    // clean files' manifest rows are reused verbatim (O(dirty)
+    // maintenance) and pruning still works off the refreshed manifest
+    val after = store.manifest(spark).collect().map(_.toString).toSet
+    assert((before & after).size == 6 - stats.filesRewritten,
+      "every clean file's manifest row must carry over byte-identical")
+    val surv = Manifest.prune(store.manifest(spark),
+      Map("doc_id" -> (100L: Any, 199L: Any)))
+    assert(surv.nonEmpty && surv.size <= 2,
+      s"day-1 band should still prune to <=2 files: ${surv.size}")
+  }
 }
