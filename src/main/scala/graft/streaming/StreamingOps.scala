@@ -635,6 +635,38 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(handle)
   }
 
+  /** Prior-stream state for [[curationIncrementStream]], rebuilt from
+    * the caller's durable sink (the `IncrementStore` + label store its
+    * `onVerdicts` writes to): `priorKeepers` is the (doc_id, text,
+    * cluster_id) frame of every keeper already committed before the
+    * restart, `committedBatchIds` the batch ids whose verdicts are
+    * already durable. A restarted query folds the keepers back into its
+    * corpus/label/gram-index state and SKIPS any re-delivered committed
+    * batch — the batchId-keyed idempotence that makes the non-idempotent
+    * `IncrementStore.writeIncrement` safe under replay.
+    * `committedBatchIds` is driver state, bounded by the batch count of
+    * a stream's lifetime (a day of micro-batches — the loop snapshots
+    * through the batch store daily). */
+  final case class CurationResume(priorKeepers: DataFrame,
+                                  committedBatchIds: Set[Long] = Set.empty)
+
+  /** O(micro-batch) gram-index roll-forward — ONE definition shared by
+    * [[curationIncrementStream]] and its plan-pin spec: the keepers'
+    * post-cut grams are derived once, eagerly localCheckpoint'ed (so no
+    * later batch re-executes the shingling), and lazily unioned onto the
+    * accumulated index. Deliberately NO distinct: a cross-piece distinct
+    * would re-shuffle the ENTIRE accumulated index every micro-batch —
+    * O(index), not O(batch) — and the probe already dedups its hit set
+    * after the index scan (`duplicatedSpansIncrement`'s batch-sized
+    * `dupHashes.distinct()`), so duplicate index rows cost a few extra
+    * scanned bytes, never correctness. The union is plan metadata over
+    * checkpointed pieces: batch N's probe scans N cached fragments and
+    * shuffles none of them. */
+  def rollGramIndex(ix: DataFrame, keepers: DataFrame, textCol: String,
+                    spanN: Int): DataFrame =
+    ix.unionByName(graft.operators.Dedup.gramIndex(keepers, textCol,
+      n = spanN).localCheckpoint(true))
+
   /** The daily curation loop as a Structured Streaming sink — the
     * streaming twin of [[graft.operators.Curation.curateIncrement]]:
     * each arriving micro-batch is curated against the frozen corpus
@@ -657,11 +689,29 @@ object StreamingOps {
     * eagerly localCheckpoint'ed (they must survive the handle close —
     * the closed handle frees the verdict frame's blocks), then unioned
     * into the accepted-docs and label frames; the optional gram index
-    * grows by the keepers' post-cut grams (the README's daily refresh,
-    * continuously). The union tree deepens by one per micro-batch —
-    * fine for a day of micro-batches; a long-running stream should
-    * snapshot state through its own store on a daily cadence (which is
-    * the batch loop this stream twins).
+    * grows by the keepers' checkpointed gram increment ([[rollGramIndex]]
+    * — no per-batch distinct, no full-index shuffle, spec-pinned against
+    * the single-piece probe's exchange count). The union trees deepen by
+    * one per micro-batch — fine for a day of micro-batches; a
+    * long-running stream should snapshot state through its own store on
+    * a daily cadence (which is the batch loop this stream twins).
+    *
+    * RESTART HAZARD — the wrong-verdict path, read this before running
+    * against a checkpointed source: the three state frames live in
+    * driver variables, NOT in the streaming checkpoint. A query
+    * restarted from its checkpoint therefore resumes with the ORIGINAL
+    * corpus snapshot and has silently forgotten every prior batch's
+    * keepers — a new copy of one of those keepers would be ADMITTED
+    * again instead of labeled dup_of_corpus — and a micro-batch
+    * re-delivered after a failure (same batchId) would re-invoke
+    * `onVerdicts`, double-appending into a non-idempotent sink
+    * (`IncrementStore.writeIncrement` appends the day twice). Both are
+    * closed by `resume`: rebuild `priorKeepers` from the durable sink at
+    * restart and list the already-committed batch ids — committed
+    * re-deliveries are skipped (their keepers are already in the resumed
+    * state), uncommitted batches process exactly once. The restart spec
+    * pins a mid-day crash-and-resume run verdict-identical to the
+    * unbroken one.
     *
     * Scale shape: unchanged from the batch operator — the corpus side
     * is scanned, never shuffled; batch-sized frames broadcast. */
@@ -673,16 +723,35 @@ object StreamingOps {
       nearThreshold: Double = 0.8,
       md5Family: Boolean = false,
       spanIndex: Option[DataFrame] = None,
-      spanN: Int = 20, minKeptRatio: Double = 0.3)(
+      spanN: Int = 20, minKeptRatio: Double = 0.3,
+      resume: Option[CurationResume] = None)(
       onVerdicts: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // fold the durable sink's keepers back in BEFORE the first batch —
+    // restart state must equal the unbroken stream's state (checkpointed
+    // once here, so no batch re-executes the caller's rebuild lineage)
+    val prior = resume.map(_.priorKeepers
+      .select(col("doc_id"), col("text"), col("cluster_id"))
+      .localCheckpoint(true))
     var oldDocs = corpus
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
     var labels = labels0
     var gramIx = spanIndex
+    prior.foreach { p =>
+      oldDocs = oldDocs.unionByName(p.select("doc_id", "text"))
+      labels = labels.unionByName(p.select("doc_id", "cluster_id"))
+      gramIx = gramIx.map(rollGramIndex(_, p.select("doc_id", "text"),
+        "text", spanN))
+    }
+    val committed = resume.map(_.committedBatchIds).getOrElse(Set.empty[Long])
     newDocs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (committed.contains(batchId)) {
+          // a re-delivered batch whose verdicts are already durable:
+          // onVerdicts must NOT run again (the sink append is not
+          // idempotent) and its keepers are already in the resumed state
+          ()
+        } else if (!batch.isEmpty) {
           val (v, h) = graft.operators.Curation.curateIncrement(
             batch, idCol, textCol, oldDocs, labels, lm, maxPpl, bpe,
             nearThreshold = nearThreshold, md5Family = md5Family,
@@ -698,10 +767,8 @@ object StreamingOps {
           oldDocs = oldDocs.unionByName(keepers.select("doc_id", "text"))
           labels = labels.unionByName(
             keepers.select("doc_id", "cluster_id"))
-          gramIx = gramIx.map(_.unionByName(
-            graft.operators.Dedup.gramIndex(
-              keepers.select("doc_id", "text"), "text", n = spanN))
-            .distinct())
+          gramIx = gramIx.map(rollGramIndex(_,
+            keepers.select("doc_id", "text"), "text", spanN))
         }
       }
   }

@@ -1236,4 +1236,135 @@ class StreamingSpec extends SparkSpec {
     val r202 = rows2.find(_.getLong(0) == 202L).get
     assert(r202.isNullAt(3), r202.toString)
   }
+
+  test("rollGramIndex: 3-batch rolled index probes with the single-piece exchange count (no full-index shuffle) and identical spans") {
+    import graft.operators.Dedup
+    def uniq(tag: String, n: Int): String =
+      (0 until n).map(i => s"${tag}w$i").mkString(" ")
+    val corpus = Seq((1L, uniq("oa", 40)), (2L, uniq("ob", 30)))
+      .toDF("doc_id", "text")
+    val base = Dedup.gramIndex(corpus, "text", n = 5).localCheckpoint(true)
+    // three micro-batches of keepers rolled on, production-style —
+    // deliberate overlap (k1 repeats) so the no-distinct index really
+    // does hold duplicate hashes across pieces
+    val kbs = Seq(
+      Seq((101L, uniq("k1", 25))), Seq((201L, uniq("k2", 25))),
+      Seq((301L, uniq("k1", 25)), (302L, uniq("k3", 25))))
+      .map(_.toDF("doc_id", "text"))
+    val rolled = kbs.foldLeft(base)(
+      StreamingOps.rollGramIndex(_, _, "text", 5))
+    // the equivalent single-piece index: full rebuild over corpus+keepers
+    val single = Dedup.gramIndex(
+      kbs.foldLeft(corpus)(_ unionByName _), "text", n = 5)
+      .localCheckpoint(true)
+    // day-4 batch: one doc quoting a batch-1 keeper (only the rolled
+    // state can catch it), one fresh
+    val b4 = Seq((401L, uniq("k1", 25)), (402L, uniq("z", 25)))
+      .toDF("doc_id", "text")
+    def probe(ix: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicatedSpansIncrement(b4, "doc_id", "text", ix, n = 5)
+    def hashEx(df: org.apache.spark.sql.DataFrame): Int =
+      "(?<!Broadcast)Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val (pr, ps) = (probe(rolled), probe(single))
+    // the r16 shape re-shuffled the WHOLE accumulated index every batch
+    // (union + distinct); the rolled form must plan exactly the
+    // single-piece probe's exchanges — the union adds zero
+    assert(hashEx(pr) == hashEx(ps),
+      s"rolled-index probe plans ${hashEx(pr)} hash exchanges vs " +
+        s"single-piece ${hashEx(ps)}:\n" +
+        pr.queryExecution.executedPlan.toString.take(1500))
+    // and duplicate index rows change nothing downstream: span output
+    // identical to the rebuilt-index probe, quoting doc flagged
+    val (gr, gs) = (pr.collect().map(_.toString).toSet,
+      ps.collect().map(_.toString).toSet)
+    assert(gr == gs, s"rolled vs rebuilt probe diverged:\n$gr\nvs\n$gs")
+    assert(pr.filter(col("doc_id") === 401L).count() == 1,
+      "the batch-1 keeper's boilerplate must be caught via the rolled index")
+  }
+
+  test("curationIncrementStream: mid-day restart with store-rebuilt resume state replays committed batch without double-commit, verdicts == unbroken run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Curation, Dedup}
+    import graft.ml.{Bpe, NgramLm}
+    def uniq(tag: String, n: Int): String =
+      (0 until n).map(i => s"${tag}w$i").mkString(" ")
+    val corpusText = uniq("oa", 40)
+    val corpus = Seq((1L, corpusText), (2L, uniq("ob", 30)))
+      .toDF("doc_id", "text")
+    val labels0 = Dedup.dedupClusters(corpus, threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    val train = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 20)
+    val b1 = Seq((101L, uniq("k1", 25)), (102L, corpusText))
+    val b2 = Seq((201L, uniq("k1", 25)), (202L, uniq("k2", 25)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+
+    def startStream(mem: MemoryStream[(Long, String)],
+                    resume: Option[StreamingOps.CurationResume],
+                    sink: scala.collection.mutable.Map[Long, Array[org.apache.spark.sql.Row]]) = {
+      val ckpt = java.nio.file.Files.createTempDirectory("cur_restart").toString
+      StreamingOps.curationIncrementStream(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        corpus, labels0, lm, maxPpl = 1e6, bpe,
+        nearThreshold = 0.8, md5Family = true, resume = resume) { (id, v) =>
+          require(!sink.contains(id),
+            s"batch $id committed twice — replay idempotence broken")
+          sink(id) = v.select("doc_id", "text", "cluster_id",
+            "curation_reject").collect()
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    // --- unbroken run: both batches through one stream ---
+    val full = scala.collection.mutable.Map.empty[Long, Array[org.apache.spark.sql.Row]]
+    val memA = MemoryStream[(Long, String)]
+    val qA = startStream(memA, None, full)
+    try {
+      memA.addData(b1); qA.processAllAvailable()
+      memA.addData(b2); qA.processAllAvailable()
+    } finally qA.stop()
+
+    // --- broken run: batch 0 committed to the durable sink, then the
+    // query "dies" (driver state lost); restart resumes from the sink ---
+    val store = scala.collection.mutable.Map.empty[Long, Array[org.apache.spark.sql.Row]]
+    val memB = MemoryStream[(Long, String)]
+    val qB = startStream(memB, None, store)
+    try { memB.addData(b1); qB.processAllAvailable() } finally qB.stop()
+    assert(store.keySet == Set(0L))
+
+    // rebuild resume state from what the sink durably holds — keepers +
+    // the committed batch ids, exactly what an IncrementStore + label
+    // store gives back
+    val priorKeepers = store.values.flatten.filter(_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .toDF("doc_id", "text", "cluster_id")
+    val resume = StreamingOps.CurationResume(priorKeepers,
+      committedBatchIds = store.keySet.toSet)
+
+    // the restarted query re-delivers batch 0 (the checkpoint never saw
+    // its commit) and then batch 1; the sink's require() above proves
+    // batch 0 is NOT re-committed
+    val memC = MemoryStream[(Long, String)]
+    val qC = startStream(memC, Some(resume), store)
+    try {
+      memC.addData(b1); qC.processAllAvailable() // replayed, skipped
+      memC.addData(b2); qC.processAllAvailable() // new, processed
+    } finally qC.stop()
+
+    assert(store.keySet == Set(0L, 1L), s"${store.keySet}")
+    // the combined history equals the unbroken run batch for batch —
+    // in particular 201 is dup_of_corpus of batch-0 keeper 101, which
+    // only holds if the resumed state really folded the keepers back in
+    Seq(0L, 1L).foreach { id =>
+      assert(store(id).map(_.toString).toSet ==
+        full(id).map(_.toString).toSet,
+        s"batch $id diverged after restart:\n${store(id).mkString("\n")}\n" +
+          s"vs\n${full(id).mkString("\n")}")
+    }
+    val r201 = store(1L).find(_.getLong(0) == 201L).get
+    assert(r201.getString(3) == "dup_of_corpus" && r201.getLong(2) == 101L,
+      r201.toString)
+  }
 }
