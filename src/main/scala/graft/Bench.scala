@@ -45,14 +45,49 @@ object Bench {
     }
   }
 
+  /** The family prefixes the contingency alias rungs strip from query
+    * keys. Mirrored by tools/scaling_report.py's key normalizer — change
+    * one, change both. Longest-match order matters only where one prefix
+    * contains another (none today). */
+  val aliasPrefixes: Seq[String] = Seq("curation_", "pipeline_", "dedup_",
+    "fuzzy_", "text_", "doc_", "ann_", "mm_", "ts_", "q_")
+
+  /** Compact key aliases for the ladder's contingency rungs: each name's
+    * family prefix is stripped ("ts_ewma" → "ewma"); a strip that would
+    * collide keeps BOTH colliding names in full, so the map stays
+    * lossless and deterministically invertible against the canonical
+    * name set (which is how scaling_report.py decodes an aliased leg).
+    * Only used when the full-name map no longer fits the driver window
+    * — the 95th-gated-query contingency (r16 verdict #8) — so the
+    * canonical keys every cross-round comparison reads survive on every
+    * line that can afford them. */
+  def aliasNames(names: Iterable[String]): Map[String, String] = {
+    val stripped = names.map { n =>
+      n -> aliasPrefixes.find(n.startsWith)
+        .map(n.stripPrefix).getOrElse(n)
+    }.toMap
+    val collisions = stripped.values.groupBy(identity)
+      .collect { case (s, g) if g.size > 1 => s }.toSet
+    stripped.map { case (full, s) =>
+      full -> (if (collisions.contains(s)) full else s) }
+  }
+
   /** The one-line JSON the driver parses, with its degrade ladder:
-    * centisecond per-query detail → decisecond (slow values cost precision,
-    * not the map) → headline + failures → bare headline. The driver
-    * archives only ~2000 output chars and parses the LAST line, so the
-    * chosen candidate must fit 1980 chars or the archiver would cut off
-    * the head of the JSON. Factored out of main so the budget is
-    * unit-testable against a worst-case 90-query map (LineBudgetSpec)
-    * instead of discovered in production the round it overflows. */
+    * centisecond per-query detail → decisecond (slow values cost
+    * precision, not the map) → ALIASED map (prefix-stripped keys — the
+    * map and the health block both survive past 94 full-name queries) →
+    * full map without health → headline + failures + health → headline +
+    * failures → headline + health → bare headline. Priority order, so
+    * the shed sequence is explicit: full-name map > health > precision >
+    * aliased map > failed list > headline; on the headline rungs the
+    * diagnostic failed list outranks health (a mass failure needs names
+    * more than box stats — the forensics file carries both regardless).
+    * The driver archives only ~2000 output chars and parses the LAST
+    * line, so the chosen candidate must fit 1980 chars or the archiver
+    * would cut off the head of the JSON. Factored out of main so the
+    * budget is unit-testable against worst-case query maps
+    * (LineBudgetSpec) instead of discovered in production the round it
+    * overflows. */
   def formatLine(results: Map[String, Double], failed: List[String],
                  sfName: String, health: Option[String] = None): String = {
     def ms(v: Double): String =
@@ -65,26 +100,31 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    def qmap(dp: Int): String = results.toSeq.sortBy(_._1)
+    lazy val aliases = aliasNames(results.keys)
+    def qmap(dp: Int, aliased: Boolean = false): String = results.toSeq
+      .map { case (k, v) => (if (aliased) aliases(k) else k) -> v }
+      .sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fixed(v, dp) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    // the box-health block (compact [load, mb/s, boot_s] — the no-health
-    // 94-query line already sits at 1960/1980, so every byte counts) rides
-    // the best rung that still fits it, but is shed BEFORE the per-query
-    // map: the map is what cross-round like-for-like comparisons read,
-    // and the forensics file always carries the full [bench] health line
+    // the box-health block (compact [load, mb/s, boot_s] — the full-name
+    // 94-query line already sits at 1972/1980, so every byte counts)
+    // rides the best rung that still fits it; past 94 queries the alias
+    // rungs keep BOTH the map and health rather than shedding either
     val healthPart = health.map(h => s""","h":$h""").getOrElse("")
     def line(queries: String, failedPart: String, hp: String) =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries$failedPart$hp,"sf":"$sfName"}"""
     val candidates = Seq(
       line(qmap(2), failedJson, healthPart), line(qmap(1), failedJson, healthPart),
+      line(qmap(2, aliased = true), failedJson, healthPart),
+      line(qmap(1, aliased = true), failedJson, healthPart),
       line(qmap(2), failedJson, ""), line(qmap(1), failedJson, ""),
-      line("{}", failedJson, healthPart), line("{}", "", healthPart),
-      line("{}", "", ""))
+      line(qmap(1, aliased = true), failedJson, ""),
+      line("{}", failedJson, healthPart), line("{}", failedJson, ""),
+      line("{}", "", healthPart), line("{}", "", ""))
     candidates.find(_.length <= 1980).getOrElse(candidates.last)
   }
 
@@ -122,17 +162,35 @@ object Bench {
     // ~1 s healthy / ~10-20 s sick, once, before Spark exists. The size
     // params exist for the spec (shape test at 128 MB) — the gate's
     // calibration assumes the 2 GiB default.
+    // direct-memory-budget guard: under a configured -XX:MaxDirectMemorySize
+    // below the probe size, Bits.reserveMemory can throw OutOfMemoryError
+    // before Spark even exists — the probe must degrade (report the rate
+    // over however many chunks DID land, or a single smaller chunk), never
+    // abort the leg it instruments. mbs <= 0 means "probe could not run";
+    // main logs it and ships no health block rather than a fake one.
     val bytes = chunkMb * 1024 * 1024
+    def touch(sz: Int): Boolean =
+      try {
+        val buf = java.nio.ByteBuffer.allocateDirect(sz)
+        var i = 0
+        while (i < sz) { buf.put(i, 1.toByte); i += 4096 }
+        true
+      } catch { case _: OutOfMemoryError => false }
     val t0 = System.nanoTime()
     var g = 0
-    while (g < chunks) {
-      val buf = java.nio.ByteBuffer.allocateDirect(bytes)
-      var i = 0
-      while (i < bytes) { buf.put(i, 1.toByte); i += 4096 }
-      g += 1
+    while (g < chunks && touch(bytes)) g += 1
+    if (g > 0) {
+      val sec = (System.nanoTime() - t0) / 1e9
+      (load, g.toLong * chunkMb / sec, bootMs)
+    } else {
+      // not even one chunk fit the direct budget: one 64 MB attempt —
+      // coarser (may read the host's fast pool, see above), but a biased
+      // sample beats killing the bench
+      val t1 = System.nanoTime()
+      val ok = touch(64 * 1024 * 1024)
+      val sec = (System.nanoTime() - t1) / 1e9
+      (load, if (ok) 64.0 / sec else -1.0, bootMs)
     }
-    val sec = (System.nanoTime() - t0) / 1e9
-    (load, chunks.toLong * chunkMb / sec, bootMs)
   }
 
   /** Compact health block for the driver line: `[load, mbs, boot_s]` —
@@ -181,8 +239,13 @@ object Bench {
     tee.log(s"[bench] start ${java.time.Instant.now()} sf=$sfDir cpus=$cpus " +
       s"cold=${graft.operators.Dedup.coldMode} " +
       s"reps_env=${sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "")}")
-    tee.log(f"[bench] health load_avg=$hLoad%.2f " +
-      s"pagetouch_mb_s=${hMbs.round} jvm_boot_ms=$hBoot")
+    if (hMbs > 0)
+      tee.log(f"[bench] health load_avg=$hLoad%.2f " +
+        s"pagetouch_mb_s=${hMbs.round} jvm_boot_ms=$hBoot")
+    else
+      tee.log(f"[bench] health probe DEGRADED (direct-memory budget too " +
+        f"small even for one 64 MB chunk) load_avg=$hLoad%.2f " +
+        s"jvm_boot_ms=$hBoot — no health block on the driver line")
     // warm the session (codegen, file-listing, shuffle infra) so the first
     // measured query isn't charged for startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -273,6 +336,9 @@ object Bench {
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(3))
     val countwall = sys.env.get("SPARK_GRAFT_COUNTWALL").contains("1")
     var failed = List.empty[String]
+    // per-query (gap-health sample, rep walls) kept for the wave re-run
+    // pass below — the r16 manual ProfileQuery A/B round-trip, automated
+    val traces = scala.collection.mutable.Map.empty[String, (Double, Seq[Double])]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drain pending collections in the UNTIMED gap: the ContextCleaner
       // reclaims any checkpoint/cache blocks dropped by earlier queries
@@ -314,6 +380,7 @@ object Bench {
         (if (ok) dt else -dt, gcd, task)
       }
       val times = repStats.map(_._1)
+      traces(name) = (gapMbs, times)
       // failures are recorded as negative so they can't pose as wall time;
       // any failing rep fails the query
       val v =
@@ -350,6 +417,66 @@ object Bench {
       }
       name -> v
     }.toMap
+    // wave re-run automation (r16 verdict #3): the throttle waves this
+    // host class suffers (tens-of-seconds windows, 6-10x task-CPU, 1-2
+    // per leg) previously cost a manual ProfileQuery round-trip per
+    // flagged block (r15 dedup block, r16 curation_recipe). Now: any
+    // query whose untimed gap sample reads under a fifth of the leg's
+    // median page-supply rate, or whose reps spread past 4x with >1 s of
+    // absolute swing, is re-queued ONCE at leg end — far from the wave
+    // by construction — and the clean-window median lands in forensics
+    // as a [bench] wave_rerun line. The driver JSON keeps the in-suite
+    // numbers (they are what actually happened); scaling_report.py
+    // prefers the re-run when both are on record and the re-run's own
+    // gap sample is clean. Failed queries are not waves; not re-run.
+    try {
+      val gapVals = traces.values.map(_._1).toSeq.sorted
+      if (gapVals.nonEmpty && reps > 1) {
+        val medGap = gapVals(gapVals.size / 2)
+        def spread(ts: Seq[Double]): Boolean =
+          ts.size >= 2 && ts.max / math.max(ts.min, 1e-9) > 4.0 &&
+            ts.max - ts.min > 1.0
+        // dry-run knob: force-flag named queries so the re-run block and
+        // scaling_report's preference can be exercised on a healthy box
+        val forced = sys.env.get("SPARK_GRAFT_WAVE_RERUN_FORCE")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty)
+        val flagged = traces.toSeq.sortBy(_._1).collect {
+          case (n, (g, ts)) if ts.forall(_ > 0) &&
+            (g < medGap / 5.0 || spread(ts) || forced(n)) => (n, g, ts)
+        }
+        // bounded leg overhead: waves hit 1-2 blocks; a flood of flags
+        // means the whole leg is sick and re-runs would measure the same
+        // host. Never a silent cap — dropped names go on the record.
+        val budgeted = flagged.take(8)
+        if (flagged.size > budgeted.size)
+          tee.log(s"[bench] wave_rerun capped at 8 of ${flagged.size} " +
+            s"flagged; dropped: ${flagged.drop(8).map(_._1).mkString(",")}")
+        budgeted.foreach { case (name, g, ts) =>
+          System.gc()
+          val (_, reGap, _) = healthProbe(chunks = 1, chunkMb = 64)
+          val fn = SparkEntry.queries(name)
+          val reTimes = (1 to reps).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { evaluate(fn(spark, sfDir))
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case scala.util.control.NonFatal(e) =>
+              tee.log(s"[bench] wave_rerun $name rep FAILED: $e"); None
+            }
+          }.sorted
+          if (reTimes.nonEmpty) {
+            val m =
+              if (reTimes.size % 2 == 1) reTimes(reTimes.size / 2)
+              else (reTimes(reTimes.size / 2 - 1) + reTimes(reTimes.size / 2)) / 2.0
+            tee.log(f"[bench] wave_rerun $name med=$m%.3f s " +
+              s"gap_mbs=${reGap.round} (flagged: gap=${g.round} " +
+              s"reps=${ts.map(t => f"$t%.2f").mkString("/")})")
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] wave_rerun pass FAILED: $e")
+    }
     // forensics-only (r9 verdict #4): the gated dedup_minhash surface pays
     // an md5 premium — the md5 hash family exists solely so DuckDB can
     // replay every hash; the LIB DEFAULT stays xxhash64 (~2-3× cheaper per
@@ -675,7 +802,7 @@ object Bench {
     }
     val sfName = new java.io.File(sfDir).getName
     val out = formatLine(results, failed, sfName,
-      Some(healthJson(hLoad, hMbs, hBoot)))
+      if (hMbs > 0) Some(healthJson(hLoad, hMbs, hBoot)) else None)
     tee.log(s"[bench] done ${java.time.Instant.now()} total=${results.values.filter(_ > 0).sum}")
     tee.close()
     println(out)

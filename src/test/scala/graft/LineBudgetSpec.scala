@@ -47,16 +47,18 @@ class LineBudgetSpec extends AnyFunSuite {
       s"per-query map dropped at realistic values:\n$line")
   }
 
-  test("pathological 4-digit values degrade to a parseable headline, never overflow") {
-    // at 92 queries an all-999.99 map no longer fits ANY rendering rung
-    // (r13: the r12 spec expected the 1dp rung to hold at 90 names; two
-    // more names pushed 1dp past the window too). The ladder's job here
-    // is a clean landing: parseable headline, inside the archive window.
+  test("pathological 4-digit values land on the alias rung, parseable and inside the window") {
+    // at 94 full names an all-999.99 map fits NO full-name rung (r13:
+    // two added names pushed even 1dp past the window). The r16 ladder
+    // dropped the map entirely here; the alias rungs now absorb it —
+    // every query stays on the line under its prefix-stripped key.
     val results = names.map(_ -> 999.99).toMap
     val line = Bench.formatLine(results, Nil, "sf0.1")
     assert(line.length <= 1980, s"degrade ladder failed: len=${line.length}")
     assert(line.startsWith("""{"metric":"total","value":"""))
-    assert(!line.contains("999.99"), s"2dp rung chosen but does not fit:\n$line")
+    val aliases = Bench.aliasNames(names)
+    assert(names.forall(n => line.contains("\"" + aliases(n) + "\":")),
+      s"map dropped although the alias rung fits:\n$line")
   }
 
   test("mass failure degrades to a headline, never overflows") {
@@ -85,24 +87,73 @@ class LineBudgetSpec extends AnyFunSuite {
       s"health block cost the per-query map at realistic values:\n$line")
   }
 
-  test("ladder sheds health before the per-query map, and keeps it on the headline rungs") {
-    // the map is what cross-round like-for-like comparisons read: a
-    // wide health block (sick box: big boot_s, hot load) must never be
-    // what evicts it. Force the margin with a health string wide enough
-    // to blow the 1dp+health rung at realistic values.
+  test("alias rungs keep map AND health when full names + health no longer fit") {
+    // the r16 ladder shed health here; the r17 priority is explicit:
+    // full-name map > health > precision > aliased map. A wide health
+    // block (sick box: big boot_s, hot load) that blows the full-1dp
+    // rung now lands on the ALIASED map rung — every query still on the
+    // line (under its prefix-stripped key), health retained.
     val results = names.map(_ -> 3.21).toMap
     val wide = Bench.healthJson(12.3, 1234567.0, 999999000)
     val line = Bench.formatLine(results, Nil, "sf0.1", Some(wide))
     assert(line.length <= 1980, s"len=${line.length}")
-    assert(names.forall(n => line.contains("\"" + n + "\":")),
+    assert(line.contains(""","h":[12.3,1234567,999999]"""), line.takeRight(120))
+    val aliases = Bench.aliasNames(names)
+    assert(names.forall(n => line.contains("\"" + aliases(n) + "\":")),
       s"map lost to a wide health block:\n$line")
-    // mass failure blows every map rung; the headline rung keeps health
+    // mass failure blows every map rung; the headline rung keeps the
+    // failed list AND health when both fit
     val failedLine = Bench.formatLine(
       names.map(_ -> -999.99).toMap, names.toList, "sf0.1",
       Some(Bench.healthJson(6.30, 240.0, 330000)))
     assert(failedLine.length <= 1980, s"len=${failedLine.length}")
     assert(failedLine.startsWith("""{"metric":"total","value":"""))
+    assert(failedLine.contains(""""failed":["""), failedLine.take(200))
     assert(failedLine.contains(""""h":[6.3,240,330]"""), failedLine)
+  }
+
+  test("95th gated query: alias rungs keep the map AND health with >= 60 chars headroom (r16 verdict #8)") {
+    // the full-name 94-query line sits at 1972/1980 — the next gated
+    // query used to shed health silently. Worst-case 95th name: as long
+    // as the longest current key.
+    val names95 = names :+ "ts_window_tensorize_padded9"
+    val results = names95.map(_ -> 3.21).toMap
+    val line = Bench.formatLine(results, Nil, "sf0.1",
+      Some(Bench.healthJson(0.93, 5012.4, 2100)))
+    assert(line.length <= 1980 - 60,
+      s"len=${line.length} — less than 60 chars of headroom at 95 queries")
+    assert(line.contains(""","h":[0.9,5012,2]"""), line.takeRight(80))
+    val aliases = Bench.aliasNames(names95)
+    assert(names95.forall(n => line.contains("\"" + aliases(n) + "\":")),
+      s"a query fell off the 95-name line:\n$line")
+  }
+
+  test("aliasNames strips family prefixes, keeps collisions in full, stays invertible") {
+    val a = Bench.aliasNames(names)
+    assert(a.size == names.size)
+    // lossless: aliased keys stay pairwise distinct
+    assert(a.values.toSet.size == names.size, "alias collision leaked")
+    assert(a("ts_ewma") == "ewma" && a("q_funnel") == "funnel" &&
+      a("dedup_exact") == "exact", a.toString)
+    // a strip that collides (with another strip, or with a verbatim
+    // unprefixed name) keeps BOTH sides in full
+    val b = Bench.aliasNames(Seq("q_corr", "ts_corr", "plain"))
+    assert(b == Map("q_corr" -> "q_corr", "ts_corr" -> "ts_corr",
+      "plain" -> "plain"), b.toString)
+  }
+
+  test("headline rung prefers the diagnostic failed list over health when both cannot fit") {
+    // the ADVICE ladder gap: in the window where headline + failed list
+    // fits but + health does not, the old ladder shed the failed NAMES
+    // in favor of 18 bytes of box stats. Diagnostics outrank telemetry.
+    val fails = (0 until 210).map(i => f"qf$i%04d").toList
+    val results = fails.map(_ -> -999.99).toMap
+    val line = Bench.formatLine(results, fails, "sf0.1",
+      Some(Bench.healthJson(6.3, 240.0, 330000)))
+    assert(line.length <= 1980, s"len=${line.length}")
+    assert(line.contains(""""failed":["qf0000""""), line.take(200))
+    assert(!line.contains(""","h":"""),
+      s"health must be shed before the failed list on the headline rungs:\n$line")
   }
 
   test("health probe measures a positive page-supply rate") {
