@@ -298,13 +298,42 @@ def health_gate(h):
     return "pass" if not bad else "FAIL: " + "; ".join(bad)
 
 
+def _median(vals):
+    s = sorted(vals)
+    return s[len(s) // 2] if s else None
+
+
+def rep_stats(path):
+    """Per-query rep-level signals from the forensics lines: wall times
+    and the in-task GC ratio (taskGc/task — the wave signature: a
+    throttle window bills 6-10x task-CPU as GC at identical task
+    counts). Used to corroborate a low gap sample."""
+    walls, ratios = {}, {}
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"\[bench\] (\S+) rep\d+ ([0-9.]+) s gc=\d+ ms "
+                r"task=(\d+)ms taskGc=(\d+)ms", line)
+            if m:
+                q = m.group(1)
+                walls.setdefault(q, []).append(float(m.group(2)))
+                ratios.setdefault(q, []).append(
+                    int(m.group(4)) / max(int(m.group(3)), 1))
+    return walls, ratios
+
+
 def gap_health(path):
     """Per-query page-supply samples from the untimed gaps (r16): the
     slow-page-supply state strikes in waves, so the boot block alone
-    cannot attribute a polluted median. Summarize the trace and name the
-    queries whose gap sample caught a throttle wave (rate an order of
-    magnitude under the leg's own median — relative, because even a
-    healthy leg's absolute rate varies by host generation)."""
+    cannot attribute a polluted median. r17 de-cliffs the detector (the
+    r16 rule, gap < median/10, missed curation_recipe's 169 MB/s against
+    a 165.7 cutoff by 2% — a cliff edge that blessed a polluted number):
+    a query is a CANDIDATE at gap < median/5, and is labeled wave-hit
+    only when the rep-level record corroborates it — in-task GC ratio an
+    outlier against the leg's own median, or a >3x rep spread with real
+    absolute swing. Candidates whose reps are clean are named separately
+    (gap_low_unconfirmed): the gap sample alone is noisy at wave edges
+    (r16: four sub-1000 gaps with flat reps)."""
     samples = {}
     with open(path) as f:
         for line in f:
@@ -315,20 +344,108 @@ def gap_health(path):
         return None
     vals = sorted(samples.values())
     med = vals[len(vals) // 2]
+    walls, ratios = rep_stats(path)
+    max_ratio = {q: max(r) for q, r in ratios.items()}
+    leg_ratio_med = _median(max_ratio.values()) or 0.0
+
+    def corroborated(q):
+        if q not in walls:
+            return True  # no rep record (pre-r16 log): keep the old rule
+        # floor 0.05: leg p90 of the max in-task-GC ratio runs 0.01-0.06
+        # on the r16 record; the wave that hit ALL of a query's reps
+        # (dedup_canonical_best, flat 25-27 s reps) shows 0.07 where the
+        # leg median is ~0 — spread can't see a whole-block wave, the GC
+        # ratio can
+        if max_ratio.get(q, 0.0) > max(0.05, 3 * leg_ratio_med):
+            return True
+        w = walls[q]
+        return (len(w) >= 2 and max(w) / max(min(w), 1e-9) > 3
+                and max(w) - min(w) > 0.5)
+
+    candidates = sorted(q for q, v in samples.items() if v < med / 5)
     return {"median_mb_s": med, "min_mb_s": vals[0], "max_mb_s": vals[-1],
-            "wave_hit_queries": sorted(q for q, v in samples.items()
-                                       if v < med / 10)}
+            "wave_hit_queries": [q for q in candidates if corroborated(q)],
+            "gap_low_unconfirmed": [q for q in candidates
+                                    if not corroborated(q)]}
+
+
+def wave_rerun(path):
+    """Clean-window re-measurements appended by Bench's automated wave
+    re-run pass (r16 verdict #3): flagged queries re-queued once at leg
+    end, far from the wave. Returns {query: {clean_med_sec,
+    rerun_gap_mbs, flagged_gap_mbs}}; the comparator prefers the clean
+    median when the re-run's own gap sample is healthy, with both
+    numbers on the record."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            m = re.search(
+                r"\[bench\] wave_rerun (\S+) med=([0-9.]+) s "
+                r"gap_mbs=(\d+) \(flagged: gap=(\d+)", line)
+            if m:
+                out[m.group(1)] = {
+                    "clean_med_sec": float(m.group(2)),
+                    "rerun_gap_mbs": int(m.group(3)),
+                    "flagged_gap_mbs": int(m.group(4))}
+    return out or None
+
+
+# mirrored from graft.Bench.aliasPrefixes — change one, change both
+ALIAS_PREFIXES = ["curation_", "pipeline_", "dedup_", "fuzzy_", "text_",
+                  "doc_", "ann_", "mm_", "ts_", "q_"]
+
+
+def canonicalize(qa, qb):
+    """Undo Bench's contingency alias rung: a leg whose driver line
+    overflowed the full-name budget carries prefix-stripped keys. Restore
+    each side's keys against the OTHER side's full names (unique
+    prefix-restorations only — an ambiguous or unknown short key stays as
+    emitted rather than being guessed)."""
+    def restore(short_map, full_keys):
+        strip = {}
+        for fk in full_keys:
+            for p in ALIAS_PREFIXES:
+                if fk.startswith(p):
+                    strip.setdefault(fk[len(p):], []).append(fk)
+                    break
+        return {
+            (strip[k][0] if k not in full_keys and len(strip.get(k, [])) == 1
+             else k): v
+            for k, v in short_map.items()}
+    return restore(qa, set(qb)), restore(qb, set(qa))
+
+
+def prefer_rerun(qmap, reruns, gap):
+    """Substitute each wave-flagged query's clean-window re-run median
+    when the re-run's own gap sample is healthy (>= a fifth of the leg
+    median — the same bar that flags). Returns (updated map, substituted
+    names); the original in-suite number stays on the record in the
+    leg's wave_rerun block."""
+    if not reruns:
+        return qmap, []
+    med = (gap or {}).get("median_mb_s") or 0
+    used = []
+    out = dict(qmap)
+    for q, r in reruns.items():
+        if q in out and r["rerun_gap_mbs"] >= med / 5:
+            out[q] = r["clean_med_sec"]
+            used.append(q)
+    return out, sorted(used)
 
 
 def main():
     small_path, big_path, data_ratio, out_path = sys.argv[1:5]
     data_ratio = float(data_ratio)
     small, big = bench_line(small_path), bench_line(big_path)
-    qs, qb = small["queries"], big["queries"]
-    common = sorted(set(qs) & set(qb))
+    qs, qb = canonicalize(small["queries"], big["queries"])
+    gap_small, gap_big = gap_health(small_path), gap_health(big_path)
+    rr_small, rr_big = wave_rerun(small_path), wave_rerun(big_path)
+    qs_eff, used_small = prefer_rerun(qs, rr_small, gap_small)
+    qb_eff, used_big = prefer_rerun(qb, rr_big, gap_big)
+    common = sorted(set(qs_eff) & set(qb_eff))
     ratios = {}
     for q in common:
-        s, b = qs[q], qb[q]
+        s, b = qs_eff[q], qb_eff[q]
         ratios[q] = round(b / s, 2) if s > 0 else None
     vals = sorted(r for r in ratios.values() if r is not None)
     median = vals[len(vals) // 2] if vals else None
@@ -341,7 +458,8 @@ def main():
         "health_gate": gates,
         "small": {"sf_dir": small.get("sf"), "total_sec": small["value"],
                   "health": h_small,
-                  "gap_health": gap_health(small_path),
+                  "gap_health": gap_small,
+                  "wave_rerun": rr_small,
                   "index_build_sec": index_build_sec(small_path),
                   "gate_models_build_sec": gate_models_build_sec(small_path),
                   "minhash_premium": minhash_premium(small_path),
@@ -358,7 +476,8 @@ def main():
                   "queries": qs},
         "big": {"sf_dir": big.get("sf"), "total_sec": big["value"],
                 "health": h_big,
-                "gap_health": gap_health(big_path),
+                "gap_health": gap_big,
+                "wave_rerun": rr_big,
                 "index_build_sec": index_build_sec(big_path),
                 "gate_models_build_sec": gate_models_build_sec(big_path),
                 "minhash_premium": minhash_premium(big_path),
@@ -375,6 +494,11 @@ def main():
                 "queries": qb},
         "total_ratio": round(big["value"] / small["value"], 2),
         "median_query_ratio": median,
+        # per-query ratios use each leg's clean-window re-run medians
+        # where a wave was flagged AND re-measured on a healthy gap
+        # (wave_rerun_used names them; in-suite numbers stay in each
+        # leg's queries/wave_rerun blocks)
+        "wave_rerun_used": {"small": used_small, "big": used_big},
         "query_ratios": ratios,
         # ratio > 1.5x the data ratio = superlinear beyond noise; ratio
         # below 0.3x the data ratio usually means fixed-cost-dominated
@@ -404,5 +528,86 @@ def main():
           f"health_gate small={gates['small']} big={gates['big']}")
 
 
+def selftest():
+    """Pin the wave detector's de-cliffed behavior on a synthetic
+    forensics file built from the r16 evidence (run by ToolsSelftestSpec
+    in the sbt suite, so a detector regression fails the build):
+      - curation_recipe: gap 169 vs leg median 1657 (the r16 near-miss —
+        median/10 = 165.7 blessed it by 2%) WITH the in-task GC
+        signature -> labeled;
+      - dedup_clusters: gap 250 (candidate under median/5) but flat reps
+        and no GC -> gap_low_unconfirmed, NOT labeled;
+      - dedup_embed: gap 366 (above median/5) -> not even a candidate;
+    plus the wave_rerun parse/preference and the alias round-trip."""
+    import tempfile
+    import os
+    lines = []
+    # ten background queries give the leg its median gap (~1657) and a
+    # flat rep-ratio baseline
+    for i in range(10):
+        lines.append(f"[bench] gap_health bg{i} mbs={1600 + i * 12}")
+        lines.append(f"[bench] bg{i} rep1 0.40 s gc=0 ms task=9000ms "
+                     "taskGc=10ms sched=50ms ntasks=50")
+        lines.append(f"[bench] bg{i} rep2 0.41 s gc=0 ms task=9100ms "
+                     "taskGc=12ms sched=50ms ntasks=50")
+    lines += [
+        "[bench] gap_health curation_recipe mbs=169",
+        "[bench] curation_recipe rep1 27.844 s gc=4838 ms task=144874ms "
+        "taskGc=147769ms sched=5773ms ntasks=251",
+        "[bench] curation_recipe rep2 27.800 s gc=4000 ms task=140000ms "
+        "taskGc=120000ms sched=5000ms ntasks=251",
+        "[bench] gap_health dedup_clusters mbs=250",
+        "[bench] dedup_clusters rep1 0.52 s gc=0 ms task=11000ms "
+        "taskGc=20ms sched=60ms ntasks=60",
+        "[bench] dedup_clusters rep2 0.53 s gc=0 ms task=11100ms "
+        "taskGc=21ms sched=60ms ntasks=60",
+        "[bench] gap_health dedup_embed mbs=366",
+        "[bench] dedup_embed rep1 0.95 s gc=0 ms task=15000ms "
+        "taskGc=30ms sched=70ms ntasks=70",
+        "[bench] wave_rerun curation_recipe med=2.451 s gap_mbs=1702 "
+        "(flagged: gap=169 reps=27.84/27.80/28.73)",
+    ]
+    with tempfile.NamedTemporaryFile("w", suffix=".log",
+                                     delete=False) as f:
+        f.write("\n".join(lines) + "\n")
+        path = f.name
+    try:
+        g = gap_health(path)
+        assert g["wave_hit_queries"] == ["curation_recipe"], g
+        assert g["gap_low_unconfirmed"] == ["dedup_clusters"], g
+        assert "dedup_embed" not in (g["wave_hit_queries"]
+                                     + g["gap_low_unconfirmed"]), g
+        rr = wave_rerun(path)
+        assert rr == {"curation_recipe": {
+            "clean_med_sec": 2.451, "rerun_gap_mbs": 1702,
+            "flagged_gap_mbs": 169}}, rr
+        qmap, used = prefer_rerun(
+            {"curation_recipe": 27.844, "q3_join": 2.9}, rr, g)
+        assert used == ["curation_recipe"] and \
+            qmap["curation_recipe"] == 2.451 and qmap["q3_join"] == 2.9, \
+            (qmap, used)
+        # a rerun that itself landed in a wave is NOT preferred
+        sick = {"curation_recipe": dict(rr["curation_recipe"],
+                                        rerun_gap_mbs=150)}
+        qmap2, used2 = prefer_rerun({"curation_recipe": 27.844}, sick, g)
+        assert used2 == [] and qmap2["curation_recipe"] == 27.844, \
+            (qmap2, used2)
+        # alias round-trip: one aliased leg restored against the full leg;
+        # ambiguous short keys stay as emitted
+        full = {"ts_ewma": 1.0, "q_funnel": 2.0, "dedup_exact": 3.0}
+        short = {"ewma": 1.1, "funnel": 2.1, "exact": 3.1}
+        ra, rb = canonicalize(short, full)
+        assert set(ra) == set(full) and rb == full, (ra, rb)
+        amb = {"corr": 1.0}
+        ra2, _ = canonicalize(amb, {"q_corr": 1.0, "ts_corr": 2.0})
+        assert set(ra2) == {"corr"}, ra2
+    finally:
+        os.unlink(path)
+    print("selftest pass")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+    else:
+        main()
