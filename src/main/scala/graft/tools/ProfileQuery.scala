@@ -24,9 +24,21 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     graft.Conf.applyTuned(spark)
     graft.Fixtures.ensureRulLabels(spark, sfDir)
+    // the same health instruments the bench carries, so a ProfileQuery
+    // re-measurement is self-attributing: boot block once (bills the
+    // pinned-heap pre-touch), a gap sample before every query's reps —
+    // a clean-window claim must carry its own clean-window evidence
+    val (hl, hm, hb) = graft.Bench.healthProbe()
+    System.err.println(f"[pq] health load_avg=$hl%.2f " +
+      s"pagetouch_mb_s=${hm.round} jvm_boot_ms=$hb")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      graft.Bench.evaluate(fn(spark, sfDir)) // warm
+      val (_, gapMbs, _) = graft.Bench.healthProbe(chunks = 1, chunkMb = 64)
+      System.err.println(s"[pq] gap_health $name mbs=${gapMbs.round}")
+      val tw = System.nanoTime()
+      graft.Bench.evaluate(fn(spark, sfDir)) // warm (+ session build)
+      System.err.println(f"[pq] $name warm ${(System.nanoTime() - tw) / 1e9}%.3f s " +
+        "(incl. any memoized session build)")
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         graft.Bench.evaluate(fn(spark, sfDir))
