@@ -275,27 +275,43 @@ def health(path, bench_json):
     return None
 
 
-def health_gate(h):
+def health_gate(h, gap=None):
     """The r15 evidence: the sick box supplied fresh pages at ~240 MB/s
     aggregate (healthy: multiple GB/s) and the hot driver leg launched at
     load 6.3 (untouched queries +25%). Gate thresholds sit an order of
-    magnitude inside both failure signatures. Caveat discovered while
-    building this (r16): a pinned-heap leg's OWN AlwaysPreTouch burns
-    minutes of many-thread SYS before main runs, so the 1-min load read
-    at main entry is self-contaminated whenever boot took long — the
-    load check only applies to fast-boot (< 60 s) runs like the driver
-    bench leg, which is exactly the leg the r15 load finding was about."""
+    magnitude inside both failure signatures. Two pinned-leg caveats
+    (r16, sharpened r17): a pinned-heap leg's OWN AlwaysPreTouch (a)
+    burns minutes of many-thread SYS before main runs, so the load read
+    at main entry is self-contaminated, and (b) drains the host's fast
+    page pool, so the boot-time page-supply probe reads the PERMANENT
+    ~200 MB/s first-touch rate of this host class — not a sick-box
+    signal (the r16/r17 pinned legs read 111-189 at boot and then ran
+    clean in-band suites). A pinned leg (boot > 20 s — any pretouch
+    takes >= 25 s, a fast-boot driver leg ~0.3 s) is therefore judged by
+    the page supply its queries actually saw: the in-run gap-health
+    MEDIAN, falling back to the boot probe only when no gap trace
+    exists (pre-r16 jar)."""
     if h is None:
         return "MISSING: no health block (pre-r16 jar?)"
     bad = []
-    if h["pagetouch_mb_s"] is not None and h["pagetouch_mb_s"] < 1000:
+    pinned = h["jvm_boot_ms"] is not None and h["jvm_boot_ms"] > 20000
+    if pinned and gap is not None:
+        if gap["median_mb_s"] < 1000:
+            bad.append(f"in-run gap-health median {gap['median_mb_s']} "
+                       f"MB/s < 1000 (pinned leg judged by its in-run "
+                       f"supply; boot probe {h['pagetouch_mb_s']} reads "
+                       f"the drained-pool rate)")
+    elif h["pagetouch_mb_s"] is not None and h["pagetouch_mb_s"] < 1000:
         bad.append(f"page supply {h['pagetouch_mb_s']} MB/s < 1000 "
                    f"(r15 sick box: ~240)")
-    if (h["load_avg"] is not None and h["load_avg"] > 2.0
-            and (h["jvm_boot_ms"] is None or h["jvm_boot_ms"] < 60000)):
+    if (h["load_avg"] is not None and h["load_avg"] > 2.0 and not pinned):
         bad.append(f"load_avg {h['load_avg']} > 2.0 at launch "
                    f"(r15 hot leg: 6.3)")
-    return "pass" if not bad else "FAIL: " + "; ".join(bad)
+    if not bad:
+        return ("pass (pinned leg: in-run gap median "
+                f"{gap['median_mb_s']} MB/s)" if pinned and gap is not None
+                else "pass")
+    return "FAIL: " + "; ".join(bad)
 
 
 def _median(vals):
@@ -451,7 +467,8 @@ def main():
     median = vals[len(vals) // 2] if vals else None
     rnd = re.search(r"_r(\d+)", out_path)
     h_small, h_big = health(small_path, small), health(big_path, big)
-    gates = {"small": health_gate(h_small), "big": health_gate(h_big)}
+    gates = {"small": health_gate(h_small, gap_small),
+             "big": health_gate(h_big, gap_big)}
     out = {
         "round": int(rnd.group(1)) if rnd else None,
         "data_ratio": data_ratio,
@@ -512,7 +529,8 @@ def main():
     # only possible because the polluted legs stayed on the record) — it
     # labels it so no reader can mistake a host measurement for an
     # engine measurement, and the comparator prints the warning loudly
-    failed_gates = {k: v for k, v in gates.items() if v != "pass"}
+    failed_gates = {k: v for k, v in gates.items()
+                    if not v.startswith("pass")}
     if failed_gates:
         out["health_warning"] = (
             "BOX HEALTH GATE FAILED — wall times in this artifact measure "
@@ -601,6 +619,21 @@ def selftest():
         amb = {"corr": 1.0}
         ra2, _ = canonicalize(amb, {"q_corr": 1.0, "ts_corr": 2.0})
         assert set(ra2) == {"corr"}, ra2
+        # pinned-leg gate: boot probe reads the drained-pool rate, the
+        # in-run gap median is the criterion (r17 legs: 178 at boot,
+        # 1692 in-run, suite in band)
+        pinned = {"load_avg": 20.9, "pagetouch_mb_s": 178,
+                  "jvm_boot_ms": 136114}
+        assert health_gate(pinned, {"median_mb_s": 1692}).startswith(
+            "pass"), health_gate(pinned, {"median_mb_s": 1692})
+        assert health_gate(pinned, {"median_mb_s": 400}).startswith(
+            "FAIL"), "a pinned leg with a sick in-run median must fail"
+        fast_sick = {"load_avg": 0.5, "pagetouch_mb_s": 240,
+                     "jvm_boot_ms": 300}
+        assert health_gate(fast_sick, None).startswith("FAIL")
+        fast_hot = {"load_avg": 6.3, "pagetouch_mb_s": 2000,
+                    "jvm_boot_ms": 300}
+        assert health_gate(fast_hot, None).startswith("FAIL")
     finally:
         os.unlink(path)
     print("selftest pass")
