@@ -1367,4 +1367,86 @@ class StreamingSpec extends SparkSpec {
     assert(r201.getString(3) == "dup_of_corpus" && r201.getLong(2) == 101L,
       r201.toString)
   }
+
+  test("curationIncrementStream + IncrementStore: the documented recovery recipe end-to-end (store sink, crash, store-rebuilt resume)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    import graft.ml.{Bpe, NgramLm}
+    import graft.sources.IncrementStore
+    def uniq(tag: String, n: Int): String =
+      (0 until n).map(i => s"${tag}w$i").mkString(" ")
+    val corpusText = uniq("oa", 40)
+    val corpus = Seq((1L, corpusText), (2L, uniq("ob", 30)))
+      .toDF("doc_id", "text")
+    val labels0 = Dedup.dedupClusters(corpus, threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    val train = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 20)
+    val b1 = Seq((101L, uniq("k1", 25)), (102L, corpusText))
+    val b2 = Seq((201L, uniq("k1", 25)), (202L, uniq("k2", 25)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("cur_store_stream").toString
+    val vstore = IncrementStore(s"$dir/verdicts", s"$dir/manifest",
+      filesPerIncrement = 2)
+    // the durable sink: each batch's verdicts land clustered+manifested
+    // with their batchId — the store IS the recovery source
+    def sink(id: Long, v: org.apache.spark.sql.DataFrame): Unit = {
+      vstore.writeIncrement(
+        v.select(col("doc_id"), col("text"), col("cluster_id"),
+          col("curation_reject"))
+          .withColumn("batch_id", lit(id)))
+      ()
+    }
+    def startStream(mem: MemoryStream[(Long, String)],
+                    resume: Option[StreamingOps.CurationResume]) = {
+      val ckpt = java.nio.file.Files.createTempDirectory("cur_ss").toString
+      StreamingOps.curationIncrementStream(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        corpus, labels0, lm, maxPpl = 1e6, bpe,
+        nearThreshold = 0.8, md5Family = true, resume = resume)(sink)
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    // day part 1 committed through the store; then the query "dies"
+    val memA = MemoryStream[(Long, String)]
+    val qA = startStream(memA, None)
+    try { memA.addData(b1); qA.processAllAvailable() } finally qA.stop()
+
+    // recovery exactly as the scaladoc prescribes: keepers + committed
+    // batch ids rebuilt FROM THE STORE (nothing from the dead driver)
+    val hist = spark.read.parquet(s"$dir/verdicts")
+    val resume = StreamingOps.CurationResume(
+      hist.filter(col("curation_reject").isNull)
+        .select("doc_id", "text", "cluster_id"),
+      committedBatchIds = hist.select("batch_id").distinct()
+        .as[Long].collect().toSet)
+    assert(resume.committedBatchIds == Set(0L))
+
+    // restart re-delivers batch 0, then batch 1 arrives
+    val memB = MemoryStream[(Long, String)]
+    val qB = startStream(memB, Some(resume))
+    try {
+      memB.addData(b1); qB.processAllAvailable()
+      memB.addData(b2); qB.processAllAvailable()
+    } finally qB.stop()
+
+    // no double-append: batch 0 is in the store exactly once, and the
+    // store's own staleness gate stayed green through both writers
+    val finalHist = vstore.readRange(spark,
+      Map("doc_id" -> (null: Any, null: Any)))
+    assert(finalHist.filter(col("batch_id") === 0L).count() == 2,
+      "replayed batch 0 must not be re-committed")
+    assert(finalHist.count() == 4)
+    // cross-batch closure survived the crash: 201 (copy of the batch-0
+    // keeper 101, known only via the store-rebuilt state) is
+    // dup_of_corpus of 101's cluster
+    val r201 = finalHist.filter(col("doc_id") === 201L)
+      .select("curation_reject", "cluster_id").head
+    assert(r201.getString(0) == "dup_of_corpus" && r201.getLong(1) == 101L,
+      r201.toString)
+    assert(finalHist.filter(col("doc_id") === 202L &&
+      col("curation_reject").isNull).count() == 1)
+  }
 }
