@@ -794,9 +794,20 @@ object Bench {
       val rf = med(() => evaluate(
         spark.read.parquet(s"$dir/verdicts")
           .filter(col("doc_id") >= mid && col("doc_id") <= hi)))
+      // r17: price the two store maintenance jobs on the same table —
+      // a ~0.1% band erasure (dirty-proportional rewrite + manifest
+      // forward) and the full compaction (O(table) by design). Both are
+      // state-changing, so rep1 like the writes.
+      val delKeys = (0 until 64).map(i => (mid + i): Any)
+      var delStats: graft.sources.Layout.DeleteStats = null
+      val dT = t { delStats = store.deleteRows(spark, "doc_id", delKeys) }
+      val cT = t { store.compact(spark, targetFileBytes = 256L << 20) }
       tee.log(f"[bench] lib_additions7 store_day1_write=$w1%.3f s " +
         f"store_day2_append=$w2%.3f s read_pruned=$rp%.3f s " +
-        f"read_full=$rf%.3f s files=$surv/$nFiles (writes rep1, reads med of 3)")
+        f"read_full=$rf%.3f s files=$surv/$nFiles " +
+        f"delete=$dT%.3f s (${delStats.rowsDeleted} rows, " +
+        f"${delStats.filesRewritten}/${delStats.filesTotal} files) " +
+        f"compact=$cT%.3f s (writes/maintenance rep1, reads med of 3)")
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] lib_additions7 FAILED: $e")
     }

@@ -127,6 +127,53 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     * trip the staleness gate — loudly, which is the documented failure
     * mode (never an under-read). Concurrent writers need a table
     * format's commit protocol, per the class scaladoc. */
+  /** Store-owned compaction — the maintenance job that keeps the
+    * append path's read-side promise over time ([[Layout.compact]]'s
+    * scaladoc): every day's `writeIncrement` adds `filesPerIncrement`
+    * files, and after enough days the per-file open cost (footer fetch,
+    * task setup — at 100 TB, millions of object-store GETs) dominates
+    * scans. Compacts the whole table to ~`targetFileBytes` files
+    * re-clustered GLOBALLY on `clusterBy` (per-day increments each own a
+    * tight range of their own day; a global re-cluster tightens the
+    * whole table's pruning to what a single clustered write would give),
+    * swaps the files in, and REBUILDS the manifest in the same call —
+    * a full rebuild, deliberately: compaction rewrites every byte, so
+    * O(table) manifest work is already paid for; there is nothing
+    * incremental left to exploit. Same single-writer contract as
+    * [[deleteRows]]: a concurrent pruned read during the swap refuses
+    * loudly, never under-reads. */
+  def compact(spark: SparkSession, targetFileBytes: Long): DataFrame = {
+    require(exists(spark),
+      s"increment store: no manifest at $manifestPath — this table is " +
+        "not store-managed; use Layout.compact directly")
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val staging = new Path(tablePath + "__compact_staging")
+    require(!fs.exists(staging),
+      s"increment store: staging dir $staging already exists — a prior " +
+        "compaction died mid-swap; inspect and remove it before retrying")
+    try {
+      Layout.compact(spark, tablePath, staging.toString, targetFileBytes,
+        clusterBy: _*)
+      // swap: the compacted set REPLACES the accreted set wholesale
+      fs.listStatus(table)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s => fs.delete(s.getPath, false); () }
+      fs.listStatus(staging)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          fs.rename(s.getPath, new Path(table, s.getPath.getName)); ()
+        }
+    } finally {
+      fs.delete(staging, true)
+      ()
+    }
+    val m = Manifest.build(spark, tablePath, statsCols)
+    Manifest.write(m, manifestPath)
+    Manifest.read(spark, manifestPath)
+  }
+
   def deleteRows(spark: SparkSession, keyCol: String,
                  dropKeys: Seq[Any]): Layout.DeleteStats = {
     require(exists(spark),

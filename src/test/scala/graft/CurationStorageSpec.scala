@@ -268,5 +268,25 @@ class CurationStorageSpec extends SparkSpec {
       Map("doc_id" -> (100L: Any, 199L: Any)))
     assert(surv.nonEmpty && surv.size <= 2,
       s"day-1 band should still prune to <=2 files: ${surv.size}")
+
+    // ---- store-owned compaction: the append path's maintenance job ----
+    // snapshot the whole table before, compact the 6 accreted files to
+    // ~1, and the store must stay readable, row-identical, gate green
+    val before6 = spark.read.parquet(s"$tmp/verdicts")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val mC = store.compact(spark, targetFileBytes = 64L << 20)
+    assert(mC.count() < 6, s"compaction should shrink the file count")
+    val afterC = spark.read.parquet(s"$tmp/verdicts")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(afterC == before6, "compaction must be row-preserving")
+    val day1C = store.readRange(spark,
+      Map("doc_id" -> (100L: Any, 199L: Any)))
+    assert(day1C.count() == 20,
+      "post-compaction pruned reads must stay green and exact")
+    // and the pair keeps accreting afterwards — the maintenance job does
+    // not end the table's life
+    store.writeIncrement(day(400 until 410))
+    assert(store.readRange(spark,
+      Map("doc_id" -> (400L: Any, 499L: Any))).count() == 10)
   }
 }

@@ -208,12 +208,24 @@ def lib_additions7(path):
                 r"store_day2_append=([0-9.]+) s read_pruned=([0-9.]+) s "
                 r"read_full=([0-9.]+) s files=(\d+)/(\d+)", line)
             if m:
-                return {"store_day1_write_sec": float(m.group(1)),
-                        "store_day2_append_sec": float(m.group(2)),
-                        "read_pruned_sec": float(m.group(3)),
-                        "read_full_sec": float(m.group(4)),
-                        "pruned_files": int(m.group(5)),
-                        "total_files": int(m.group(6))}
+                out = {"store_day1_write_sec": float(m.group(1)),
+                       "store_day2_append_sec": float(m.group(2)),
+                       "read_pruned_sec": float(m.group(3)),
+                       "read_full_sec": float(m.group(4)),
+                       "pruned_files": int(m.group(5)),
+                       "total_files": int(m.group(6))}
+                # r17 maintenance-job fields (absent on r16 logs)
+                d = re.search(
+                    r"delete=([0-9.]+) s \((\d+) rows, (\d+)/(\d+) files\) "
+                    r"compact=([0-9.]+) s", line)
+                if d:
+                    out.update({
+                        "delete_sec": float(d.group(1)),
+                        "delete_rows": int(d.group(2)),
+                        "delete_files_rewritten": int(d.group(3)),
+                        "delete_files_total": int(d.group(4)),
+                        "compact_sec": float(d.group(5))})
+                return out
     return None
 
 
