@@ -174,6 +174,65 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     Manifest.read(spark, manifestPath)
   }
 
+  /** Range-scoped compaction — the 100 TB-correct maintenance
+    * primitive: [[compact]] rewrites the whole table in one O(table)
+    * job, which is fine for a directory and wrong for a 100 TB history
+    * (a single job over everything, a full manifest rebuild, and every
+    * reader's working set invalidated at once). This compacts ONLY the
+    * files whose manifest stats intersect `intervals` (e.g. last
+    * month's accumulated daily increments), leaves every other file
+    * byte-identical on disk WITH its manifest row reused verbatim, and
+    * brings the manifest forward via [[Manifest.update]] — so both the
+    * rewrite and the metadata maintenance are proportional to the
+    * TOUCHED range, never the table. Rolling maintenance = a cron of
+    * compactRange calls over aging ranges, each cheap, exactly how
+    * table formats schedule bin-packing. File-level, row-preserving:
+    * a touched file's out-of-range rows are re-clustered along with it
+    * (pruning is conservative, correctness unaffected). Single-writer,
+    * like every mutation here. */
+  def compactRange(spark: SparkSession, intervals: Map[String, (Any, Any)],
+                   targetFileBytes: Long): DataFrame = {
+    require(exists(spark),
+      s"increment store: no manifest at $manifestPath — this table is " +
+        "not store-managed")
+    require(targetFileBytes >= (1L << 20),
+      s"increment store: target file size ${targetFileBytes}B under 1 MiB")
+    val m0 = Manifest.read(spark, manifestPath)
+    val victims = Manifest.prune(m0, intervals)
+    if (victims.size <= 1) return m0 // nothing to bin-pack
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+    val staging = new Path(tablePath + "__compact_staging")
+    require(!fs.exists(staging),
+      s"increment store: staging dir $staging already exists — a prior " +
+        "compaction died mid-swap; inspect and remove it before retrying")
+    try {
+      val victimPaths = victims.map(new Path(_))
+      val bytes = victimPaths.map(p => fs.getFileStatus(p).getLen).sum
+      val nFiles = math.max(1,
+        math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(victims: _*)
+        .repartitionByRange(nFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(staging.toString)
+      victimPaths.foreach { p => fs.delete(p, false); () }
+      fs.listStatus(staging)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          fs.rename(s.getPath, new Path(table, s.getPath.getName)); ()
+        }
+    } finally {
+      fs.delete(staging, true)
+      ()
+    }
+    val m = Manifest.update(spark, tablePath, m0)
+    Manifest.write(m, manifestPath)
+    m
+  }
+
   def deleteRows(spark: SparkSession, keyCol: String,
                  dropKeys: Seq[Any]): Layout.DeleteStats = {
     require(exists(spark),

@@ -269,6 +269,18 @@ class CurationStorageSpec extends SparkSpec {
     assert(surv.nonEmpty && surv.size <= 2,
       s"day-1 band should still prune to <=2 files: ${surv.size}")
 
+    // ---- the erasure edge a real request can hit: a band covering an
+    // ENTIRE file — the file is rewritten empty (n_rows=0 manifest row,
+    // pruned by every interval), neighbors untouched, gate green
+    val statsAll = store.deleteRows(spark, "doc_id",
+      (210L until 220L).map(x => x: Any) ++ (200L until 205L).map(x => x: Any))
+    assert(statsAll.rowsDeleted == 15, s"${statsAll.rowsDeleted}")
+    assert(store.readRange(spark,
+      Map("doc_id" -> (200L: Any, 299L: Any))).count() == 0,
+      "day 2 must now be fully erased")
+    assert(store.readRange(spark,
+      Map("doc_id" -> (300L: Any, 399L: Any))).count() == 30)
+
     // ---- store-owned compaction: the append path's maintenance job ----
     // snapshot the whole table before, compact the 6 accreted files to
     // ~1, and the store must stay readable, row-identical, gate green
@@ -285,6 +297,51 @@ class CurationStorageSpec extends SparkSpec {
       "post-compaction pruned reads must stay green and exact")
     // and the pair keeps accreting afterwards — the maintenance job does
     // not end the table's life
+    store.writeIncrement(day(400 until 410))
+    assert(store.readRange(spark,
+      Map("doc_id" -> (400L: Any, 499L: Any))).count() == 10)
+  }
+
+  test("IncrementStore.compactRange: range-scoped bin-packing — untouched files byte-identical, manifest rows verbatim, O(touched) maintenance") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("store_compact_range").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/manifest",
+      filesPerIncrement = 2)
+    def day(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    store.writeIncrement(day(100 until 120))
+    store.writeIncrement(day(200 until 220))
+    store.writeIncrement(day(300 until 330))
+    val m0 = store.manifest(spark).collect()
+    val fileIx = store.manifest(spark).schema.fieldIndex("_file")
+    val day1Files = Manifest.prune(store.manifest(spark),
+      Map("doc_id" -> (100L: Any, 199L: Any))).toSet
+    assert(m0.length == 6 && day1Files.size == 2)
+
+    // bin-pack the AGING range (days 2+3) only; day 1 must not move
+    val m1 = store.compactRange(spark,
+      Map("doc_id" -> (200L: Any, 399L: Any)), targetFileBytes = 64L << 20)
+    assert(m1.count() == 3,
+      s"4 touched files should pack to 1, day-1's 2 untouched: ${m1.count()}")
+    // O(touched) metadata: day-1's manifest rows carried over VERBATIM
+    // (same file, same length, same mtime, same stats)
+    val m1Rows = m1.collect().map(_.toString).toSet
+    val day1Rows = m0.filter(r => day1Files.contains(r.getString(fileIx)))
+      .map(_.toString).toSet
+    assert(day1Rows.subsetOf(m1Rows),
+      "untouched files' manifest rows must be reused byte-identical")
+
+    // reads stay green and exact across the swap, pruning tightens
+    assert(store.readRange(spark,
+      Map("doc_id" -> (200L: Any, 299L: Any))).count() == 20)
+    assert(store.readRange(spark,
+      Map("doc_id" -> (100L: Any, 199L: Any))).count() == 20)
+    assert(spark.read.parquet(s"$tmp/verdicts").count() == 70)
+    // a sub-file range (<=1 surviving file) is a no-op, not a rewrite
+    val m2 = store.compactRange(spark,
+      Map("doc_id" -> (100L: Any, 100L: Any)), targetFileBytes = 64L << 20)
+    assert(m2.count() == 3)
+    // and the store keeps accreting
     store.writeIncrement(day(400 until 410))
     assert(store.readRange(spark,
       Map("doc_id" -> (400L: Any, 499L: Any))).count() == 10)
