@@ -152,23 +152,27 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     val staging = new Path(tablePath + "__compact_staging")
     require(!fs.exists(staging),
       s"increment store: staging dir $staging already exists — a prior " +
-        "compaction died mid-swap; inspect and remove it before retrying")
-    try {
-      Layout.compact(spark, tablePath, staging.toString, targetFileBytes,
-        clusterBy: _*)
-      // swap: the compacted set REPLACES the accreted set wholesale
-      fs.listStatus(table)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s => fs.delete(s.getPath, false); () }
-      fs.listStatus(staging)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s =>
-          fs.rename(s.getPath, new Path(table, s.getPath.getName)); ()
-        }
-    } finally {
-      fs.delete(staging, true)
-      ()
-    }
+        "compaction died mid-swap and the staging files may be the ONLY " +
+        "copy of rows whose originals were already removed; recover by " +
+        "moving the staged .parquet files into the table, then " +
+        "Manifest.build, before retrying")
+    // staging is cleaned up ONLY on success: after the originals start
+    // being deleted, the staged files may be the only copy of their rows
+    // — a finally-cleanup here would turn a mid-swap crash into data loss
+    // (self-review catch). On failure the entry require above names the
+    // recovery.
+    Layout.compact(spark, tablePath, staging.toString, targetFileBytes,
+      clusterBy: _*)
+    // swap: the compacted set REPLACES the accreted set wholesale
+    fs.listStatus(table)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s => fs.delete(s.getPath, false); () }
+    fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        fs.rename(s.getPath, new Path(table, s.getPath.getName)); ()
+      }
+    fs.delete(staging, true)
     val m = Manifest.build(spark, tablePath, statsCols)
     Manifest.write(m, manifestPath)
     Manifest.read(spark, manifestPath)
@@ -206,28 +210,29 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     val staging = new Path(tablePath + "__compact_staging")
     require(!fs.exists(staging),
       s"increment store: staging dir $staging already exists — a prior " +
-        "compaction died mid-swap; inspect and remove it before retrying")
-    try {
-      val victimPaths = victims.map(new Path(_))
-      val bytes = victimPaths.map(p => fs.getFileStatus(p).getLen).sum
-      val nFiles = math.max(1,
-        math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      import org.apache.spark.sql.functions.col
-      spark.read.parquet(victims: _*)
-        .repartitionByRange(nFiles, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(staging.toString)
-      victimPaths.foreach { p => fs.delete(p, false); () }
-      fs.listStatus(staging)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s =>
-          fs.rename(s.getPath, new Path(table, s.getPath.getName)); ()
-        }
-    } finally {
-      fs.delete(staging, true)
-      ()
-    }
+        "compaction died mid-swap and the staging files may be the ONLY " +
+        "copy of rows whose originals were already removed; recover by " +
+        "moving the staged .parquet files into the table, then " +
+        "Manifest.build, before retrying")
+    val victimPaths = victims.map(new Path(_))
+    val bytes = victimPaths.map(p => fs.getFileStatus(p).getLen).sum
+    val nFiles = math.max(1,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(victims: _*)
+      .repartitionByRange(nFiles, clusterBy.map(col): _*)
+      .sortWithinPartitions(clusterBy.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging.toString)
+    // staging cleaned up ONLY on success — once victims start being
+    // deleted it may hold the only copy of their rows (see [[compact]])
+    victimPaths.foreach { p => fs.delete(p, false); () }
+    fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        fs.rename(s.getPath, new Path(table, s.getPath.getName)); ()
+      }
+    fs.delete(staging, true)
     val m = Manifest.update(spark, tablePath, m0)
     Manifest.write(m, manifestPath)
     m
@@ -248,25 +253,27 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     val staging = new Path(tablePath + "__delete_staging")
     require(!fs.exists(staging),
       s"increment store: staging dir $staging already exists — a prior " +
-        "delete died mid-swap; inspect and remove it before retrying")
-    val stats = try {
-      val st = Layout.deleteRows(spark, tablePath, staging.toString,
-        keyCol, dropKeys, copyClean = false)
-      // swap each rewritten file over its original under the same name;
-      // Manifest.update sees (len, mtime) change and rescans exactly them
-      fs.listStatus(staging)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s =>
-          val dst = new Path(table, s.getPath.getName)
-          fs.delete(dst, false)
-          fs.rename(s.getPath, dst)
-          ()
-        }
-      st
-    } finally {
-      fs.delete(staging, true)
-      ()
-    }
+        "delete died mid-swap and the staging files may be the ONLY copy " +
+        "of kept rows whose originals were already removed; recover by " +
+        "moving the staged .parquet files over their same-named originals, " +
+        "then Manifest.update, before retrying")
+    val stats = Layout.deleteRows(spark, tablePath, staging.toString,
+      keyCol, dropKeys, copyClean = false)
+    // swap each rewritten file over its original under the same name;
+    // Manifest.update sees (len, mtime) change and rescans exactly them.
+    // Staging is cleaned up ONLY after the swap completes — mid-swap, a
+    // staged file is the only copy of its kept rows once the original is
+    // deleted, so a finally-cleanup would turn a crash into data loss
+    // (self-review catch); on failure the entry require names recovery.
+    fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        val dst = new Path(table, s.getPath.getName)
+        fs.delete(dst, false)
+        fs.rename(s.getPath, dst)
+        ()
+      }
+    fs.delete(staging, true)
     val m = Manifest.update(spark, tablePath,
       Manifest.read(spark, manifestPath))
     Manifest.write(m, manifestPath)
