@@ -302,6 +302,39 @@ class CurationStorageSpec extends SparkSpec {
       Map("doc_id" -> (400L: Any, 499L: Any))).count() == 10)
   }
 
+  test("store maintenance refuses to start over a leftover staging dir and names the recovery (mid-swap crash contract)") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("store_staging").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/manifest",
+      filesPerIncrement = 2)
+    store.writeIncrement((1 to 20).map(i => (i.toLong, s"t $i"))
+      .toDF("doc_id", "text"))
+    // a prior maintenance job "died mid-swap": its staging dir may hold
+    // the only copy of live rows — the next attempt must refuse and say
+    // how to recover, never silently clear it
+    for (stage <- Seq("__delete_staging", "__compact_staging")) {
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/verdicts$stage")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      store.deleteRows(spark, "doc_id", Seq(1L: Any))
+    }
+    assert(e1.getMessage.contains("ONLY copy") &&
+      e1.getMessage.contains("Manifest.update"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      store.compact(spark, targetFileBytes = 64L << 20)
+    }
+    assert(e2.getMessage.contains("ONLY copy") &&
+      e2.getMessage.contains("Manifest.build"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      store.compactRange(spark, Map("doc_id" -> (1L: Any, 20L: Any)),
+        targetFileBytes = 64L << 20)
+    }
+    assert(e3.getMessage.contains("ONLY copy"), e3.getMessage)
+    // the table itself is untouched by the refusals
+    assert(spark.read.parquet(s"$tmp/verdicts").count() == 20)
+  }
+
   test("IncrementStore.compactRange: range-scoped bin-packing — untouched files byte-identical, manifest rows verbatim, O(touched) maintenance") {
     import graft.sources.IncrementStore
     val tmp = java.nio.file.Files.createTempDirectory("store_compact_range").toString
