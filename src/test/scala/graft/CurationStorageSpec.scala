@@ -335,6 +335,73 @@ class CurationStorageSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/verdicts").count() == 20)
   }
 
+  test("store lifecycle fuzz: random write/delete/compactRange/compact sequences match an in-memory model (6 seeds)") {
+    import graft.sources.IncrementStore
+    // model-based check over the WHOLE mutation surface the round added:
+    // whatever interleaving of ingest and maintenance runs, a pruned
+    // read must equal the trivial in-memory model — compaction never
+    // changes rows, deletion removes exactly the requested keys, the
+    // manifest pair never goes stale
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"store_fuzz_$seed").toString
+      val store = IncrementStore(s"$tmp/t", s"$tmp/m",
+        filesPerIncrement = 2)
+      val model = scala.collection.mutable.SortedSet.empty[Long]
+      var nextId = 100L
+      def check(tag: String): Unit = {
+        val all = store.readRange(spark,
+          Map("doc_id" -> (null: Any, null: Any)))
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        assert(all == model.toSeq, s"seed $seed after $tag: store " +
+          s"${all.size} rows vs model ${model.size}")
+        if (model.nonEmpty) {
+          val lo = model.toVector(rnd.nextInt(model.size))
+          val hi = lo + rnd.nextInt(40)
+          val band = store.readRange(spark,
+            Map("doc_id" -> (lo: Any, hi: Any)))
+            .select("doc_id").as[Long].collect().sorted.toSeq
+          assert(band == model.range(lo, hi + 1).toSeq,
+            s"seed $seed after $tag: band [$lo,$hi] mismatch")
+        }
+      }
+      // first op is always a write (a fresh store has nothing to
+      // delete or compact)
+      (0 until 6).foreach { step =>
+        val op = if (step == 0) 0 else rnd.nextInt(4)
+        op match {
+          case 0 =>
+            val n = 10 + rnd.nextInt(15)
+            val ids = (nextId until nextId + n)
+            store.writeIncrement(ids.map(i => (i, s"t $i"))
+              .toDF("doc_id", "text"))
+            model ++= ids
+            nextId += n + rnd.nextInt(30)
+            check(s"write($n)")
+          case 1 if model.nonEmpty =>
+            val v = model.toVector
+            val keys = Seq.fill(1 + rnd.nextInt(6))(
+              v(rnd.nextInt(v.size))).distinct
+            store.deleteRows(spark, "doc_id", keys.map(x => x: Any))
+            model --= keys
+            check(s"delete(${keys.size})")
+          case 2 if model.nonEmpty =>
+            val lo = model.head + rnd.nextInt(
+              math.max(1, (model.last - model.head).toInt))
+            store.compactRange(spark,
+              Map("doc_id" -> (lo: Any, (lo + 40): Any)),
+              targetFileBytes = 64L << 20)
+            check(s"compactRange($lo)")
+          case 3 if model.nonEmpty =>
+            store.compact(spark, targetFileBytes = 64L << 20)
+            check("compact")
+          case _ => () // delete/compact on an empty store: skip
+        }
+      }
+    }
+  }
+
   test("IncrementStore.compactRange: range-scoped bin-packing — untouched files byte-identical, manifest rows verbatim, O(touched) maintenance") {
     import graft.sources.IncrementStore
     val tmp = java.nio.file.Files.createTempDirectory("store_compact_range").toString
