@@ -77,9 +77,14 @@ object Bench {
     * precision, not the map) → ALIASED map (prefix-stripped keys — the
     * map and the health block both survive past 94 full-name queries) →
     * full map without health → headline + failures + health → headline +
-    * failures → headline + health → bare headline. Priority order, so
-    * the shed sequence is explicit: full-name map > health > precision >
-    * aliased map > failed list > headline; on the headline rungs the
+    * failures → headline + health → bare headline. The shed sequence,
+    * stated to match the actual rung order (r17 ADVICE caught the old
+    * comment contradicting rungs 3-4): keep HEALTH as long as ANY map
+    * form fits beside it (full names preferred, then aliased; 2dp
+    * preferred, then 1dp), only then drop health and retry the same
+    * name/precision ladder (full 2dp/1dp, aliased 2dp/1dp — no decimal
+    * place is lost that an aliased no-health rung could keep), and only
+    * past every map rung fall to the headline rungs, where the
     * diagnostic failed list outranks health (a mass failure needs names
     * more than box stats — the forensics file carries both regardless).
     * The driver archives only ~2000 output chars and parses the LAST
@@ -122,6 +127,7 @@ object Bench {
       line(qmap(2, aliased = true), failedJson, healthPart),
       line(qmap(1, aliased = true), failedJson, healthPart),
       line(qmap(2), failedJson, ""), line(qmap(1), failedJson, ""),
+      line(qmap(2, aliased = true), failedJson, ""),
       line(qmap(1, aliased = true), failedJson, ""),
       line("{}", failedJson, healthPart), line("{}", failedJson, ""),
       line("{}", "", healthPart), line("{}", "", ""))
@@ -431,8 +437,17 @@ object Bench {
     // gap sample is clean. Failed queries are not waves; not re-run.
     try {
       val gapVals = traces.values.map(_._1).toSeq.sorted
-      if (gapVals.nonEmpty && reps > 1) {
-        val medGap = gapVals(gapVals.size / 2)
+      val medGapAll =
+        if (gapVals.isEmpty) -1.0 else gapVals(gapVals.size / 2)
+      // degraded-probe guard (r17 ADVICE): under a tight
+      // MaxDirectMemorySize every gap sample is -1, medGap is -1, and
+      // `g < medGap / 5.0` (-1 < -0.2) would flag EVERY successful query
+      // — up to 8 spurious re-runs at leg end. No probe, no wave pass.
+      if (gapVals.nonEmpty && reps > 1 && medGapAll <= 0)
+        tee.log("[bench] wave_rerun skipped: gap probe degraded " +
+          s"(median gap sample $medGapAll) — no healthy baseline to flag against")
+      if (gapVals.nonEmpty && reps > 1 && medGapAll > 0) {
+        val medGap = medGapAll
         def spread(ts: Seq[Double]): Boolean =
           ts.size >= 2 && ts.max / math.max(ts.min, 1e-9) > 4.0 &&
             ts.max - ts.min > 1.0

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** An accreting clustered + manifested parquet table with ONE write
@@ -53,6 +53,51 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
       .map(_.getPath).toSeq
   }
 
+  /** The victim/original file list every destructive maintenance job
+    * persists into its staging dir BEFORE deleting anything — what makes
+    * mid-swap crash recovery MECHANICAL instead of forensic. Without it,
+    * "move the staged files back in" is only correct if every original
+    * was already deleted: compaction's staged files carry fresh names, so
+    * after a crash partway through the delete loop, surviving originals
+    * plus the full staged copy would DUPLICATE those rows — and a
+    * Manifest.build would bless the corrupted table (r17 ADVICE). The
+    * list pins exactly which originals the job intended to remove, so
+    * [[recover]] can finish the removal before moving staged files in.
+    * File NAMES, not paths: recovery is table-relocation-safe, and the
+    * names are unambiguous within the one directory a store owns. */
+  private[graft] val OriginalsList = "_graft_originals"
+
+  private[graft] def writeOriginalsList(fs: FileSystem, staging: Path,
+                                 names: Seq[String]): Unit = {
+    val out = fs.create(new Path(staging, OriginalsList), true)
+    try out.write(names.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readOriginalsList(fs: FileSystem,
+                                staging: Path): Option[Seq[String]] = {
+    val p = new Path(staging, OriginalsList)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty))
+      } finally in.close()
+    }
+  }
+
+  private[graft] def stagedParquet(fs: FileSystem, staging: Path): Seq[Path] =
+    fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq
+
   /** Land one increment; returns the refreshed manifest (localized —
     * consultable without re-reading the table). First call creates the
     * pair; later calls append + maintain. The manifest on disk is always
@@ -65,7 +110,18 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     * is a SaveMode.Overwrite and would silently destroy the existing
     * rows. Adopt such a table by building its manifest first
     * ([[Manifest.build]] + [[Manifest.write]] to `manifestPath`) — the
-    * next writeIncrement then takes the append path. */
+    * next writeIncrement then takes the append path.
+    *
+    * The store owns the table's SCHEMA the same way it owns its layout:
+    * an increment whose columns drift from the table's (renamed, added,
+    * dropped, or retyped) is refused loudly with the exact diff named —
+    * the raw append path would land mixed-schema parquet silently, and
+    * every later [[readRange]]'s shape would then depend on which files
+    * parquet schema inference happened to sample. Nullability is
+    * deliberately NOT part of the check (parquet appends tolerate it and
+    * optional-vs-required drifts with Spark's write path); column ORDER
+    * is not either (parquet resolves by name). The check costs one
+    * footer read per increment — O(1), not O(table). */
   def writeIncrement(increment: DataFrame): DataFrame = {
     val spark = increment.sparkSession
     if (!exists(spark)) {
@@ -79,6 +135,7 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
       Manifest.writeWithManifest(increment, tablePath, manifestPath,
         statsCols, filesPerIncrement, clusterBy)
     } else {
+      requireSchemaMatch(spark, increment)
       Layout.appendClustered(increment, tablePath, filesPerIncrement,
         clusterBy: _*)
       val m = Manifest.update(spark, tablePath,
@@ -86,6 +143,33 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
       Manifest.write(m, manifestPath)
       m
     }
+  }
+
+  /** Schema-drift guard for the append path (see [[writeIncrement]]):
+    * the increment's (name → type) map must equal the table's. */
+  private def requireSchemaMatch(spark: SparkSession,
+                                 increment: DataFrame): Unit = {
+    def byName(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType).toMap
+    val table = byName(spark.read.parquet(tablePath).schema)
+    val inc = byName(increment.schema)
+    val missing = (table.keySet -- inc.keySet).toSeq.sorted
+    val added = (inc.keySet -- table.keySet).toSeq.sorted
+    val retyped = (table.keySet & inc.keySet)
+      .filter(c => table(c) != inc(c)).toSeq.sorted
+      .map(c => s"$c: table ${table(c).simpleString} vs " +
+        s"increment ${inc(c).simpleString}")
+    require(missing.isEmpty && added.isEmpty && retyped.isEmpty,
+      s"increment store: increment schema drifts from $tablePath — " +
+        (if (missing.nonEmpty)
+          s"missing column(s) [${missing.mkString(", ")}]; " else "") +
+        (if (added.nonEmpty)
+          s"unknown column(s) [${added.mkString(", ")}]; " else "") +
+        (if (retyped.nonEmpty)
+          s"retyped column(s) [${retyped.mkString("; ")}]; " else "") +
+        "appending it would land mixed-schema parquet silently. Align " +
+        "the increment to the table schema (or migrate the table " +
+        "deliberately: read, transform, writeClustered + Manifest.build).")
   }
 
   /** The current manifest, read from its persisted form. */
@@ -153,9 +237,10 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     require(!fs.exists(staging),
       s"increment store: staging dir $staging already exists — a prior " +
         "compaction died mid-swap and the staging files may be the ONLY " +
-        "copy of rows whose originals were already removed; recover by " +
-        "moving the staged .parquet files into the table, then " +
-        "Manifest.build, before retrying")
+        "copy of rows whose originals were already removed; run " +
+        "recover() (mechanical: it finishes removing the originals " +
+        s"named in the staged $OriginalsList list, moves the staged " +
+        "files in, and brings the manifest forward) before retrying")
     // staging is cleaned up ONLY on success: after the originals start
     // being deleted, the staged files may be the only copy of their rows
     // — a finally-cleanup here would turn a mid-swap crash into data loss
@@ -163,15 +248,19 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     // recovery.
     Layout.compact(spark, tablePath, staging.toString, targetFileBytes,
       clusterBy: _*)
-    // swap: the compacted set REPLACES the accreted set wholesale
-    fs.listStatus(table)
+    // swap: the compacted set REPLACES the accreted set wholesale. The
+    // intended-victim list lands in staging BEFORE the first delete, so
+    // a crash anywhere in the loop leaves a mechanically recoverable
+    // state (r17 ADVICE: without the list, surviving originals + the
+    // full staged copy duplicate rows and Manifest.build blesses it).
+    val originals = fs.listStatus(table)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { s => fs.delete(s.getPath, false); () }
-    fs.listStatus(staging)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        fs.rename(s.getPath, new Path(table, s.getPath.getName)); ()
-      }
+      .map(_.getPath).toSeq
+    writeOriginalsList(fs, staging, originals.map(_.getName))
+    originals.foreach { p => fs.delete(p, false); () }
+    stagedParquet(fs, staging).foreach { p =>
+      fs.rename(p, new Path(table, p.getName)); ()
+    }
     fs.delete(staging, true)
     val m = Manifest.build(spark, tablePath, statsCols)
     Manifest.write(m, manifestPath)
@@ -211,9 +300,10 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     require(!fs.exists(staging),
       s"increment store: staging dir $staging already exists — a prior " +
         "compaction died mid-swap and the staging files may be the ONLY " +
-        "copy of rows whose originals were already removed; recover by " +
-        "moving the staged .parquet files into the table, then " +
-        "Manifest.build, before retrying")
+        "copy of rows whose originals were already removed; run " +
+        "recover() (mechanical: it finishes removing the originals " +
+        s"named in the staged $OriginalsList list, moves the staged " +
+        "files in, and brings the manifest forward) before retrying")
     val victimPaths = victims.map(new Path(_))
     val bytes = victimPaths.map(p => fs.getFileStatus(p).getLen).sum
     val nFiles = math.max(1,
@@ -225,13 +315,14 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(staging.toString)
     // staging cleaned up ONLY on success — once victims start being
-    // deleted it may hold the only copy of their rows (see [[compact]])
+    // deleted it may hold the only copy of their rows (see [[compact]]);
+    // the victim list lands BEFORE the first delete so recover() can
+    // finish the removal mechanically (r17 ADVICE)
+    writeOriginalsList(fs, staging, victimPaths.map(_.getName))
     victimPaths.foreach { p => fs.delete(p, false); () }
-    fs.listStatus(staging)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        fs.rename(s.getPath, new Path(table, s.getPath.getName)); ()
-      }
+    stagedParquet(fs, staging).foreach { p =>
+      fs.rename(p, new Path(table, p.getName)); ()
+    }
     fs.delete(staging, true)
     val m = Manifest.update(spark, tablePath, m0)
     Manifest.write(m, manifestPath)
@@ -254,9 +345,10 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     require(!fs.exists(staging),
       s"increment store: staging dir $staging already exists — a prior " +
         "delete died mid-swap and the staging files may be the ONLY copy " +
-        "of kept rows whose originals were already removed; recover by " +
-        "moving the staged .parquet files over their same-named originals, " +
-        "then Manifest.update, before retrying")
+        "of kept rows whose originals were already removed; run " +
+        "recover() (mechanical: it finishes swapping the staged files " +
+        "over their same-named originals and brings the manifest " +
+        "forward) before retrying")
     val stats = Layout.deleteRows(spark, tablePath, staging.toString,
       keyCol, dropKeys, copyClean = false)
     // swap each rewritten file over its original under the same name;
@@ -265,18 +357,114 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     // staged file is the only copy of its kept rows once the original is
     // deleted, so a finally-cleanup would turn a crash into data loss
     // (self-review catch); on failure the entry require names recovery.
-    fs.listStatus(staging)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        val dst = new Path(table, s.getPath.getName)
-        fs.delete(dst, false)
-        fs.rename(s.getPath, dst)
-        ()
-      }
+    // The list marks "the staging write completed, the swap began" for
+    // recover(): without it, a crash DURING Layout.deleteRows (staging
+    // incomplete, originals all intact) is indistinguishable from a
+    // mid-swap crash.
+    val staged = stagedParquet(fs, staging)
+    writeOriginalsList(fs, staging, staged.map(_.getName))
+    staged.foreach { p =>
+      val dst = new Path(table, p.getName)
+      fs.delete(dst, false)
+      fs.rename(p, dst)
+      ()
+    }
     fs.delete(staging, true)
     val m = Manifest.update(spark, tablePath,
       Manifest.read(spark, manifestPath))
     Manifest.write(m, manifestPath)
     stats
+  }
+
+  /** The whole table, manifest-gated: one read of every store file with
+    * the staleness refusal applied first (same contract as [[readRange]]
+    * without the pruning — for consumers that genuinely need the full
+    * history, e.g. rebuilding stream resume state). `staleCheck = false`
+    * under the same single-writer guarantee as [[readRange]]. */
+  def readAll(spark: SparkSession, staleCheck: Boolean = true): DataFrame = {
+    require(exists(spark),
+      s"increment store: no manifest at $manifestPath — nothing to read")
+    if (staleCheck) Manifest.requireFresh(spark, tablePath, manifest(spark))
+    spark.read.parquet(tablePath)
+  }
+
+  /** Mechanical mid-swap crash recovery — the executable form of the
+    * refusal messages above. Every destructive mutation here follows the
+    * same protocol: stage the rewritten files, persist the
+    * intended-victim list ([[OriginalsList]]) into the staging dir, THEN
+    * delete originals and move staged files in, and drop staging only on
+    * success. That ordering makes every crash window recoverable without
+    * judgment calls:
+    *
+    *  - staging exists WITHOUT the list → the crash predates the list
+    *    write, which strictly precedes the first original delete — the
+    *    table is intact and the staged files are an incomplete or
+    *    unswapped copy. Recovery: drop staging. (Re-run the mutation.)
+    *  - `__compact_staging` WITH the list → finish what the compaction
+    *    started: delete any SURVIVING listed originals (this is the r17
+    *    ADVICE hazard — moving staged files in while originals survive
+    *    would duplicate their rows, and a manifest rebuild would bless
+    *    it), move the staged files in, drop staging.
+    *  - `__delete_staging` WITH the list → staged files overwrite their
+    *    same-named originals; finish the swap (idempotent — a
+    *    half-swapped file is simply re-swapped by name), drop staging.
+    *
+    * The manifest is brought forward afterwards ([[Manifest.update]] —
+    * O(touched): gone rows dropped, new/rewritten files rescanned, clean
+    * rows verbatim) and persisted, so the staleness gate is green again.
+    * Idempotent: recover() after a crashed recover() resumes where it
+    * died; recover() with no staging dirs is a no-op returning the
+    * current manifest. Single-writer, like every mutation here. */
+  def recover(spark: SparkSession): DataFrame = {
+    require(exists(spark),
+      s"increment store: no manifest at $manifestPath — this table is " +
+        "not store-managed")
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(conf)
+
+    val compactStaging = new Path(tablePath + "__compact_staging")
+    if (fs.exists(compactStaging)) {
+      readOriginalsList(fs, compactStaging) match {
+        case None =>
+          // list absent ⇒ no original was deleted yet (the list lands
+          // strictly before the delete loop) — staged copy is redundant
+          fs.delete(compactStaging, true)
+        case Some(names) =>
+          names.foreach { n =>
+            val p = new Path(table, n)
+            if (fs.exists(p)) { fs.delete(p, false); () }
+          }
+          stagedParquet(fs, compactStaging).foreach { p =>
+            fs.rename(p, new Path(table, p.getName)); ()
+          }
+          fs.delete(compactStaging, true)
+      }
+      ()
+    }
+
+    val deleteStaging = new Path(tablePath + "__delete_staging")
+    if (fs.exists(deleteStaging)) {
+      readOriginalsList(fs, deleteStaging) match {
+        case None =>
+          // crash during Layout.deleteRows: originals all intact, the
+          // staged rewrite incomplete — drop it, re-run the delete
+          fs.delete(deleteStaging, true)
+        case Some(_) =>
+          stagedParquet(fs, deleteStaging).foreach { p =>
+            val dst = new Path(table, p.getName)
+            fs.delete(dst, false)
+            fs.rename(p, dst)
+            ()
+          }
+          fs.delete(deleteStaging, true)
+      }
+      ()
+    }
+
+    val m = Manifest.update(spark, tablePath,
+      Manifest.read(spark, manifestPath))
+    Manifest.write(m, manifestPath)
+    m
   }
 }

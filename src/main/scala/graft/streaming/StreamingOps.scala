@@ -646,9 +646,74 @@ object StreamingOps {
     * `IncrementStore.writeIncrement` safe under replay.
     * `committedBatchIds` is driver state, bounded by the batch count of
     * a stream's lifetime (a day of micro-batches — the loop snapshots
-    * through the batch store daily). */
+    * through the batch store daily).
+    *
+    * HARD PRECONDITION — restart from the ORIGINAL `checkpointLocation`.
+    * Batch ids are checkpoint-scoped: Structured Streaming numbers
+    * batches per checkpoint, so against a FRESH checkpoint a real source
+    * renumbers from 0 with whatever data is currently unconsumed, and a
+    * store-rebuilt `committedBatchIds` would silently SKIP genuinely new
+    * batches 0..k that merely reuse committed ids. (MemoryStream replay
+    * specs survive a fresh checkpoint only because the test re-delivers
+    * byte-identical data as batch 0 — a coincidence of the test source,
+    * not the contract.) With the original checkpoint, a committed id can
+    * only ever be re-delivered as the SAME micro-batch (the offset log
+    * pins id → offset range), which is exactly the replay the skip
+    * exists for. Every skip is logged loudly so a mis-wired restart is
+    * visible in the driver log, not silent. */
   final case class CurationResume(priorKeepers: DataFrame,
                                   committedBatchIds: Set[Long] = Set.empty)
+
+  object CurationResume {
+    private val log = org.slf4j.LoggerFactory.getLogger(classOf[CurationResume])
+
+    /** The batch-provenance column [[storeSink]] stamps onto every
+      * verdict increment — what makes [[fromStore]] a ONE-read restart. */
+    val BatchIdCol = "batch_id"
+
+    /** The durable-store sink for [[curationIncrementStream]]: stamps
+      * the micro-batch id onto the verdict frame and lands it through
+      * `store.writeIncrement` (clustered + manifested, one consistent
+      * pair per batch). Writing the batch id WITH the verdicts is what
+      * closes the restart loop: `committedBatchIds` becomes a store
+      * read instead of hand-rolled driver bookkeeping. */
+    def storeSink(store: graft.sources.IncrementStore)
+        : (Long, DataFrame) => Unit =
+      (batchId, verdicts) => {
+        store.writeIncrement(
+          verdicts.withColumn(BatchIdCol, lit(batchId)))
+        ()
+      }
+
+    /** Rebuild resume state PURELY from the durable store — the natural
+      * constructor for a crashed daily loop (nothing survives from the
+      * dead driver): one manifest-gated read of the verdict history
+      * gives both the prior keepers (reject-null rows) and the committed
+      * batch ids (the distinct [[BatchIdCol]] values [[storeSink]]
+      * stamped). The id set is driver state bounded by the stream
+      * lifetime's batch count, same budget as the case-class field.
+      * Same-checkpoint precondition applies unchanged (see the class
+      * scaladoc). */
+    def fromStore(spark: SparkSession,
+                  store: graft.sources.IncrementStore,
+                  rejectCol: String = "curation_reject"): CurationResume = {
+      val hist = store.readAll(spark)
+      require(hist.columns.contains(BatchIdCol),
+        s"curation resume: verdict store ${store.tablePath} has no " +
+          s"$BatchIdCol column — it was not written through " +
+          "CurationResume.storeSink; pass priorKeepers/committedBatchIds " +
+          "explicitly instead")
+      val ids = hist.select(col(BatchIdCol)).distinct()
+        .collect().map(_.getLong(0)).toSet
+      log.info(s"curation resume: rebuilt from ${store.tablePath} — " +
+        s"${ids.size} committed batch id(s): " +
+        ids.toSeq.sorted.mkString(","))
+      CurationResume(
+        hist.filter(col(rejectCol).isNull)
+          .select(col("doc_id"), col("text"), col("cluster_id")),
+        committedBatchIds = ids)
+    }
+  }
 
   /** O(micro-batch) gram-index roll-forward — ONE definition shared by
     * [[curationIncrementStream]] and its plan-pin spec: the keepers'
@@ -707,11 +772,17 @@ object StreamingOps {
     * `onVerdicts`, double-appending into a non-idempotent sink
     * (`IncrementStore.writeIncrement` appends the day twice). Both are
     * closed by `resume`: rebuild `priorKeepers` from the durable sink at
-    * restart and list the already-committed batch ids — committed
+    * restart ([[CurationResume.fromStore]] when the sink is
+    * [[CurationResume.storeSink]] — one store read, zero hand-rolled
+    * state) and list the already-committed batch ids — committed
     * re-deliveries are skipped (their keepers are already in the resumed
     * state), uncommitted batches process exactly once. The restart spec
     * pins a mid-day crash-and-resume run verdict-identical to the
-    * unbroken one.
+    * unbroken one. HARD PRECONDITION: restart from the ORIGINAL
+    * `checkpointLocation` — batch ids are checkpoint-scoped, and
+    * against a fresh checkpoint the committed-id skip would drop
+    * genuinely new batches that reuse old ids (see [[CurationResume]]'s
+    * scaladoc). Every skip is logged with its batch id.
     *
     * Scale shape: unchanged from the batch operator — the corpus side
     * is scanned, never shuffled; batch-sized frames broadcast. */
@@ -749,8 +820,15 @@ object StreamingOps {
         if (committed.contains(batchId)) {
           // a re-delivered batch whose verdicts are already durable:
           // onVerdicts must NOT run again (the sink append is not
-          // idempotent) and its keepers are already in the resumed state
-          ()
+          // idempotent) and its keepers are already in the resumed
+          // state. Logged loudly: under the same-checkpoint precondition
+          // this fires only for a true replay; seeing it on a FRESH
+          // checkpoint means new data is being dropped (mis-wired
+          // restart — see CurationResume's scaladoc).
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"curation stream: skipping re-delivered committed " +
+              s"batch $batchId (verdicts already durable; correct only " +
+              "when restarted from the ORIGINAL checkpointLocation)")
         } else if (!batch.isEmpty) {
           val (v, h) = graft.operators.Curation.curateIncrement(
             batch, idCol, textCol, oldDocs, labels, lm, maxPpl, bpe,

@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Layout, Manifest}
+
+/** Measure the Manifest's OWN ceiling (r17 verdict #6) — the one
+  * unmeasured scale term left in the storage story: `prune`,
+  * `requireFresh` and the kept-row half of `update` are driver-side
+  * loops over ONE ROW PER FILE. The `maxFiles` guards assert a bound;
+  * this prices it: synthesize tables of N real (tiny) parquet files,
+  * build their manifests, and measure
+  *
+  *  - prune latency (narrow interval + full-range survivor collect),
+  *  - requireFresh latency (directory listing + identity diff),
+  *  - update latency with NOTHING changed (the pure O(manifest) driver
+  *    term) and with an 8-file appended increment (the O(increment)
+  *    scan + O(manifest) driver term the daily loop pays),
+  *  - manifest build / persist / read, and
+  *  - the driver footprint of the collected manifest rows
+  *    (SizeEstimator over the collect() both gates hold).
+  *
+  * The numbers feed the scaladoc ceiling statement in Manifest.scala:
+  * the regime where per-file rows stop being viable planner state and a
+  * two-level (partition-grouped) manifest becomes necessary.
+  *
+  * Usage: ProfileManifest <workDir> [sizes, default 10000,100000]
+  * Prints one JSON line per size.
+  */
+object ProfileManifest {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProfileManifest <workDir> [sizes]")
+    val work = args(0)
+    val sizes = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
+                else Seq(10000, 100000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Conf.applyTuned(spark)
+    def log(s: String): Unit = System.err.println(s"[manifest_ceiling] $s")
+
+    def med3(f: () => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+
+    sizes.foreach { n =>
+      val dir = s"$work/files_$n"
+      val manifestPath = s"$work/manifest_$n"
+      // one row per file via maxRecordsPerFile (32 tasks each writing a
+      // run of 1-row files — N write TASKS would pay scheduler overhead
+      // per file, this pays only the parquet open/close)
+      val t0 = System.nanoTime()
+      spark.range(n.toLong)
+        .select(col("id").as("doc_id"), (col("id") % 997).as("v"))
+        .repartitionByRange(32, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 1).parquet(dir)
+      log(f"staged $n one-row files in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+      val tb0 = System.nanoTime()
+      val m0 = Manifest.build(spark, dir, Seq("doc_id"))
+      val buildS = (System.nanoTime() - tb0) / 1e9
+      val rows = m0.count()
+      require(rows == n, s"expected $n manifest rows, got $rows")
+      val writeS = med3(() => Manifest.write(m0, manifestPath))
+      var m: DataFrame = null
+      val readS = med3(() => { m = Manifest.read(spark, manifestPath)
+        m.count(); () })
+
+      // driver footprint: the collected per-file rows BOTH gates hold
+      val collected = m.collect()
+      val bytes = org.apache.spark.util.SizeEstimator.estimate(collected)
+
+      val narrowLo = n / 2L
+      val narrowHi = n / 2L + math.max(1, n / 1000)
+      val pruneNarrowS = med3(() => { Manifest.prune(m,
+        Map("doc_id" -> (narrowLo, narrowHi))); () })
+      val pruneFullS = med3(() => { Manifest.prune(m,
+        Map("doc_id" -> (0L, n.toLong)), maxFiles = 1 << 21); () })
+      val freshS = med3(() => Manifest.requireFresh(spark, dir, m))
+      val updateNoopS = med3(() => { Manifest.update(spark, dir, m); () })
+
+      // the daily-loop shape: an 8-file increment appended, manifest
+      // brought forward (O(increment) scan + the O(manifest) driver term)
+      val inc = spark.range(n.toLong, n + 1000L)
+        .select(col("id").as("doc_id"), (col("id") % 997).as("v"))
+      val tu0 = System.nanoTime()
+      Layout.appendClustered(inc, dir, 8, "doc_id")
+      val mUpd = Manifest.update(spark, dir, m)
+      val updateIncS = (System.nanoTime() - tu0) / 1e9
+      require(mUpd.count() == n + 8L, s"update rows: ${mUpd.count()}")
+      // leave the dir coherent for any re-run
+      Manifest.write(mUpd, manifestPath)
+
+      val readPrunedS = med3(() => {
+        Manifest.readPruned(spark, dir, mUpd,
+          Map("doc_id" -> (narrowLo, narrowHi))).count(); () })
+
+      log(f"n=$n build=$buildS%.2f s prune_narrow=${pruneNarrowS * 1000}%.0f ms " +
+        f"prune_full=${pruneFullS * 1000}%.0f ms fresh=${freshS * 1000}%.0f ms " +
+        f"update_noop=${updateNoopS * 1000}%.0f ms update_inc8=$updateIncS%.2f s " +
+        f"read_pruned=$readPrunedS%.2f s driver_bytes=$bytes")
+      println(f"""{"metric":"manifest_ceiling","files":$n,""" +
+        f""""build_s":$buildS%.3f,"write_s":$writeS%.3f,"read_s":$readS%.3f,""" +
+        f""""prune_narrow_s":$pruneNarrowS%.4f,"prune_full_s":$pruneFullS%.4f,""" +
+        f""""require_fresh_s":$freshS%.4f,"update_noop_s":$updateNoopS%.4f,""" +
+        f""""update_inc8_s":$updateIncS%.3f,"read_pruned_s":$readPrunedS%.3f,""" +
+        f""""driver_row_bytes":$bytes}""")
+    }
+    spark.stop()
+  }
+}

@@ -320,19 +320,156 @@ class CurationStorageSpec extends SparkSpec {
       store.deleteRows(spark, "doc_id", Seq(1L: Any))
     }
     assert(e1.getMessage.contains("ONLY copy") &&
-      e1.getMessage.contains("Manifest.update"), e1.getMessage)
+      e1.getMessage.contains("recover()"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       store.compact(spark, targetFileBytes = 64L << 20)
     }
     assert(e2.getMessage.contains("ONLY copy") &&
-      e2.getMessage.contains("Manifest.build"), e2.getMessage)
+      e2.getMessage.contains("recover()"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException] {
       store.compactRange(spark, Map("doc_id" -> (1L: Any, 20L: Any)),
         targetFileBytes = 64L << 20)
     }
-    assert(e3.getMessage.contains("ONLY copy"), e3.getMessage)
+    assert(e3.getMessage.contains("ONLY copy") &&
+      e3.getMessage.contains("recover()"), e3.getMessage)
     // the table itself is untouched by the refusals
     assert(spark.read.parquet(s"$tmp/verdicts").count() == 20)
+    // both leftovers are LIST-LESS (the crash predates the first
+    // original delete, by the write ordering) — recover() drops them,
+    // leaves the table intact, and the store is writable again
+    store.recover(spark)
+    for (stage <- Seq("__delete_staging", "__compact_staging")) {
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/verdicts$stage")
+      assert(!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p),
+        s"recover() must drop the list-less staging dir $stage")
+    }
+    assert(store.readRange(spark,
+      Map("doc_id" -> (1L: Any, 20L: Any))).count() == 20)
+    store.writeIncrement(Seq((21L, "t 21")).toDF("doc_id", "text"))
+    assert(spark.read.parquet(s"$tmp/verdicts").count() == 21)
+  }
+
+  test("IncrementStore.recover: a compactRange crash between staging and the end of the delete loop — surviving originals removed, zero duplicated rows (r17 ADVICE)") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("store_recover").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/manifest",
+      filesPerIncrement = 3)
+    store.writeIncrement((1 to 30).map(i => (i.toLong, s"t $i"))
+      .toDF("doc_id", "text"))
+    store.writeIncrement((31 to 60).map(i => (i.toLong, s"t $i"))
+      .toDF("doc_id", "text"))
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/verdicts")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // reconstruct the exact crash state compactRange can leave: staged
+    // bin-packed copy + persisted victim list, then "die" after deleting
+    // only SOME victims — the surviving-original state where the old
+    // manual recipe ("move staged files in, Manifest.build") would
+    // DUPLICATE the survivors' rows and bless the corruption
+    val victims = graft.sources.Manifest.prune(store.manifest(spark),
+      Map("doc_id" -> (1L: Any, 60L: Any)))
+    assert(victims.size >= 4, s"want several victim files, got $victims")
+    val staging = new org.apache.hadoop.fs.Path(s"$tmp/verdicts__compact_staging")
+    spark.read.parquet(victims: _*)
+      .repartitionByRange(2, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.parquet(staging.toString)
+    val victimPaths = victims.map(new org.apache.hadoop.fs.Path(_))
+    store.writeOriginalsList(fs, staging, victimPaths.map(_.getName))
+    victimPaths.take(2).foreach { p => fs.delete(p, false); () }
+
+    // the next maintenance attempt refuses and names recover()
+    val e = intercept[IllegalArgumentException] {
+      store.compactRange(spark, Map("doc_id" -> (1L: Any, 60L: Any)),
+        targetFileBytes = 64L << 20)
+    }
+    assert(e.getMessage.contains("recover()"), e.getMessage)
+
+    val m = store.recover(spark)
+    assert(!fs.exists(staging), "staging must be dropped on success")
+    // exactly the original 60 rows — no survivor duplicated, none lost
+    val rows = store.readRange(spark, Map("doc_id" -> (1L: Any, 60L: Any)))
+    assert(rows.count() == 60, s"row count after recovery: ${rows.count()}")
+    assert(rows.select("doc_id").distinct().count() == 60,
+      "duplicated doc_ids after recovery — the ADVICE corruption")
+    // manifest is forward (gate green) and the store fully operational
+    assert(m.count() > 0)
+    store.writeIncrement(Seq((61L, "t 61")).toDF("doc_id", "text"))
+    assert(store.readRange(spark,
+      Map("doc_id" -> (61L: Any, 61L: Any))).count() == 1)
+  }
+
+  test("IncrementStore.recover: a deleteRows crash mid-swap — remaining staged files swapped over their originals, victims gone") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("store_recover_del").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/manifest",
+      filesPerIncrement = 3)
+    store.writeIncrement((1 to 30).map(i => (i.toLong, s"t $i"))
+      .toDF("doc_id", "text"))
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/verdicts")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // the exact deleteRows crash state: full staged rewrite + list, one
+    // file already swapped, the rest not — then the driver "dies"
+    val staging = new org.apache.hadoop.fs.Path(s"$tmp/verdicts__delete_staging")
+    val dropKeys: Seq[Any] = Seq(5L, 15L, 25L) // one victim per file
+    graft.sources.Layout.deleteRows(spark, s"$tmp/verdicts",
+      staging.toString, "doc_id", dropKeys, copyClean = false)
+    val staged = store.stagedParquet(fs, staging)
+    assert(staged.size >= 2, s"want >=2 rewritten files, got $staged")
+    store.writeOriginalsList(fs, staging, staged.map(_.getName))
+    val first = staged.head
+    val dst = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s"$tmp/verdicts"), first.getName)
+    fs.delete(dst, false); fs.rename(first, dst)
+
+    store.recover(spark)
+    assert(!fs.exists(staging))
+    val all = store.readRange(spark, Map("doc_id" -> (1L: Any, 30L: Any)))
+    assert(all.count() == 27, s"${all.count()} rows after recovered delete")
+    assert(all.filter(col("doc_id").isin(5L, 15L, 25L)).count() == 0,
+      "victim rows survived the recovered delete")
+  }
+
+  test("IncrementStore.writeIncrement: schema-drift refusal — renamed/added/retyped increments named loudly, identical-schema append unchanged") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("store_schema").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/manifest",
+      filesPerIncrement = 2)
+    store.writeIncrement(Seq((1L, "a", 10L)).toDF("doc_id", "text", "cluster_id"))
+
+    // added column
+    val eAdd = intercept[IllegalArgumentException] {
+      store.writeIncrement(Seq((2L, "b", 11L, 0L))
+        .toDF("doc_id", "text", "cluster_id", "batch_id"))
+    }
+    assert(eAdd.getMessage.contains("unknown column(s) [batch_id]"),
+      eAdd.getMessage)
+    // renamed column reports both directions of the drift
+    val eRen = intercept[IllegalArgumentException] {
+      store.writeIncrement(Seq((2L, "b", 11L))
+        .toDF("doc_id", "body", "cluster_id"))
+    }
+    assert(eRen.getMessage.contains("missing column(s) [text]") &&
+      eRen.getMessage.contains("unknown column(s) [body]"), eRen.getMessage)
+    // retyped column names both types
+    val eTyp = intercept[IllegalArgumentException] {
+      store.writeIncrement(Seq((2L, "b", 11))
+        .toDF("doc_id", "text", "cluster_id"))
+    }
+    assert(eTyp.getMessage.contains("retyped column(s)") &&
+      eTyp.getMessage.contains("cluster_id") &&
+      eTyp.getMessage.contains("bigint") && eTyp.getMessage.contains("int"),
+      eTyp.getMessage)
+    // nothing landed: the refusals happen before the append
+    assert(spark.read.parquet(s"$tmp/verdicts").count() == 1)
+
+    // identical schema (different column ORDER — parquet resolves by
+    // name) appends unchanged
+    store.writeIncrement(Seq(("c", 2L, 12L)).toDF("text", "doc_id", "cluster_id"))
+    val all = store.readRange(spark, Map("doc_id" -> (1L: Any, 2L: Any)))
+    assert(all.count() == 2 && all.columns.sorted.toSeq ==
+      Seq("cluster_id", "doc_id", "text"), all.columns.mkString(","))
   }
 
   test("store lifecycle fuzz: random write/delete/compactRange/compact sequences match an in-memory model (6 seeds)") {

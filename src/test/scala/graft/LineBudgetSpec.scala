@@ -156,6 +156,27 @@ class LineBudgetSpec extends AnyFunSuite {
       s"health must be shed before the failed list on the headline rungs:\n$line")
   }
 
+  test("aliased-2dp-no-health rung exists: no decimal place is lost that aliased 2dp without health could keep (r17 ADVICE)") {
+    // the r17 ladder fell from full-1dp-no-health straight to aliased
+    // 1dp. The rung can only win in the window where every +health rung
+    // overflows AND aliased 2dp (without health) still fits — health
+    // wider than one char per query — so sweep a single padding name at
+    // 1-char steps across that window and require the rung to fire.
+    val wide = Bench.healthJson(12.3, 1234567.0, 999999000)
+    val base = (1 to 15).map(i => f"dedup_fixed_name_q$i%02d_${"x" * 90}" -> 111.456)
+    val hit = (0 to 240).exists { pad =>
+      val results = (base :+ (s"dedup_pad_${"y" * pad}" -> 111.456)).toMap
+      val line = Bench.formatLine(results, Nil, "sf0.1", Some(wide))
+      val q = line.substring(line.indexOf(""""queries":"""))
+      val chosen = !line.contains(""""h":""") && !q.contains("dedup_") &&
+        q.contains("111.46")
+      if (chosen) assert(line.length <= 1980, s"len=${line.length}")
+      chosen
+    }
+    assert(hit, "no sweep point chose the aliased-2dp-no-health rung — " +
+      "the ladder is losing a decimal place it could keep")
+  }
+
   test("health probe measures a positive page-supply rate") {
     // shape test at 128 MB — the real 2 GiB default costs 10-20 s on a
     // slow-page-supply box, per sbt test run

@@ -1391,14 +1391,12 @@ class StreamingSpec extends SparkSpec {
     val vstore = IncrementStore(s"$dir/verdicts", s"$dir/manifest",
       filesPerIncrement = 2)
     // the durable sink: each batch's verdicts land clustered+manifested
-    // with their batchId — the store IS the recovery source
-    def sink(id: Long, v: org.apache.spark.sql.DataFrame): Unit = {
-      vstore.writeIncrement(
-        v.select(col("doc_id"), col("text"), col("cluster_id"),
-          col("curation_reject"))
-          .withColumn("batch_id", lit(id)))
-      ()
-    }
+    // with their batchId stamped by the store-owned sink — the store IS
+    // the recovery source (r17 verdict #2: zero hand-rolled state)
+    val sinkFn = StreamingOps.CurationResume.storeSink(vstore)
+    def sink(id: Long, v: org.apache.spark.sql.DataFrame): Unit =
+      sinkFn(id, v.select(col("doc_id"), col("text"), col("cluster_id"),
+        col("curation_reject")))
     def startStream(mem: MemoryStream[(Long, String)],
                     resume: Option[StreamingOps.CurationResume]) = {
       val ckpt = java.nio.file.Files.createTempDirectory("cur_ss").toString
@@ -1415,14 +1413,12 @@ class StreamingSpec extends SparkSpec {
     try { memA.addData(b1); qA.processAllAvailable() } finally qA.stop()
 
     // recovery exactly as the scaladoc prescribes: keepers + committed
-    // batch ids rebuilt FROM THE STORE (nothing from the dead driver)
-    val hist = spark.read.parquet(s"$dir/verdicts")
-    val resume = StreamingOps.CurationResume(
-      hist.filter(col("curation_reject").isNull)
-        .select("doc_id", "text", "cluster_id"),
-      committedBatchIds = hist.select("batch_id").distinct()
-        .as[Long].collect().toSet)
+    // batch ids rebuilt FROM THE STORE in one constructor call (nothing
+    // from the dead driver, nothing hand-assembled)
+    val resume = StreamingOps.CurationResume.fromStore(spark, vstore)
     assert(resume.committedBatchIds == Set(0L))
+    assert(resume.priorKeepers.select("doc_id").as[Long].collect().toSet ==
+      Set(101L), "prior keepers must be exactly batch 0's keeper")
 
     // restart re-delivers batch 0, then batch 1 arrives
     val memB = MemoryStream[(Long, String)]

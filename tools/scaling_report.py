@@ -446,19 +446,38 @@ def canonicalize(qa, qb):
 def prefer_rerun(qmap, reruns, gap):
     """Substitute each wave-flagged query's clean-window re-run median
     when the re-run's own gap sample is healthy (>= a fifth of the leg
-    median — the same bar that flags). Returns (updated map, substituted
-    names); the original in-suite number stays on the record in the
-    leg's wave_rerun block."""
+    median — the same bar that flags). Returns (updated map,
+    {query: substituted_reason}); the original in-suite number stays on
+    the record in the leg's wave_rerun block, and the reason names WHY
+    the substitution happened (r17 verdict #2: a query can sit in
+    gap_low_unconfirmed yet still have its clean re-run used — the
+    cleaner window is preferred whenever the re-run's own gap is
+    healthy, wave label or not; without the reason field that read as a
+    contradiction).
+
+    Requires a gap trace: with no per-query gap samples the "healthy
+    re-run" bar is unevaluable, and substituting unconditionally would
+    bless any number (r17 ADVICE: gap=None collapsed the gate to
+    `rerun_gap_mbs >= 0`, so the documented health check never fired) —
+    the in-suite medians are kept unchanged instead."""
     if not reruns:
-        return qmap, []
-    med = (gap or {}).get("median_mb_s") or 0
-    used = []
+        return qmap, {}
+    med = (gap or {}).get("median_mb_s")
+    if not med:
+        return qmap, {}
+    wave_hit = set((gap or {}).get("wave_hit_queries") or [])
+    used = {}
     out = dict(qmap)
     for q, r in reruns.items():
         if q in out and r["rerun_gap_mbs"] >= med / 5:
             out[q] = r["clean_med_sec"]
-            used.append(q)
-    return out, sorted(used)
+            used[q] = (
+                "wave_labeled: in-suite reps corroborated a wave; "
+                "clean re-run gap healthy" if q in wave_hit else
+                "clean_window_preferred: gap candidate unconfirmed by "
+                "reps, but the re-run ran on a healthy window — the "
+                "cleaner measurement wins either way")
+    return out, used
 
 
 def main():
@@ -525,8 +544,9 @@ def main():
         "median_query_ratio": median,
         # per-query ratios use each leg's clean-window re-run medians
         # where a wave was flagged AND re-measured on a healthy gap
-        # (wave_rerun_used names them; in-suite numbers stay in each
-        # leg's queries/wave_rerun blocks)
+        # (wave_rerun_used maps each substituted query to its
+        # substituted_reason; in-suite numbers stay in each leg's
+        # queries/wave_rerun blocks)
         "wave_rerun_used": {"small": used_small, "big": used_big},
         "query_ratios": ratios,
         # ratio > 1.5x the data ratio = superlinear beyond noise; ratio
@@ -613,15 +633,34 @@ def selftest():
             "flagged_gap_mbs": 169}}, rr
         qmap, used = prefer_rerun(
             {"curation_recipe": 27.844, "q3_join": 2.9}, rr, g)
-        assert used == ["curation_recipe"] and \
+        assert sorted(used) == ["curation_recipe"] and \
             qmap["curation_recipe"] == 2.451 and qmap["q3_join"] == 2.9, \
             (qmap, used)
+        # the substitution carries its reason: curation_recipe IS
+        # wave-labeled here, so the reason names the wave
+        assert used["curation_recipe"].startswith("wave_labeled"), used
+        # an unconfirmed candidate's healthy re-run is still preferred,
+        # but under the clean_window_preferred reason (the r17 ann_ivf
+        # read: "unconfirmed" + substituted looked like a contradiction)
+        rr2 = dict(rr, dedup_clusters={"clean_med_sec": 0.41,
+                                       "rerun_gap_mbs": 1650,
+                                       "flagged_gap_mbs": 250})
+        qmap3, used3 = prefer_rerun({"dedup_clusters": 0.52}, rr2, g)
+        assert used3["dedup_clusters"].startswith(
+            "clean_window_preferred"), used3
+        assert qmap3["dedup_clusters"] == 0.41, qmap3
         # a rerun that itself landed in a wave is NOT preferred
         sick = {"curation_recipe": dict(rr["curation_recipe"],
                                         rerun_gap_mbs=150)}
         qmap2, used2 = prefer_rerun({"curation_recipe": 27.844}, sick, g)
-        assert used2 == [] and qmap2["curation_recipe"] == 27.844, \
+        assert used2 == {} and qmap2["curation_recipe"] == 27.844, \
             (qmap2, used2)
+        # degraded/absent gap trace: the health bar is unevaluable, so
+        # NOTHING is substituted (r17 ADVICE: gap=None used to collapse
+        # the gate to rerun_gap_mbs >= 0 and substitute unconditionally)
+        qmap4, used4 = prefer_rerun({"curation_recipe": 27.844}, rr, None)
+        assert used4 == {} and qmap4["curation_recipe"] == 27.844, \
+            (qmap4, used4)
         # alias round-trip: one aliased leg restored against the full leg;
         # ambiguous short keys stay as emitted
         full = {"ts_ewma": 1.0, "q_funnel": 2.0, "dedup_exact": 3.0}
