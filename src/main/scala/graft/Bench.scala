@@ -627,8 +627,20 @@ object Bench {
       val fuzzyBudget = sys.env.get("SPARK_GRAFT_FUZZY_BUDGET")
         .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
         .getOrElse(120.0)
+      // q = 3 ADOPTED for this domain (r17 verdict #7, decided by
+      // measurement in r18): on the long low-entropy key-derived names
+      // (constant 9-char prefix + 9 digits) the q=2 prefix grams are
+      // drawn from ~100 common digit bigrams, so the Ed-Join candidate
+      // join explodes; trigrams are ~10x rarer each. Measured at the
+      // 1.5M-name sf10 domain: 829.0 s (q=2, r17 committed leg) ->
+      // 225.7 s (q=3, clean window, ProfileFuzzy) with pair-count
+      // parity (262,500 @ sf0.1 both; brute-force equality for
+      // q in {2,3} is FuzzyJoinSpec-pinned). The lib default stays
+      // q=2 — shorter/higher-entropy domains lose gram diversity at
+      // q=3; this is per-domain tuning, documented in FuzzyJoin.
       val (fzT, fzProto) = medOrRep1(() => evaluate(
-        graft.operators.FuzzyJoin.fuzzyPairs(cust, "id", "s", maxDist = 1)),
+        graft.operators.FuzzyJoin.fuzzyPairs(cust, "id", "s", maxDist = 1,
+          q = 3)),
         budgetSecs = fuzzyBudget)
       val emb = graft.Tables.embeddings(spark, sfDir)
       val pcaT = med(() => {
@@ -642,7 +654,8 @@ object Bench {
         evaluate(graft.ml.Bpe.tokenCount(docs, "text", bm))
       })
       tee.log(f"[bench] lib_additions4 ngram_lm_fit_score=$lmT%.3f s " +
-        f"fuzzy_pairs_cname=$fzT%.3f s pca_fit_project=$pcaT%.3f s " +
+        f"fuzzy_pairs_cname=$fzT%.3f s (q=3 adopted r18) " +
+        f"pca_fit_project=$pcaT%.3f s " +
         f"compress_ratio=$crT%.3f s bpe_fit200_count=$bpeT%.3f s " +
         s"(med of 3; fuzzy: $fzProto)")
     } catch { case scala.util.control.NonFatal(e) =>

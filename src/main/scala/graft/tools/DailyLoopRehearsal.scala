@@ -84,12 +84,17 @@ object DailyLoopRehearsal {
       val t = (System.nanoTime() - t0) / 1e9
       log(f"$label ${t}%.2f s"); (r, t)
     }
+    // ONE parquet file per batch: the feed is a single atomic rename, so
+    // the running file source sees each day-slice as exactly one
+    // micro-batch (per-file copies of a multi-file batch trickle into
+    // the default trigger's continuous listing and split the slice
+    // across micro-batch ids — observed live at sf10)
     val batchesDir = s"$work/batches"
     val batchCounts = (0 until nBatches).map { i =>
       val b = incoming.filter(pmod(floor(col("doc_id") / 2), lit(nBatches)) === i)
-      b.write.mode("overwrite").parquet(s"$batchesDir/b$i")
+      b.coalesce(1).write.mode("overwrite").parquet(s"$batchesDir/b$i")
       val n = spark.read.parquet(s"$batchesDir/b$i").count()
-      log(s"staged batch $i: $n docs")
+      log(s"staged batch $i: $n docs (single file)")
       n
     }
     val docsSchema = spark.read.parquet(s"$batchesDir/b0").schema
@@ -123,18 +128,19 @@ object DailyLoopRehearsal {
       val walls = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       fs.mkdirs(new Path(incomingDir))
 
-      /** Atomically surface batch i's staged files to the file source. */
+      /** Atomically surface batch i's staged file to the file source:
+        * copy to a hidden name (ignored by the source), ONE rename. */
       def feedFiles(i: Int): Unit = {
         val src = new Path(s"$batchesDir/b$i")
-        fs.listStatus(src)
+        val staged = fs.listStatus(src)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .foreach { s =>
-            val tmp = new Path(incomingDir, s".tmp_b${i}_${s.getPath.getName}")
-            FileUtil.copy(fs, s.getPath, fs, tmp, false,
-              spark.sessionState.newHadoopConf())
-            fs.rename(tmp, new Path(incomingDir, s"b${i}_${s.getPath.getName}"))
-            ()
-          }
+        require(staged.length == 1,
+          s"batch $i must be one file for an atomic feed, got ${staged.length}")
+        val tmp = new Path(incomingDir, s".tmp_b$i.parquet")
+        FileUtil.copy(fs, staged.head.getPath, fs, tmp, false,
+          spark.sessionState.newHadoopConf())
+        fs.rename(tmp, new Path(incomingDir, s"b$i.parquet"))
+        ()
       }
 
       def start(resume: Option[CurationResume],
@@ -148,11 +154,20 @@ object DailyLoopRehearsal {
           .option("checkpointLocation", ckpt).start()
       }
 
+      // one-feed-one-micro-batch is load-bearing for the crash window
+      // and the per-batch walls; a drifting id means the source split a
+      // feed and every downstream label would lie — fail loudly instead
+      val expectedNext = new java.util.concurrent.atomic.AtomicLong(0L)
+
       def baseSink(id: Long, v: DataFrame): Unit = {
+        require(id == expectedNext.get,
+          s"$tag: micro-batch id $id but expected ${expectedNext.get} — " +
+            "the file source split a feed across micro-batches")
         val t0 = System.nanoTime()
         CurationResume.storeSink(store)(id,
           v.select(col("doc_id"), col("text"), col("cluster_id"),
             col("curation_reject")))
+        expectedNext.incrementAndGet()
         log(f"$tag store commit batch $id (write ${(System.nanoTime() - t0) / 1e9}%.2f s)")
       }
 

@@ -135,7 +135,8 @@ def lib_additions4(path):
         for line in f:
             m = re.search(
                 r"lib_additions4 ngram_lm_fit_score=([0-9.]+) s "
-                r"fuzzy_pairs_cname=([0-9.]+) s pca_fit_project=([0-9.]+) s "
+                r"fuzzy_pairs_cname=([0-9.]+) s (?:\(q=3 adopted r18\) )?"
+                r"pca_fit_project=([0-9.]+) s "
                 r"compress_ratio=([0-9.]+) s bpe_fit200_count=([0-9.]+) s"
                 r"(?: \(med of 3; fuzzy: ([^)]+)\))?", line)
             if m:
@@ -449,7 +450,7 @@ def prefer_rerun(qmap, reruns, gap):
     median — the same bar that flags). Returns (updated map,
     {query: substituted_reason}); the original in-suite number stays on
     the record in the leg's wave_rerun block, and the reason names WHY
-    the substitution happened (r17 verdict #2: a query can sit in
+    the substitution happened (r17 verdict #5: a query can sit in
     gap_low_unconfirmed yet still have its clean re-run used — the
     cleaner window is preferred whenever the re-run's own gap is
     healthy, wave label or not; without the reason field that read as a
