@@ -1,0 +1,231 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TWO-LEVEL file-statistics manifest — the scale path the flat
+  * [[Manifest]]'s measured ceiling names (its scaladoc, r18:
+  * requireFresh/update collect EVERY per-file row, linear at ~324 B/file
+  * — ~26 s and ~260 MB of driver state at the ~800k files of a 100 TB
+  * table, and past ~1M files no longer viable planner state). This is
+  * the Iceberg manifest-list shape in the same minimal honest form:
+  *
+  *  - one per-GROUP manifest (a [[Manifest]] frame over that group's
+  *    files — a group is whatever ingest unit the caller accretes by:
+  *    a day's increment, a partition, a compaction output);
+  *  - one INDEX with a single rollup row per group — per-column
+  *    min/max over the group, file count, byte and row totals, mtime
+  *    max — consulted FIRST for everything.
+  *
+  * What that buys, term by term against the flat ceiling:
+  *
+  *  - `prune`: index rows are filtered with the SAME conservative
+  *    interval condition ([[Manifest.pruneCondition]] — a stats tree
+  *    applies one logic at every level), and only SURVIVING groups'
+  *    manifests are opened at all (spec-pinned by making a
+  *    non-surviving group's manifest unreadable). Driver state:
+  *    O(groups) + O(files in surviving groups), not O(files).
+  *  - maintenance: [[writeGroup]] scans only the new group's files and
+  *    appends ONE index row — O(increment) + O(groups), never a
+  *    whole-table collect. [[dropGroup]]/[[rewriteGroup]] are the
+  *    compaction hooks: retire the input groups' rows, add the
+  *    output's.
+  *  - freshness: [[requireFresh]] compares the directory's AGGREGATE
+  *    identity (file count, byte sum, newest mtime) against the index
+  *    totals — O(groups) driver work over one listing. DOCUMENTED
+  *    WEAKENING vs the flat gate's exact per-file set compare: a
+  *    mutation preserving count AND byte-sum AND not advancing the max
+  *    mtime escapes (requires an mtime-backdated rewrite — outside the
+  *    threat model the flat gate already accepts for sub-resolution
+  *    rewrites). `strict = true` buys back the exact per-file compare
+  *    by unioning the group manifests — the flat gate's cost, for
+  *    audits rather than every read.
+  *
+  * Layout under `root`: `groups/<group>.parquet` + `_index.parquet`.
+  * Group names are caller-chosen, `[A-Za-z0-9._-]+`, unique. Same
+  * single-writer contract as [[Manifest]].
+  *
+  * MEASURED head-to-head at 100k files / 100 groups (r18,
+  * ProfileManifest, BENCH_FORENSICS_r18_manifest.txt), stated honestly:
+  * the grouped form's win at this size is DRIVER STATE — 27.7 KB of
+  * index vs the flat form's 32.4 MB of collected rows (~1000×) — and
+  * maintenance that never collects the whole manifest (writeGroup =
+  * one increment scan + a KB index rewrite, vs the flat update's
+  * 3.5 s whole-collect). Its narrow prune pays a ~250 ms group-manifest
+  * parquet-read premium over the flat localized-relation filter
+  * (285 ms vs 79 ms), and the freshness gates of BOTH forms are
+  * dominated by the directory listing itself (~2.8 s at 100k local
+  * files; aggregate gate 2.88 s vs flat 3.58 s). So the flat manifest
+  * remains the right tool up to its ~1M-file ceiling, exactly as its
+  * scaladoc says; this layer is the measured, spec-pinned path PAST
+  * that ceiling, where the flat collect becomes tens of seconds and
+  * hundreds of driver MB while the index stays O(groups). */
+final case class GroupedManifest(root: String, statsCols: Seq[String]) {
+  require(statsCols.nonEmpty, "grouped manifest: statsCols must be non-empty")
+
+  private val GroupCol = "_group"
+  private def indexPath = s"$root/_index.parquet"
+  private def groupPath(g: String) = s"$root/groups/$g.parquet"
+  private def fs(spark: SparkSession) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def requireGroupName(g: String): Unit =
+    require(g.nonEmpty && g.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"grouped manifest: group name '$g' — use [A-Za-z0-9._-]+ " +
+        "(it becomes a file name)")
+
+  def indexExists(spark: SparkSession): Boolean =
+    fs(spark).exists(new Path(indexPath))
+
+  /** The index: one rollup row per group. */
+  def index(spark: SparkSession): DataFrame =
+    spark.read.parquet(indexPath)
+
+  /** One group's per-file manifest. */
+  def groupManifest(spark: SparkSession, group: String): DataFrame =
+    spark.read.parquet(groupPath(group))
+
+  /** Roll one group manifest up to its single index row. The rollup of
+    * per-file min/max IS a valid min/max for the group (monotone under
+    * union), so [[Manifest.pruneCondition]] stays conservative at the
+    * index level by construction. */
+  private def rollup(spark: SparkSession, group: String,
+                     gm: DataFrame): DataFrame = {
+    val names = Seq("n_files", "n_rows", "len_sum", "mtime_max") ++
+      statsCols.flatMap(c => Seq(s"${c}__min", s"${c}__max", s"${c}__nnull"))
+    val aggs = Seq(
+      count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+      sum(col("_file_len")).as("len_sum"),
+      max(col("_file_mtime")).as("mtime_max")) ++
+      statsCols.flatMap { c =>
+        Seq(min(col(s"${c}__min")).as(s"${c}__min"),
+          max(col(s"${c}__max")).as(s"${c}__max"),
+          sum(col(s"${c}__nnull")).as(s"${c}__nnull"))
+      }
+    gm.agg(aggs.head, aggs.tail: _*).withColumn(GroupCol, lit(group))
+      .select(col(GroupCol) +: names.map(col): _*)
+  }
+
+  private def writeIndex(ix: DataFrame): Unit =
+    ix.coalesce(1).write.mode(SaveMode.Overwrite).parquet(indexPath)
+
+  /** Register `files` (paths into the data table) as group `group`:
+    * scan ONLY those files for per-file stats, persist the group
+    * manifest, and bring the index forward by ONE row — O(increment)
+    * scan + O(groups) index rewrite (the index is a single KB-scale
+    * file; rewriting it is the micro-cost that buys every reader the
+    * group-level prune). Refuses an existing group name: a group is an
+    * immutable ingest unit; fixing one is [[rewriteGroup]]. */
+  def writeGroup(spark: SparkSession, group: String,
+                 files: Seq[String]): DataFrame = {
+    requireGroupName(group)
+    require(files.nonEmpty, s"grouped manifest: group $group has no files")
+    // existence check BEFORE the stats scan — a refused duplicate must
+    // not pay (or side-effect) anything
+    val prev =
+      if (!indexExists(spark)) None
+      else {
+        val p = Manifest.localize(index(spark))
+        require(p.filter(col(GroupCol) === group).head(1).isEmpty,
+          s"grouped manifest: group $group already exists — groups are " +
+            "immutable ingest units; use rewriteGroup to replace one")
+        Some(p)
+      }
+    val f = fs(spark)
+    val withIdent = files.map { p =>
+      val st = f.getFileStatus(new Path(p))
+      (st.getPath.toUri.toString, st.getLen, st.getModificationTime)
+    }
+    val gm = Manifest.buildForFiles(spark, withIdent, statsCols)
+    val fresh = rollup(spark, group, gm)
+    val ix = Manifest.localize(
+      prev.map(_.unionByName(fresh)).getOrElse(fresh))
+    Manifest.write(gm, groupPath(group))
+    writeIndex(ix)
+    ix
+  }
+
+  /** Retire a group (its files were compacted away or erased wholesale):
+    * drop its manifest and its index row. */
+  def dropGroup(spark: SparkSession, group: String): DataFrame = {
+    requireGroupName(group)
+    val ix = Manifest.localize(
+      index(spark).filter(col(GroupCol) =!= group))
+    fs(spark).delete(new Path(groupPath(group)), true)
+    writeIndex(ix)
+    ix
+  }
+
+  /** Replace a group's file set in one call (the compaction /
+    * delete-rewrite hook: same group key, new files). */
+  def rewriteGroup(spark: SparkSession, group: String,
+                   files: Seq[String]): DataFrame = {
+    dropGroup(spark, group)
+    writeGroup(spark, group, files)
+  }
+
+  /** Surviving files for the interval predicates — the two-level prune:
+    * the index filtered first (one condition, [[Manifest.pruneCondition]]),
+    * then ONLY the surviving groups' manifests opened and pruned
+    * file-wise. A group whose rollup excludes the intervals costs one
+    * index row, not one manifest read per query. */
+  def prune(spark: SparkSession, intervals: Map[String, (Any, Any)],
+            maxFiles: Int = 1 << 20): Seq[String] = {
+    val survivors = Manifest.localize(index(spark))
+      .filter(Manifest.pruneCondition(intervals))
+      .select(col(GroupCol)).collect().map(_.getString(0)).toSeq
+    if (survivors.isEmpty) Seq.empty
+    else {
+      val union = survivors.map(g => groupManifest(spark, g))
+        .reduce(_.unionByName(_))
+      Manifest.prune(union, intervals, maxFiles)
+    }
+  }
+
+  /** Aggregate freshness gate — O(groups) driver work over one
+    * directory listing: the table's (file count, byte sum, newest
+    * mtime) must equal the index totals. Catches adds, removes, and
+    * any rewrite that changes bytes or advances mtime; see the class
+    * scaladoc for the documented weakening vs the flat gate and when
+    * to pay for `strict`. */
+  def requireFresh(spark: SparkSession, tablePath: String,
+                   strict: Boolean = false): Unit = {
+    val disk = Manifest.listDataFiles(spark, tablePath)
+    val ix = index(spark).agg(sum(col("n_files")), sum(col("len_sum")),
+      max(col("mtime_max"))).head
+    val (inN, inLen, inMt) = (ix.getLong(0), ix.getLong(1), ix.getLong(2))
+    val (dN, dLen, dMt) = (disk.size.toLong, disk.map(_._2).sum,
+      if (disk.isEmpty) 0L else disk.map(_._3).max)
+    require(dN == inN && dLen == inLen && dMt == inMt,
+      s"grouped manifest: stale vs $tablePath — disk (files=$dN, " +
+        s"bytes=$dLen, mtime_max=$dMt) vs index (files=$inN, " +
+        s"bytes=$inLen, mtime_max=$inMt). Register new increments with " +
+        "writeGroup / retire gone ones with dropGroup before pruned reads.")
+    if (strict) {
+      val groups = index(spark).select(col(GroupCol)).collect()
+        .map(_.getString(0)).toSeq
+      val union = groups.map(g => groupManifest(spark, g))
+        .reduce(_.unionByName(_))
+      Manifest.requireFresh(spark, tablePath, union)
+    }
+  }
+
+  /** Pruned scan with the exact predicates re-applied — the flat
+    * [[Manifest.readPruned]] contract on the two-level layout. */
+  def readPruned(spark: SparkSession, tablePath: String,
+                 intervals: Map[String, (Any, Any)],
+                 staleCheck: Boolean = true): DataFrame = {
+    if (staleCheck) requireFresh(spark, tablePath)
+    val files = prune(spark, intervals)
+    val base =
+      if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
+      else spark.read.parquet(files: _*)
+    val exact = intervals.map { case (c, (lo, hi)) =>
+      val loOk = if (lo == null) col(c).isNotNull else col(c) >= lit(lo)
+      val hiOk = if (hi == null) col(c).isNotNull else col(c) <= lit(hi)
+      loOk && hiOk
+    }.reduce(_ && _)
+    base.filter(exact)
+  }
+}

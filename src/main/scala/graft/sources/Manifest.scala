@@ -68,14 +68,25 @@ object Manifest {
     require(missing.isEmpty,
       s"manifest: column(s) ${missing.mkString(", ")} not in $tablePath " +
         s"(has: ${df.columns.mkString(", ")})")
-    val stats = df.groupBy(input_file_name().as(FileCol))
+    buildForFiles(spark, listDataFiles(spark, tablePath), cols)
+  }
+
+  /** The stats scan for an EXPLICIT file set — one job over exactly
+    * those files; what [[build]] runs on a directory listing and
+    * [[GroupedManifest.writeGroup]] runs on one group's files. */
+  private[sources] def buildForFiles(spark: SparkSession,
+                                     files: Seq[(String, Long, Long)],
+                                     cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "manifest: no files to scan")
+    val stats = spark.read.parquet(files.map(_._1): _*)
+      .groupBy(input_file_name().as(FileCol))
       .agg(count(lit(1)).as("n_rows"), statsAggs(cols): _*)
     // a ZERO-ROW parquet file (metadata-only part file of an empty
     // append) contributes no group above but exists on disk — without a
     // manifest row it would permanently fail the staleness gate with no
     // way to converge. Give it an explicit n_rows=0 row (null min/max,
     // so every interval prunes it — correct, it holds nothing).
-    completeWithEmpty(spark, stats, listDataFiles(spark, tablePath))
+    completeWithEmpty(spark, stats, files)
   }
 
   /** The per-column stats expressions — ONE definition shared by the
@@ -101,7 +112,7 @@ object Manifest {
     * best-effort window: a same-length rewrite within the filesystem's
     * mtime resolution — the object stores a 100 TB table lives on stamp
     * every PUT, and that window is theirs, not ours. */
-  private def listDataFiles(spark: SparkSession,
+  private[graft] def listDataFiles(spark: SparkSession,
                             tablePath: String): Seq[(String, Long, Long)] = {
     val fs = new Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -158,16 +169,25 @@ object Manifest {
     * is exactly what the re-applied exact predicate would do row-wise.
     * Conservative by construction: never drops a file that could hold a
     * matching row. */
-  def prune(manifest: DataFrame, intervals: Map[String, (Any, Any)],
-            maxFiles: Int = 1 << 20): Seq[String] = {
+  /** The can-this-summary-row-satisfy-the-intervals condition over
+    * `<col>__min`/`<col>__max` stats columns — ONE definition shared by
+    * the per-file prune and [[GroupedManifest]]'s per-group prune (the
+    * same conservative logic applies at every level of a stats tree). */
+  private[sources] def pruneCondition(
+      intervals: Map[String, (Any, Any)]): Column = {
     require(intervals.nonEmpty, "manifest: no intervals to prune on")
-    val cond = intervals.map { case (c, (lo, hi)) =>
+    intervals.map { case (c, (lo, hi)) =>
       val minC = col(s"${c}__min")
       val maxC = col(s"${c}__max")
       val loOk = if (lo == null) minC.isNotNull else maxC >= lit(lo)
       val hiOk = if (hi == null) minC.isNotNull else minC <= lit(hi)
       loOk && hiOk
     }.reduce(_ && _)
+  }
+
+  def prune(manifest: DataFrame, intervals: Map[String, (Any, Any)],
+            maxFiles: Int = 1 << 20): Seq[String] = {
+    val cond = pruneCondition(intervals)
     // maxFiles + 1 would overflow at Int.MaxValue — which the error
     // message below explicitly invites callers to raise it to
     val lim = if (maxFiles >= Int.MaxValue) Int.MaxValue else maxFiles + 1
@@ -307,7 +327,7 @@ object Manifest {
 
   /** Materialize a manifest's rows into a driver-local relation so
     * downstream consultations cost zero jobs. */
-  private def localize(manifest: DataFrame): DataFrame = {
+  private[sources] def localize(manifest: DataFrame): DataFrame = {
     val spark = manifest.sparkSession
     val rows = java.util.Arrays.asList(manifest.collect(): _*)
     spark.createDataFrame(rows, manifest.schema)
@@ -316,7 +336,7 @@ object Manifest {
   /** `input_file_name()` and Hadoop listings render the same file with
     * different scheme spellings (`file:///x` vs `file:/x`); compare on
     * scheme-stripped paths. */
-  private def normalize(uri: String): String =
+  private[sources] def normalize(uri: String): String =
     uri.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
 
   /** A scan over only the files that can satisfy `intervals`, with the

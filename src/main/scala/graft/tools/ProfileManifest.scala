@@ -113,6 +113,53 @@ object ProfileManifest {
         f""""require_fresh_s":$freshS%.4f,"update_noop_s":$updateNoopS%.4f,""" +
         f""""update_inc8_s":$updateIncS%.3f,"read_pruned_s":$readPrunedS%.3f,""" +
         f""""driver_row_bytes":$bytes}""")
+
+      // ---- the two-level form on the SAME table (r18): head-to-head
+      // with the flat terms above. Groups = id-range chunks of ~1000
+      // files (the daily-increment analog), assigned off the flat
+      // manifest's rows so each group is id-disjoint.
+      val gRoot = s"$work/grouped_$n"
+      val nGroups = math.max(1, n / 1000)
+      val ordered = mUpd.select(col("_file"), col("doc_id__min"))
+        .collect().sortBy(_.getLong(1)).map(_.getString(0))
+      val chunks = ordered.grouped(
+        math.ceil(ordered.length.toDouble / nGroups).toInt).toSeq
+      val gm2 = graft.sources.GroupedManifest(gRoot, Seq("doc_id"))
+      val tg0 = System.nanoTime()
+      chunks.zipWithIndex.foreach { case (fsq, i) =>
+        gm2.writeGroup(spark, f"g$i%04d", fsq.toSeq); ()
+      }
+      val gBuildS = (System.nanoTime() - tg0) / 1e9
+      val gPruneNarrowS = med3(() => { gm2.prune(spark,
+        Map("doc_id" -> (narrowLo, narrowHi))); () })
+      val gFreshS = med3(() => gm2.requireFresh(spark, dir))
+      val tgs0 = System.nanoTime()
+      gm2.requireFresh(spark, dir, strict = true)
+      val gFreshStrictS = (System.nanoTime() - tgs0) / 1e9
+      val gReadPrunedS = med3(() => {
+        gm2.readPruned(spark, dir,
+          Map("doc_id" -> (narrowLo, narrowHi))).count(); () })
+      val ixRows = gm2.index(spark).collect()
+      val ixBytes = org.apache.spark.util.SizeEstimator.estimate(ixRows)
+      // parity: same survivors as the flat prune
+      val flatSurv = Manifest.prune(mUpd,
+        Map("doc_id" -> (narrowLo, narrowHi))).toSet
+      val gSurv = gm2.prune(spark,
+        Map("doc_id" -> (narrowLo, narrowHi))).toSet
+      require(gSurv == flatSurv,
+        s"grouped prune diverged from flat: ${gSurv.size} vs ${flatSurv.size}")
+      log(f"n=$n GROUPED(${chunks.size} groups) build=$gBuildS%.1f s " +
+        f"prune_narrow=${gPruneNarrowS * 1000}%.0f ms " +
+        f"fresh_aggregate=${gFreshS * 1000}%.0f ms " +
+        f"fresh_strict=$gFreshStrictS%.2f s " +
+        f"read_pruned=$gReadPrunedS%.2f s index_bytes=$ixBytes " +
+        "(prune parity with flat: ok)")
+      println(f"""{"metric":"manifest_ceiling_grouped","files":$n,""" +
+        f""""groups":${chunks.size},"build_s":$gBuildS%.2f,""" +
+        f""""prune_narrow_s":$gPruneNarrowS%.4f,""" +
+        f""""require_fresh_aggregate_s":$gFreshS%.4f,""" +
+        f""""require_fresh_strict_s":$gFreshStrictS%.3f,""" +
+        f""""read_pruned_s":$gReadPrunedS%.3f,"index_bytes":$ixBytes}""")
     }
     spark.stop()
   }

@@ -64,6 +64,6 @@ class SurveyTallySpec extends AnyFunSuite {
     // guards the parser itself — a silent regex/structure drift that
     // counted 0 rows would make the tally test vacuously green
     assert(tableRows >= 100, s"only $tableRows §2 rows parsed — parser broken?")
-    assert(sourceBullets == 7, s"$sourceBullets §2.6 bullets parsed")
+    assert(sourceBullets == 8, s"$sourceBullets §2.6 bullets parsed")
   }
 }
