@@ -539,6 +539,105 @@ class CurationStorageSpec extends SparkSpec {
     }
   }
 
+  test("crash-recovery fuzz: random mid-swap crash states at every window, recover() always converges to the model (4 seeds)") {
+    import graft.sources.{IncrementStore, Layout, Manifest}
+    // the r18 recovery contract under adversarial interleaving: after
+    // ANY crash window — staged-no-list, compactRange mid-delete at a
+    // random point, deleteRows mid-swap at a random point — recover()
+    // must land exactly the model's rows (no duplicates, no losses) and
+    // leave the pair fresh and writable
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"store_crashfuzz_$seed").toString
+      val store = IncrementStore(s"$tmp/t", s"$tmp/m",
+        filesPerIncrement = 2)
+      val fsys = new org.apache.hadoop.fs.Path(s"$tmp/t")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val table = new org.apache.hadoop.fs.Path(s"$tmp/t")
+      val model = scala.collection.mutable.SortedSet.empty[Long]
+      var nextId = 100L
+      def check(tag: String): Unit = {
+        val all = store.readRange(spark,
+          Map("doc_id" -> (null: Any, null: Any)))
+          .select("doc_id").as[Long].collect().sorted.toSeq
+        assert(all == model.toSeq, s"seed $seed after $tag: store " +
+          s"${all.size} rows vs model ${model.size}")
+      }
+      def write(): Unit = {
+        val n = 10 + rnd.nextInt(15)
+        val ids = (nextId until nextId + n)
+        store.writeIncrement(ids.map(i => (i, s"t $i"))
+          .toDF("doc_id", "text"))
+        model ++= ids
+        nextId += n + rnd.nextInt(30)
+        check(s"write($n)")
+      }
+      write()
+      (0 until 5).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => write()
+          case 1 =>
+            // compactRange dies after deleting a random count of victims
+            val m0 = store.manifest(spark)
+            val lo = model.head + rnd.nextInt(
+              math.max(1, (model.last - model.head).toInt))
+            val victims = Manifest.prune(m0,
+              Map("doc_id" -> (lo: Any, (lo + 60): Any)))
+            if (victims.size >= 2) {
+              val staging = new org.apache.hadoop.fs.Path(
+                s"$tmp/t__compact_staging")
+              spark.read.parquet(victims: _*)
+                .repartitionByRange(1 + rnd.nextInt(2), col("doc_id"))
+                .sortWithinPartitions(col("doc_id"))
+                .write.parquet(staging.toString)
+              val vp = victims.map(new org.apache.hadoop.fs.Path(_))
+              store.writeOriginalsList(fsys, staging, vp.map(_.getName))
+              vp.take(rnd.nextInt(vp.size + 1)).foreach { p =>
+                fsys.delete(p, false); ()
+              }
+              store.recover(spark)
+              check(s"crash_compactRange($lo, ${victims.size} victims)")
+            }
+          case 2 =>
+            // deleteRows dies after swapping a random count of files
+            val v = model.toVector
+            val keys = Seq.fill(1 + rnd.nextInt(5))(
+              v(rnd.nextInt(v.size))).distinct
+            val staging = new org.apache.hadoop.fs.Path(
+              s"$tmp/t__delete_staging")
+            Layout.deleteRows(spark, s"$tmp/t", staging.toString,
+              "doc_id", keys.map(x => x: Any), copyClean = false)
+            val staged = store.stagedParquet(fsys, staging)
+            store.writeOriginalsList(fsys, staging, staged.map(_.getName))
+            staged.take(rnd.nextInt(staged.size + 1)).foreach { p =>
+              val dst = new org.apache.hadoop.fs.Path(table, p.getName)
+              fsys.delete(dst, false); fsys.rename(p, dst); ()
+            }
+            store.recover(spark)
+            model --= keys // the staged rewrite was complete: recovery
+            check(s"crash_delete(${keys.size})") // FINISHES the delete
+          case 3 =>
+            // crash BEFORE any delete: staging exists, list absent —
+            // recovery drops it, nothing else changes
+            val which = if (rnd.nextBoolean()) "__compact_staging"
+                        else "__delete_staging"
+            val staging = new org.apache.hadoop.fs.Path(s"$tmp/t$which")
+            fsys.mkdirs(staging)
+            if (rnd.nextBoolean()) {
+              // ...possibly with a partial (useless) staged copy
+              spark.read.parquet(s"$tmp/t").limit(3)
+                .write.mode("overwrite").parquet(staging.toString)
+            }
+            store.recover(spark)
+            assert(!fsys.exists(staging),
+              s"seed $seed: list-less $which not dropped")
+            check(s"crash_nolist($which)")
+        }
+      }
+    }
+  }
+
   test("IncrementStore.compactRange: range-scoped bin-packing — untouched files byte-identical, manifest rows verbatim, O(touched) maintenance") {
     import graft.sources.IncrementStore
     val tmp = java.nio.file.Files.createTempDirectory("store_compact_range").toString
