@@ -37,12 +37,14 @@ import org.apache.spark.sql.functions._
   * linear in the file count at ~324 bytes of collected row per file —
   * 10k files: prune 86-93 ms, requireFresh 385 ms, update-with-nothing-
   * changed 364 ms, 3.2 MB driver; 100k files: prune 72-124 ms,
-  * requireFresh 3.28 s, update-noop 3.30 s, 32.4 MB driver; an 8-file
-  * increment's update costs the noop term + ~0.6 s of scan at either
-  * size (O(increment) holds). Extrapolated: a 100 TB table at the
-  * 128 MB target file size is ~800k files → ~26 s per freshness gate /
-  * update and ~260 MB of driver state — inside a planner's budget, so
-  * the flat per-file manifest covers the design target. The regime that
+  * requireFresh 3.28 s, update-noop 3.30 s, 32.4 MB driver; 300k
+  * files: requireFresh 9.30 s, update-noop 10.17 s, 97.2 MB driver —
+  * a measured three-point LINE, not an extrapolation; an 8-file
+  * increment's update costs the noop term + ~0.6-1.3 s of scan at
+  * every size (O(increment) holds). On that line, a 100 TB table at
+  * the 128 MB target file size (~800k files) pays ~26 s per freshness
+  * gate / update and ~260 MB of driver state — inside a planner's
+  * budget, so the flat per-file manifest covers the design target. The regime that
   * needs a TWO-LEVEL manifest (per-partition manifests + a manifest of
   * manifests, the Iceberg manifest-list shape) is ~1M+ files or
   * maintenance latency under a few seconds: both gates collect EVERY
