@@ -52,7 +52,7 @@ import org.apache.spark.sql.functions._
   * index vs the flat form's 32.4 MB of collected rows (~1000×) — and
   * maintenance that never collects the whole manifest (writeGroup =
   * one increment scan + a KB index rewrite, vs the flat update's
-  * 3.5 s whole-collect). Its narrow prune pays a ~250 ms group-manifest
+  * 3.50 s whole-collect). Its narrow prune pays a ~250 ms group-manifest
   * parquet-read premium over the flat localized-relation filter
   * (285 ms vs 79 ms), and the freshness gates of BOTH forms are
   * dominated by the directory listing itself (~2.8 s at 100k local

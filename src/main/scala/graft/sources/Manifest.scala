@@ -32,19 +32,20 @@ import org.apache.spark.sql.functions._
   * format's log replay holds; it is bounded by the table's file count at
   * build time and by predicate selectivity at read time.
   *
-  * MEASURED CEILING (r18, ProfileManifest over synthesized 10k/100k-file
-  * tables, BENCH_FORENSICS_r18_manifest.txt): the driver-side terms are
-  * linear in the file count at ~324 bytes of collected row per file —
-  * 10k files: prune 86-93 ms, requireFresh 385 ms, update-with-nothing-
-  * changed 364 ms, 3.2 MB driver; 100k files: prune 72-124 ms,
-  * requireFresh 3.28 s, update-noop 3.30 s, 32.4 MB driver; 300k
-  * files: requireFresh 9.30 s, update-noop 10.17 s, 97.2 MB driver —
-  * a measured three-point LINE, not an extrapolation; an 8-file
-  * increment's update costs the noop term + ~0.6-1.3 s of scan at
-  * every size (O(increment) holds). On that line, a 100 TB table at
-  * the 128 MB target file size (~800k files) pays ~26 s per freshness
-  * gate / update and ~260 MB of driver state — inside a planner's
-  * budget, so the flat per-file manifest covers the design target. The regime that
+  * MEASURED CEILING (r18, ProfileManifest over synthesized
+  * 10k/100k/300k-file tables, BENCH_FORENSICS_r18_manifest.txt): the
+  * driver-side terms are linear in the file count at ~324 bytes of
+  * collected row per file — 10k files: prune 85-91 ms, requireFresh
+  * 381 ms, update-with-nothing-changed 358 ms, 3.2 MB driver; 100k
+  * files: prune 79-112 ms, requireFresh 3.58 s, update-noop 3.50 s,
+  * 32.4 MB driver; 300k files: requireFresh 9.30 s, update-noop
+  * 10.17 s, 97.2 MB driver — a measured three-point LINE, not an
+  * extrapolation; an 8-file increment's update costs the noop term +
+  * ~0.4-1.3 s of scan at every size (O(increment) holds). On that
+  * line, a 100 TB table at the 128 MB target file size (~800k files)
+  * pays ~26-28 s per freshness gate / update and ~260 MB of driver
+  * state — inside a planner's budget, so the flat per-file manifest
+  * covers the design target. The regime that
   * needs a TWO-LEVEL manifest (per-partition manifests + a manifest of
   * manifests, the Iceberg manifest-list shape) is ~1M+ files or
   * maintenance latency under a few seconds: both gates collect EVERY
