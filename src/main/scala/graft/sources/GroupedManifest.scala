@@ -44,7 +44,11 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `root`: `groups/<group>.parquet` + `_index.parquet`.
   * Group names are caller-chosen, `[A-Za-z0-9._-]+`, unique. Same
-  * single-writer contract as [[Manifest]].
+  * single-writer contract as [[Manifest]]. Groups must partition the
+  * table's files: registering one file under TWO groups double-counts
+  * its bytes in the index totals, which the aggregate gate then refuses
+  * LOUDLY on the next read (byte sum ≠ disk) — a caller error surfaces
+  * as a refusal, never as silent double-pruning.
   *
   * MEASURED head-to-head at 100k files / 100 groups (r18,
   * ProfileManifest, BENCH_FORENSICS_r18_manifest.txt), stated honestly:

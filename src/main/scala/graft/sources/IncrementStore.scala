@@ -26,6 +26,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    writer can never cause a silent under-read — the read fails
   *    loudly until the manifest is rebuilt or updated).
   *
+  * Every destructive mutation (deleteRows/compact/compactRange) stages
+  * its rewrite, persists its intended-victim list, and swaps — so a
+  * crash ANYWHERE leaves a state [[recover]] finishes mechanically (the
+  * refusal messages name it).
+  *
   * NOT a transaction log: with a single writer per table (the daily-loop
   * topology) the pair is consistent by construction; concurrent writers
   * need a table format's commit protocol instead, per
