@@ -72,14 +72,35 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     * names are unambiguous within the one directory a store owns. */
   private[graft] val OriginalsList = "_graft_originals"
 
+  /** The list write must be ATOMIC: recover() keys its whole decision on
+    * list presence ("list ⇒ the delete loop may have started"), so a
+    * crash DURING the list write must never leave a truncated list —
+    * recover() would then delete only the listed survivors and move the
+    * FULL staged copy in next to the unlisted ones, duplicating their
+    * rows (the exact r17 corruption the list prevents; r18 ADVICE).
+    * Write to a temp name, then one fs.rename — atomic on HDFS and
+    * local filesystems, so the final name either holds the complete
+    * list or does not exist. */
   private[graft] def writeOriginalsList(fs: FileSystem, staging: Path,
                                  names: Seq[String]): Unit = {
-    val out = fs.create(new Path(staging, OriginalsList), true)
+    val tmp = new Path(staging, OriginalsList + ".tmp")
+    val dst = new Path(staging, OriginalsList)
+    val out = fs.create(tmp, true)
     try out.write(names.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(dst)) { fs.delete(dst, false); () }
+    require(fs.rename(tmp, dst),
+      s"increment store: could not rename $tmp to $dst — the victim " +
+        "list must land atomically before any original is deleted")
   }
 
+  /** Belt to the rename's braces: a ZERO-BYTE (or whitespace-only) list
+    * reads as None — list-less means the delete loop never started, so
+    * the originals are intact and recover()'s correct move is to drop
+    * staging. (An empty victim list is also what a zero-dirty-file
+    * delete legitimately writes: nothing was going to be removed, so
+    * the None ⇒ drop-staging path converges identically.) */
   private[graft] def readOriginalsList(fs: FileSystem,
                                 staging: Path): Option[Seq[String]] = {
     val p = new Path(staging, OriginalsList)
@@ -91,9 +112,10 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bytes.toByteArray,
+        val names = new String(bytes.toByteArray,
           java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").toSeq.filter(_.nonEmpty))
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        if (names.isEmpty) None else Some(names)
       } finally in.close()
     }
   }

@@ -399,6 +399,49 @@ class CurationStorageSpec extends SparkSpec {
       Map("doc_id" -> (61L: Any, 61L: Any))).count() == 1)
   }
 
+  test("IncrementStore.recover: a zero-byte or mid-write victim list reads as list-less — staging dropped, originals intact, zero duplicated rows (r18 ADVICE)") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("store_trunclist").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/manifest",
+      filesPerIncrement = 3)
+    store.writeIncrement((1 to 30).map(i => (i.toLong, s"t $i"))
+      .toDF("doc_id", "text"))
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/verdicts")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // the pre-fix corruption state: a compaction staged its full copy and
+    // CRASHED inside the list write, leaving a zero-byte _graft_originals
+    // with every original still on disk. Treating that as a (complete,
+    // empty) list would move the staged copy in NEXT TO the intact
+    // originals — every row duplicated. It must read as list-less.
+    val staging = new org.apache.hadoop.fs.Path(s"$tmp/verdicts__compact_staging")
+    spark.read.parquet(s"$tmp/verdicts")
+      .repartitionByRange(1, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.parquet(staging.toString)
+    val zero = fs.create(new org.apache.hadoop.fs.Path(staging,
+      store.OriginalsList), true)
+    zero.close()
+    assert(store.readOriginalsList(fs, staging).isEmpty,
+      "a zero-byte victim list must read as list-less")
+    store.recover(spark)
+    assert(!fs.exists(staging), "staging must be dropped")
+    val rows = store.readRange(spark, Map("doc_id" -> (1L: Any, 30L: Any)))
+    assert(rows.count() == 30 &&
+      rows.select("doc_id").distinct().count() == 30,
+      "originals must survive un-duplicated")
+
+    // the fixed write path itself: atomic rename — the final name holds
+    // the complete list, no .tmp residue
+    fs.mkdirs(staging)
+    store.writeOriginalsList(fs, staging, Seq("a.parquet", "b.parquet"))
+    assert(store.readOriginalsList(fs, staging)
+      .contains(Seq("a.parquet", "b.parquet")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging,
+      store.OriginalsList + ".tmp")), "no temp residue after the rename")
+    fs.delete(staging, true)
+  }
+
   test("IncrementStore.recover: a deleteRows crash mid-swap — remaining staged files swapped over their originals, victims gone") {
     import graft.sources.IncrementStore
     val tmp = java.nio.file.Files.createTempDirectory("store_recover_del").toString
