@@ -339,7 +339,7 @@ object Manifest {
   /** `input_file_name()` and Hadoop listings render the same file with
     * different scheme spellings (`file:///x` vs `file:/x`); compare on
     * scheme-stripped paths. */
-  private[sources] def normalize(uri: String): String =
+  private[graft] def normalize(uri: String): String =
     uri.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
 
   /** A scan over only the files that can satisfy `intervals`, with the

@@ -80,7 +80,7 @@ class GroupedManifestSpec extends SparkSpec {
       spark.read.parquet(table).columns.toSeq)
   }
 
-  test("aggregate freshness gate: unregistered increment refused, writeGroup converges it; gone files refused, dropGroup converges; strict catches what the aggregate accepts") {
+  test("freshness gates: unregistered increment refused, writeGroup converges it; gone files refused, dropGroup converges; the identity digest catches the backdated rewrite the aggregates cancel") {
     val tmp = java.nio.file.Files.createTempDirectory("gm_fresh").toString
     val table = s"$tmp/t"
     val dayFiles = accrete(table)
@@ -119,12 +119,12 @@ class GroupedManifestSpec extends SparkSpec {
       gm.writeGroup(spark, "day0", dayFiles(0)))
     assert(e2.getMessage.contains("rewriteGroup"), e2.getMessage)
 
-    // the documented weakening, pinned so it can't silently change: an
+    // the r18 aggregate weakening, CLOSED by the r19 identity digest: an
     // in-place same-bytes rewrite of an OLD file whose new mtime stays
     // UNDER the table's newest (count, byte sum, and mtime_max all
-    // preserved) passes the aggregate gate — and strict = true still
-    // catches it, because the per-file (path, len, mtime) identity the
-    // flat gate keeps is broken
+    // preserved) slipped past the aggregate compare — the digest layer
+    // now refuses it on the DEFAULT gate, without opening one group
+    // manifest, and auditDrift names exactly the group and file
     val victim = new org.apache.hadoop.fs.Path(
       new java.net.URI(dayFiles(0).head))
     val st = fsys.getFileStatus(victim)
@@ -140,10 +140,131 @@ class GroupedManifestSpec extends SparkSpec {
     val backdated = if (maxMt - 10 == recorded) maxMt - 20 else maxMt - 10
     fsys.setTimes(victim, backdated, -1)
     assert(backdated != recorded && backdated <= maxMt)
-    gm.requireFresh(spark, table) // aggregate identity preserved: passes
     val e3 = intercept[IllegalArgumentException] {
-      gm.requireFresh(spark, table, strict = true)
+      gm.requireFresh(spark, table) // aggregates cancel; the digest must not
     }
-    assert(e3.getMessage.contains("rewritten in place"), e3.getMessage)
+    assert(e3.getMessage.contains("digest") &&
+      e3.getMessage.contains("auditDrift"), e3.getMessage)
+    val drift = gm.auditDrift(spark, table)
+    assert(drift == Seq(("day0",
+      graft.sources.Manifest.normalize(dayFiles(0).head),
+      "rewritten_in_place")), drift.toString)
+    // ...and rewriteGroup over the same file list converges the gate
+    gm.rewriteGroup(spark, "day0", dayFiles(0))
+    gm.requireFresh(spark, table)
+    assert(gm.auditDrift(spark, table).isEmpty)
+    gm.requireFresh(spark, table, strict = true)
+    // rewriteGroup refuses a group the index does not know
+    val e4 = intercept[IllegalArgumentException](
+      gm.rewriteGroup(spark, "nosuch", dayFiles(0)))
+    assert(e4.getMessage.contains("writeGroup registers"), e4.getMessage)
+  }
+
+  test("index crash safety: committed staged index adopted, uncommitted dropped; lost index refused naming rebuildIndex, which reconstructs it; empty index refuses loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("gm_crash").toString
+    val table = s"$tmp/t"
+    val dayFiles = accrete(table)
+    val gm = GroupedManifest(s"$tmp/m", Seq("doc_id"))
+    dayFiles.zipWithIndex.foreach { case (fs, d) =>
+      gm.writeGroup(spark, s"day$d", fs)
+    }
+    val fsys = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ixPath = new org.apache.hadoop.fs.Path(s"$tmp/m/_index.parquet")
+    val stPath = new org.apache.hadoop.fs.Path(s"$tmp/m/_index_staged.parquet")
+    val ixBefore = gm.index(spark).collect().map(_.toString).sorted.toSeq
+
+    // crash window: staged index committed, final deleted, rename never
+    // ran — the read path must adopt the committed staged copy
+    fsys.rename(ixPath, stPath)
+    assert(gm.indexExists(spark), "heal must adopt the committed staged index")
+    assert(gm.index(spark).collect().map(_.toString).sorted.toSeq == ixBefore)
+    assert(!fsys.exists(stPath), "adopted staged index must be renamed away")
+
+    // crash window: staged write died BEFORE its commit (_SUCCESS absent)
+    // — the final index is still the truth; the partial stage is dropped
+    fsys.mkdirs(stPath)
+    val junk = fsys.create(new org.apache.hadoop.fs.Path(stPath,
+      "part-00000.parquet"), true)
+    junk.write(Array[Byte](1, 2, 3)); junk.close()
+    assert(gm.indexExists(spark))
+    assert(!fsys.exists(stPath), "uncommitted staged index must be dropped")
+    assert(gm.index(spark).collect().map(_.toString).sorted.toSeq == ixBefore)
+    gm.requireFresh(spark, table)
+
+    // lost index (out-of-band): consulting or extending the manifest
+    // refuses NAMING rebuildIndex — writeGroup's create branch would
+    // otherwise re-seed an index holding only the new group (r18 ADVICE)
+    fsys.delete(ixPath, true)
+    val e1 = intercept[RuntimeException](gm.index(spark))
+    assert(e1.getMessage.contains("rebuildIndex"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      gm.writeGroup(spark, "day9", dayFiles(0)))
+    assert(e2.getMessage.contains("rebuildIndex") &&
+      e2.getMessage.contains("orphan"), e2.getMessage)
+    val rebuilt = gm.rebuildIndex(spark)
+    assert(rebuilt.collect().map(_.toString).sorted.toSeq == ixBefore,
+      "rebuilt index must equal the lost one row-for-row")
+    gm.requireFresh(spark, table)
+    val flat = Manifest.build(spark, table, Seq("doc_id"))
+    val iv = Map("doc_id" -> (110L: Any, 150L: Any))
+    assert(gm.prune(spark, iv).toSet == Manifest.prune(flat, iv).toSet)
+
+    // zero-row index (every group dropped): the gate refuses loudly
+    // instead of NPE-ing on null aggregates (r18 ADVICE)
+    (0 until 3).foreach(d => gm.dropGroup(spark, s"day$d"))
+    val e3 = intercept[IllegalArgumentException](gm.requireFresh(spark, table))
+    assert(e3.getMessage.contains("no groups"), e3.getMessage)
+  }
+
+  test("buildGrouped: one-scan bulk adoption equals incremental accretion row-for-row, prunes with flat parity, refuses an occupied root") {
+    val tmp = java.nio.file.Files.createTempDirectory("gm_bulk").toString
+    val table = s"$tmp/t"
+    val dayFiles = accrete(table)
+    val fileToDay = dayFiles.zipWithIndex.flatMap { case (fs, d) =>
+      fs.map(f => graft.sources.Manifest.normalize(f) -> s"day$d")
+    }.toMap
+
+    // the incremental form as oracle
+    val inc = GroupedManifest(s"$tmp/m_inc", Seq("doc_id"))
+    dayFiles.zipWithIndex.foreach { case (fs, d) =>
+      inc.writeGroup(spark, s"day$d", fs)
+    }
+    // the bulk form: ONE stats scan, same group assignment
+    val bulk = GroupedManifest(s"$tmp/m_bulk", Seq("doc_id"))
+    bulk.buildGrouped(spark, table, f => fileToDay(f))
+
+    assert(bulk.index(spark).collect().map(_.toString).sorted.toSeq ==
+      inc.index(spark).collect().map(_.toString).sorted.toSeq,
+      "bulk index must equal the accreted index row-for-row (incl. digests)")
+    for (d <- 0 until 3) {
+      assert(bulk.groupManifest(spark, s"day$d").collect()
+        .map(_.toString).sorted.toSeq ==
+        inc.groupManifest(spark, s"day$d").collect()
+          .map(_.toString).sorted.toSeq, s"group day$d manifest diverged")
+    }
+    bulk.requireFresh(spark, table)
+    bulk.requireFresh(spark, table, strict = true)
+    val flat = Manifest.build(spark, table, Seq("doc_id"))
+    val iv = Map("doc_id" -> (110L: Any, 150L: Any))
+    assert(bulk.prune(spark, iv).toSet == Manifest.prune(flat, iv).toSet)
+    val want = spark.read.parquet(table)
+      .filter(col("doc_id") >= 110L && col("doc_id") <= 150L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bulk.readPruned(spark, table, iv)
+      .collect().map(_.toString).sorted.toSeq == want)
+
+    // occupied roots refused: an existing index, or orphan group
+    // manifests without one
+    val eIx = intercept[IllegalArgumentException](
+      bulk.buildGrouped(spark, table, f => fileToDay(f)))
+    assert(eIx.getMessage.contains("already exists"), eIx.getMessage)
+    val fsys = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$tmp/m_bulk/_index.parquet"),
+      true)
+    val eOrphan = intercept[IllegalArgumentException](
+      bulk.buildGrouped(spark, table, f => fileToDay(f)))
+    assert(eOrphan.getMessage.contains("rebuildIndex"), eOrphan.getMessage)
   }
 }
