@@ -34,20 +34,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * NOT a transaction log: with a single writer per table (the daily-loop
   * topology) the pair is consistent by construction; concurrent writers
   * need a table format's commit protocol instead, per
-  * [[Manifest.writeWithManifest]]'s scaladoc. */
+  * [[Manifest.writeWithManifest]]'s scaladoc.
+  *
+  * METADATA LAYERS (r19): `grouped = false` (default) keeps the flat
+  * [[Manifest]] — measured viable to its ~1M-file ceiling (its
+  * scaladoc). `grouped = true` runs the SAME store contract on a
+  * [[GroupedManifest]] rooted at `manifestPath` — the natural marriage
+  * the two-level layer was built for: every `writeIncrement` registers
+  * its files as ONE new group (`inc_NNNNNN` — one O(increment) stats
+  * scan plus a KB index rewrite, never a whole-manifest collect), reads
+  * prune group-first, and every destructive mutation converges the
+  * group metadata through ONE reconciliation primitive
+  * ([[reconcileGrouped]]): compare disk identity against the group
+  * manifests, rewrite the touched groups, drop the emptied ones,
+  * register unregistered files as a fresh group. Because the
+  * reconciliation is derived purely from (disk, metadata) state it is
+  * also exactly what [[recover]] runs after finishing a crashed swap —
+  * maintenance and crash recovery share one code path. Driver state for
+  * steady-state maintenance is O(groups) (the index), not O(files);
+  * the reconciliation's batched group-manifest read is paid only by
+  * destructive maintenance and recovery, never by reads or appends. */
 final case class IncrementStore(tablePath: String, manifestPath: String,
                                 filesPerIncrement: Int = 8,
                                 clusterBy: Seq[String] = Seq("doc_id"),
-                                statsCols: Seq[String] = Seq("doc_id")) {
+                                statsCols: Seq[String] = Seq("doc_id"),
+                                grouped: Boolean = false) {
   require(filesPerIncrement > 0,
     s"increment store: filesPerIncrement must be positive, got $filesPerIncrement")
   require(clusterBy.nonEmpty, "increment store: clusterBy must be non-empty")
   require(statsCols.nonEmpty, "increment store: statsCols must be non-empty")
 
-  private def exists(spark: SparkSession): Boolean = {
-    val p = new Path(manifestPath)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  /** The two-level metadata layer when `grouped = true` (rooted at
+    * `manifestPath`). */
+  private[graft] def groupedManifest: GroupedManifest =
+    GroupedManifest(manifestPath, statsCols)
+
+  /** Store-created groups are `inc_NNNNNN`; the next sequence number is
+    * parsed from the index's group names (O(groups) driver work). */
+  private def nextGroupName(spark: SparkSession): String = {
+    val gm = groupedManifest
+    val pat = "inc_(\\d+)".r
+    val seqs =
+      if (!gm.indexExists(spark)) Seq.empty
+      else gm.groupNames(spark).flatMap(n =>
+        pat.findFirstMatchIn(n).map(_.group(1).toLong))
+    f"inc_${seqs.foldLeft(-1L)(math.max) + 1}%06d"
   }
+
+  private def exists(spark: SparkSession): Boolean =
+    if (grouped) groupedManifest.indexExists(spark)
+    else {
+      val p = new Path(manifestPath)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
 
   private def dataFilesOnDisk(spark: SparkSession): Seq[Path] = {
     val p = new Path(tablePath)
@@ -157,18 +196,45 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
         s"increment store: $tablePath already holds ${preexisting.size} " +
           s"parquet file(s) but no manifest exists at $manifestPath — the " +
           "create path would OVERWRITE them. Adopt the table first: " +
-          "Manifest.build + Manifest.write to the manifest path, then " +
-          "writeIncrement appends.")
-      Manifest.writeWithManifest(increment, tablePath, manifestPath,
+          (if (grouped) "GroupedManifest.buildGrouped to the manifest root, "
+           else "Manifest.build + Manifest.write to the manifest path, ") +
+          "then writeIncrement appends.")
+      if (grouped) {
+        // validate the stats columns BEFORE any write, mirroring
+        // writeWithManifest's ordering guarantee
+        val badCols = statsCols.filterNot(increment.columns.contains)
+        require(badCols.isEmpty,
+          s"increment store: stats column(s) ${badCols.mkString(", ")} " +
+            s"not in the increment (has: ${increment.columns.mkString(", ")})")
+        Layout.writeClustered(increment, tablePath, filesPerIncrement,
+          clusterBy: _*)
+        groupedManifest.writeGroup(spark, nextGroupName(spark),
+          Manifest.listDataFiles(spark, tablePath).map(_._1))
+        manifest(spark)
+      } else Manifest.writeWithManifest(increment, tablePath, manifestPath,
         statsCols, filesPerIncrement, clusterBy)
     } else {
       requireSchemaMatch(spark, increment)
-      Layout.appendClustered(increment, tablePath, filesPerIncrement,
-        clusterBy: _*)
-      val m = Manifest.update(spark, tablePath,
-        Manifest.read(spark, manifestPath))
-      Manifest.write(m, manifestPath)
-      m
+      if (grouped) {
+        // the increment's files = the listing diff around the append —
+        // exactly what a commit-time ingest job knows; one O(increment)
+        // stats scan registers them as one new group
+        val before = Manifest.listDataFiles(spark, tablePath)
+          .map(f => Manifest.normalize(f._1)).toSet
+        Layout.appendClustered(increment, tablePath, filesPerIncrement,
+          clusterBy: _*)
+        val fresh = Manifest.listDataFiles(spark, tablePath)
+          .filterNot(f => before(Manifest.normalize(f._1))).map(_._1)
+        groupedManifest.writeGroup(spark, nextGroupName(spark), fresh)
+        manifest(spark)
+      } else {
+        Layout.appendClustered(increment, tablePath, filesPerIncrement,
+          clusterBy: _*)
+        val m = Manifest.update(spark, tablePath,
+          Manifest.read(spark, manifestPath))
+        Manifest.write(m, manifestPath)
+        m
+      }
     }
   }
 
@@ -199,9 +265,13 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
         "deliberately: read, transform, writeClustered + Manifest.build).")
   }
 
-  /** The current manifest, read from its persisted form. */
+  /** The current per-file manifest view, read from its persisted form
+    * (grouped mode: the batched union over every group's manifest — the
+    * flat-schema compat/audit frame; planning goes group-first inside
+    * [[readRange]]). */
   def manifest(spark: SparkSession): DataFrame =
-    Manifest.read(spark, manifestPath)
+    if (grouped) groupedManifest.unionManifest(spark)
+    else Manifest.read(spark, manifestPath)
 
   /** Pruned interval read over the accreted table — only the files whose
     * stats can satisfy `intervals` are opened, the exact predicates
@@ -217,7 +287,10 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
   def readRange(spark: SparkSession,
                 intervals: Map[String, (Any, Any)],
                 staleCheck: Boolean = true): DataFrame =
-    Manifest.readPruned(spark, tablePath, manifest(spark), intervals,
+    if (grouped)
+      groupedManifest.readPruned(spark, tablePath, intervals,
+        staleCheck = staleCheck)
+    else Manifest.readPruned(spark, tablePath, manifest(spark), intervals,
       staleCheck = staleCheck)
 
   /** Targeted row erasure through the store — delete + manifest
@@ -289,9 +362,12 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
       fs.rename(p, new Path(table, p.getName)); ()
     }
     fs.delete(staging, true)
-    val m = Manifest.build(spark, tablePath, statsCols)
-    Manifest.write(m, manifestPath)
-    Manifest.read(spark, manifestPath)
+    if (grouped) { reconcileGrouped(spark); manifest(spark) }
+    else {
+      val m = Manifest.build(spark, tablePath, statsCols)
+      Manifest.write(m, manifestPath)
+      Manifest.read(spark, manifestPath)
+    }
   }
 
   /** Range-scoped compaction — the 100 TB-correct maintenance
@@ -317,9 +393,10 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
         "not store-managed")
     require(targetFileBytes >= (1L << 20),
       s"increment store: target file size ${targetFileBytes}B under 1 MiB")
-    val m0 = Manifest.read(spark, manifestPath)
-    val victims = Manifest.prune(m0, intervals)
-    if (victims.size <= 1) return m0 // nothing to bin-pack
+    val victims =
+      if (grouped) groupedManifest.prune(spark, intervals)
+      else Manifest.prune(Manifest.read(spark, manifestPath), intervals)
+    if (victims.size <= 1) return manifest(spark) // nothing to bin-pack
     val conf = spark.sessionState.newHadoopConf()
     val table = new Path(tablePath)
     val fs = table.getFileSystem(conf)
@@ -351,9 +428,13 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
       fs.rename(p, new Path(table, p.getName)); ()
     }
     fs.delete(staging, true)
-    val m = Manifest.update(spark, tablePath, m0)
-    Manifest.write(m, manifestPath)
-    m
+    if (grouped) { reconcileGrouped(spark); manifest(spark) }
+    else {
+      val m = Manifest.update(spark, tablePath,
+        Manifest.read(spark, manifestPath))
+      Manifest.write(m, manifestPath)
+      m
+    }
   }
 
   def deleteRows(spark: SparkSession, keyCol: String,
@@ -397,9 +478,12 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
       ()
     }
     fs.delete(staging, true)
-    val m = Manifest.update(spark, tablePath,
-      Manifest.read(spark, manifestPath))
-    Manifest.write(m, manifestPath)
+    if (grouped) reconcileGrouped(spark)
+    else {
+      val m = Manifest.update(spark, tablePath,
+        Manifest.read(spark, manifestPath))
+      Manifest.write(m, manifestPath)
+    }
     stats
   }
 
@@ -411,7 +495,10 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
   def readAll(spark: SparkSession, staleCheck: Boolean = true): DataFrame = {
     require(exists(spark),
       s"increment store: no manifest at $manifestPath — nothing to read")
-    if (staleCheck) Manifest.requireFresh(spark, tablePath, manifest(spark))
+    if (staleCheck) {
+      if (grouped) groupedManifest.requireFresh(spark, tablePath)
+      else Manifest.requireFresh(spark, tablePath, manifest(spark))
+    }
     spark.read.parquet(tablePath)
   }
 
@@ -489,9 +576,57 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
       ()
     }
 
-    val m = Manifest.update(spark, tablePath,
-      Manifest.read(spark, manifestPath))
-    Manifest.write(m, manifestPath)
-    m
+    if (grouped) { reconcileGrouped(spark); manifest(spark) }
+    else {
+      val m = Manifest.update(spark, tablePath,
+        Manifest.read(spark, manifestPath))
+      Manifest.write(m, manifestPath)
+      m
+    }
+  }
+
+  /** The ONE grouped-metadata convergence primitive (see the class
+    * scaladoc): derive the group fixups purely from (disk, metadata)
+    * state — so the same call is the maintenance tail of every
+    * destructive mutation AND the recovery tail after a crashed swap,
+    * and re-running it after its own crash converges (idempotent by
+    * construction: a group already in agreement with disk is left
+    * untouched, byte-identical).
+    *
+    *  - a group whose files are all gone → [[GroupedManifest.dropGroup]];
+    *  - a group with gone OR rewritten-in-place members →
+    *    [[GroupedManifest.rewriteGroup]] over its on-disk survivors
+    *    (one O(group) stats rescan);
+    *  - disk files no group claims → one fresh `inc_NNNNNN` group.
+    *
+    * Cost: one directory listing + one batched identity-columns read
+    * over the group manifests (O(files) rows — the destructive-
+    * maintenance/recovery budget, never paid by reads or appends),
+    * then O(touched groups) stats rescans. */
+  private def reconcileGrouped(spark: SparkSession): Unit = {
+    val gm = groupedManifest
+    // the fresh-group name is drawn BEFORE any retirement below, so a
+    // compaction's output group never reuses a just-retired input's name
+    // (monotone naming — less confusing on an operator's listing)
+    val freshName = nextGroupName(spark)
+    val disk = Manifest.listDataFiles(spark, tablePath)
+    val diskMap = disk.map { case (f, l, t) =>
+      Manifest.normalize(f) -> ((f, l, t)) }.toMap
+    val reg = gm.groupFiles(spark).collect()
+      .map(r => (r.getString(0), Manifest.normalize(r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    reg.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (g, rows) =>
+      val survivors = rows.filter(r => diskMap.contains(r._2))
+      val drifted = rows.exists(r => diskMap.get(r._2)
+        .forall(d => (d._2, d._3) != ((r._3, r._4))))
+      if (survivors.isEmpty) { gm.dropGroup(spark, g); () }
+      else if (drifted) {
+        gm.rewriteGroup(spark, g, survivors.map(r => diskMap(r._2)._1).toSeq)
+        ()
+      }
+    }
+    val known = reg.map(_._2).toSet
+    val unreg = disk.filterNot(f => known(Manifest.normalize(f._1))).map(_._1)
+    if (unreg.nonEmpty) { gm.writeGroup(spark, freshName, unreg); () }
   }
 }

@@ -515,6 +515,113 @@ class CurationStorageSpec extends SparkSpec {
       Seq("cluster_id", "doc_id", "text"), all.columns.mkString(","))
   }
 
+  test("IncrementStore(grouped): full lifecycle on the two-level metadata layer — create, append, refusals, deleteRows, compactRange, crash+recover, out-of-band adoption; reads row-exact, index stays O(groups)") {
+    import graft.sources.{IncrementStore, Manifest}
+    val tmp = java.nio.file.Files.createTempDirectory("store_grouped").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/meta",
+      filesPerIncrement = 2, grouped = true)
+    val gm = store.groupedManifest
+    def day(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, s"text $i",
+          if (i % 5 == 0) None else Some(i.toLong),
+          if (i % 5 == 0) Some("high_perplexity") else None))
+        .toDF("doc_id", "text", "cluster_id", "curation_reject")
+    def checkBand(lo: Long, hi: Long, tag: String): Unit = {
+      val pruned = store.readRange(spark, Map("doc_id" -> (lo: Any, hi: Any)))
+        .collect().map(_.toString).sorted.toSeq
+      val full = spark.read.parquet(s"$tmp/verdicts")
+        .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+        .collect().map(_.toString).sorted.toSeq
+      assert(pruned == full, s"$tag: pruned band [$lo,$hi] drifted from " +
+        s"the full-scan filter (${pruned.size} vs ${full.size} rows)")
+    }
+
+    // ---- create + appends: ONE group per increment, index O(groups) ----
+    store.writeIncrement(day(100 until 120))
+    store.writeIncrement(day(200 until 220))
+    store.writeIncrement(day(300 until 330))
+    assert(gm.groupNames(spark) ==
+      Seq("inc_000000", "inc_000001", "inc_000002"))
+    assert(gm.index(spark).count() == 3,
+      "maintenance metadata must be one index row per increment")
+    assert(store.manifest(spark).count() == 6, "union view: 2 files/increment")
+    checkBand(200L, 299L, "after appends")
+    checkBand(100L, 399L, "after appends (all)")
+    // the group-level prune localizes: the day-2 band opens only day-2's
+    // group manifest (2 files out of 6)
+    val surv = gm.prune(spark, Map("doc_id" -> (200L: Any, 299L: Any)))
+    assert(surv.size == 2, s"day-2 band should prune to its group: $surv")
+
+    // ---- refusals unchanged: schema drift, staging leftovers ----
+    val eAdd = intercept[IllegalArgumentException] {
+      store.writeIncrement(Seq((1L, "b", 11L, 0L, "x"))
+        .toDF("doc_id", "text", "cluster_id", "curation_reject", "extra"))
+    }
+    assert(eAdd.getMessage.contains("unknown column(s) [extra]"), eAdd.getMessage)
+
+    // ---- deleteRows: dirty-proportional, group metadata reconciled ----
+    val stats = store.deleteRows(spark, "doc_id",
+      (205L until 210L).map(x => x: Any))
+    assert(stats.rowsDeleted == 5 && stats.filesRewritten <= 2,
+      s"dirty-proportional: ${stats.filesRewritten}/${stats.filesTotal}")
+    assert(gm.index(spark).count() == 3, "no group appears or vanishes")
+    checkBand(200L, 299L, "after delete")
+    checkBand(100L, 199L, "after delete (untouched day)")
+    gm.requireFresh(spark, s"$tmp/verdicts", strict = true)
+
+    // ---- compactRange over days 2+3: their groups retire into one
+    // fresh inc_ group; day 1's group manifest rows stay VERBATIM ----
+    val day1Rows = gm.groupManifest(spark, "inc_000000").collect()
+      .map(_.toString).sorted.toSeq
+    store.compactRange(spark, Map("doc_id" -> (200L: Any, 399L: Any)),
+      targetFileBytes = 64L << 20)
+    val names = gm.groupNames(spark)
+    assert(names == Seq("inc_000000", "inc_000003"),
+      s"days 2+3 should pack into one fresh MONOTONE-named group: $names")
+    assert(gm.groupManifest(spark, "inc_000000").collect()
+      .map(_.toString).sorted.toSeq == day1Rows,
+      "the untouched group's manifest must be byte-identical (O(touched))")
+    checkBand(200L, 399L, "after compactRange")
+    checkBand(100L, 199L, "after compactRange (untouched day)")
+
+    // ---- a compactRange crash mid-delete: recover() converges the
+    // files AND the group metadata through the same reconciliation ----
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/verdicts")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val before = spark.read.parquet(s"$tmp/verdicts")
+      .collect().map(_.toString).sorted.toSeq
+    val victims = gm.prune(spark, Map("doc_id" -> (100L: Any, 399L: Any)))
+    assert(victims.size >= 3)
+    val staging = new org.apache.hadoop.fs.Path(s"$tmp/verdicts__compact_staging")
+    spark.read.parquet(victims: _*)
+      .repartitionByRange(1, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.parquet(staging.toString)
+    val vp = victims.map(new org.apache.hadoop.fs.Path(_))
+    store.writeOriginalsList(fs, staging, vp.map(_.getName))
+    vp.take(2).foreach { p => fs.delete(p, false); () }
+    store.recover(spark)
+    assert(!fs.exists(staging))
+    assert(spark.read.parquet(s"$tmp/verdicts")
+      .collect().map(_.toString).sorted.toSeq == before,
+      "recovered table must hold exactly the pre-crash rows")
+    gm.requireFresh(spark, s"$tmp/verdicts", strict = true)
+    checkBand(100L, 399L, "after recover")
+
+    // ---- out-of-band append: loud refusal, recover() adopts the
+    // foreign files as their own group ----
+    day(400 until 410).write.mode("append").parquet(s"$tmp/verdicts")
+    val stale = intercept[IllegalArgumentException] {
+      store.readRange(spark, Map("doc_id" -> (100L: Any, 199L: Any)))
+    }
+    assert(stale.getMessage.contains("stale"), stale.getMessage)
+    store.recover(spark)
+    checkBand(400L, 499L, "after adopting the foreign increment")
+    // and the store keeps accreting
+    store.writeIncrement(day(500 until 510))
+    checkBand(100L, 599L, "after post-recovery append")
+  }
+
   test("store lifecycle fuzz: random write/delete/compactRange/compact sequences match an in-memory model (6 seeds)") {
     import graft.sources.IncrementStore
     // model-based check over the WHOLE mutation surface the round added:
@@ -526,8 +633,10 @@ class CurationStorageSpec extends SparkSpec {
       val rnd = new scala.util.Random(seed)
       val tmp = java.nio.file.Files
         .createTempDirectory(s"store_fuzz_$seed").toString
+      // seeds 4-6 run the SAME model check on the grouped (two-level)
+      // metadata layer — one mutation surface, two metadata backends
       val store = IncrementStore(s"$tmp/t", s"$tmp/m",
-        filesPerIncrement = 2)
+        filesPerIncrement = 2, grouped = seed > 3)
       val model = scala.collection.mutable.SortedSet.empty[Long]
       var nextId = 100L
       def check(tag: String): Unit = {
