@@ -660,7 +660,35 @@ object StreamingOps {
     * only ever be re-delivered as the SAME micro-batch (the offset log
     * pins id → offset range), which is exactly the replay the skip
     * exists for. Every skip is logged loudly so a mis-wired restart is
-    * visible in the driver log, not silent. */
+    * visible in the driver log, not silent.
+    *
+    * THE DAY-ROLL RECIPE (r19 — how a multi-day loop satisfies that
+    * precondition at every boundary): each day runs against its OWN
+    * checkpoint and its own day number —
+    *
+    *  1. the day's sink is `storeSink(store, day = d)`: every verdict
+    *     increment carries (batch_id, day), so ids are DAY-SCOPED in
+    *     the store exactly as they are checkpoint-scoped in the engine;
+    *  2. at the boundary the stream stops; day d+1 starts with a FRESH
+    *     `checkpointLocation` and `resume = fromStore(store, day = d+1)`
+    *     — the committed-id skip set is the NEW day's (empty at day
+    *     start, so day d+1's renumbered batches 0..k can never be
+    *     shadowed by day d's committed 0..k — the silent-drop hazard
+    *     the precondition names), while `priorKeepers` carries EVERY
+    *     prior day's keepers into the corpus fold (yesterday's keepers
+    *     ARE today's corpus increment: labels append, the gram index
+    *     rolls, all through the existing resume fold);
+    *  3. a MID-day restart is the r18 contract unchanged: same
+    *     checkpoint, same day value — `fromStore(store, day = d)` skips
+    *     exactly that day's committed replays with all prior days'
+    *     history present.
+    *
+    * Rehearsed end-to-end at the 500k-doc corpus (DayRollRehearsal,
+    * BENCH_FORENSICS_r19_dayroll.txt): day-2/3 walls flat vs day 1, a
+    * day-2 copy of a day-1 keeper rejected `dup_of_corpus` with the
+    * day-1 cluster id, a mid-day-2 crash resumed from the store with
+    * day-1 history present, rolled history equal to the unbroken
+    * control's. */
   final case class CurationResume(priorKeepers: DataFrame,
                                   committedBatchIds: Set[Long] = Set.empty)
 
@@ -671,42 +699,66 @@ object StreamingOps {
       * verdict increment — what makes [[fromStore]] a ONE-read restart. */
     val BatchIdCol = "batch_id"
 
+    /** The day-provenance column (r19) — batch ids are checkpoint-scoped
+      * and each day runs its own checkpoint, so (day, batch_id) is the
+      * globally unambiguous batch identity across a multi-day loop (the
+      * day-roll recipe in the class scaladoc). */
+    val DayCol = "day"
+
     /** The durable-store sink for [[curationIncrementStream]]: stamps
-      * the micro-batch id onto the verdict frame and lands it through
-      * `store.writeIncrement` (clustered + manifested, one consistent
-      * pair per batch). Writing the batch id WITH the verdicts is what
-      * closes the restart loop: `committedBatchIds` becomes a store
-      * read instead of hand-rolled driver bookkeeping. */
-    def storeSink(store: graft.sources.IncrementStore)
-        : (Long, DataFrame) => Unit =
+      * the micro-batch id AND the loop day onto the verdict frame and
+      * lands it through `store.writeIncrement` (clustered + manifested,
+      * one consistent pair per batch). Writing (day, batch id) WITH the
+      * verdicts is what closes the restart loop: `committedBatchIds`
+      * becomes a store read instead of hand-rolled driver bookkeeping,
+      * and the day scope keeps one day's ids from shadowing the next
+      * day's renumbered ones (the day-roll recipe). */
+    def storeSink(store: graft.sources.IncrementStore,
+                  day: Long = 0L): (Long, DataFrame) => Unit =
       (batchId, verdicts) => {
         store.writeIncrement(
-          verdicts.withColumn(BatchIdCol, lit(batchId)))
+          verdicts.withColumn(BatchIdCol, lit(batchId))
+            .withColumn(DayCol, lit(day)))
         ()
       }
 
     /** Rebuild resume state PURELY from the durable store — the natural
       * constructor for a crashed daily loop (nothing survives from the
       * dead driver): one manifest-gated read of the verdict history
-      * gives both the prior keepers (reject-null rows) and the committed
-      * batch ids (the distinct [[BatchIdCol]] values [[storeSink]]
-      * stamped). The id set is driver state bounded by the stream
-      * lifetime's batch count, same budget as the case-class field.
-      * Same-checkpoint precondition applies unchanged (see the class
-      * scaladoc). */
+      * gives both the prior keepers (reject-null rows of EVERY day —
+      * all accepted history folds back into the corpus) and the
+      * committed batch ids of THE REQUESTED DAY only (the distinct
+      * [[BatchIdCol]] values [[storeSink]] stamped under `day` — ids
+      * are day-scoped because they are checkpoint-scoped; see the
+      * day-roll recipe). At a day START the skip set is therefore
+      * empty; at a mid-day restart it is exactly the day's committed
+      * replays. The id set is driver state bounded by one day's batch
+      * count. Same-checkpoint-within-a-day precondition applies
+      * unchanged (class scaladoc). A store written before the day
+      * column existed is accepted only for `day = 0` (the single-day
+      * behavior it was written under); a day-scoped restart against it
+      * is refused loudly. */
     def fromStore(spark: SparkSession,
                   store: graft.sources.IncrementStore,
-                  rejectCol: String = "curation_reject"): CurationResume = {
+                  rejectCol: String = "curation_reject",
+                  day: Long = 0L): CurationResume = {
       val hist = store.readAll(spark)
       require(hist.columns.contains(BatchIdCol),
         s"curation resume: verdict store ${store.tablePath} has no " +
           s"$BatchIdCol column — it was not written through " +
           "CurationResume.storeSink; pass priorKeepers/committedBatchIds " +
           "explicitly instead")
-      val ids = hist.select(col(BatchIdCol)).distinct()
+      val hasDay = hist.columns.contains(DayCol)
+      require(hasDay || day == 0L,
+        s"curation resume: day-scoped restart (day=$day) but the verdict " +
+          s"store ${store.tablePath} has no $DayCol column — it predates " +
+          "the day-roll recipe; its batch ids are only meaningful for a " +
+          "single-day loop (day = 0)")
+      val dayHist = if (hasDay) hist.filter(col(DayCol) === day) else hist
+      val ids = dayHist.select(col(BatchIdCol)).distinct()
         .collect().map(_.getLong(0)).toSet
       log.info(s"curation resume: rebuilt from ${store.tablePath} — " +
-        s"${ids.size} committed batch id(s): " +
+        s"day $day has ${ids.size} committed batch id(s): " +
         ids.toSeq.sorted.mkString(","))
       CurationResume(
         hist.filter(col(rejectCol).isNull)

@@ -1368,6 +1368,114 @@ class StreamingSpec extends SparkSpec {
       r201.toString)
   }
 
+  test("day-roll recipe: fresh checkpoint per day with day-scoped ids — day-2 not shadowed by day-1's committed ids, a day-2 copy of a day-1 keeper is dup_of_corpus, mid-day-2 restart resumes with day-1 history present") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    import graft.ml.{Bpe, NgramLm}
+    import graft.sources.IncrementStore
+    def uniq(tag: String, n: Int): String =
+      (0 until n).map(i => s"${tag}w$i").mkString(" ")
+    val corpusText = uniq("oa", 40)
+    val corpus = Seq((1L, corpusText), (2L, uniq("ob", 30)))
+      .toDF("doc_id", "text")
+    val labels0 = Dedup.dedupClusters(corpus, threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    val train = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val lm = NgramLm.fit(train, "text")
+    val (bpe, _) = Bpe.fit(train, "text", numMerges = 20)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("cur_dayroll").toString
+    val vstore = IncrementStore(s"$dir/verdicts", s"$dir/manifest",
+      filesPerIncrement = 2)
+    def startStream(mem: MemoryStream[(Long, String)], day: Long,
+                    resume: Option[StreamingOps.CurationResume]) = {
+      // each start = a FRESH checkpoint: exactly the day-boundary (and
+      // MemoryStream-restart) topology whose renumbered batch ids the
+      // day scope exists for
+      val ckpt = java.nio.file.Files.createTempDirectory(s"dayroll_d$day").toString
+      val sinkFn = StreamingOps.CurationResume.storeSink(vstore, day = day)
+      StreamingOps.curationIncrementStream(
+        mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        corpus, labels0, lm, maxPpl = 1e6, bpe,
+        nearThreshold = 0.8, md5Family = true, resume = resume) { (id, v) =>
+          sinkFn(id, v.select(col("doc_id"), col("text"),
+            col("cluster_id"), col("curation_reject")))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    // ---- day 1: two batches land under day=1 ----
+    val d1b0 = Seq((101L, uniq("k1", 25)), (102L, corpusText))
+    val d1b1 = Seq((111L, uniq("k2", 25)))
+    val memA = MemoryStream[(Long, String)]
+    val qA = startStream(memA, 1L, None)
+    try {
+      memA.addData(d1b0); qA.processAllAvailable()
+      memA.addData(d1b1); qA.processAllAvailable()
+    } finally qA.stop()
+
+    // ---- the boundary: day-2 resume has an EMPTY skip set while day-1
+    // ids are {0,1} — the exact contrast that keeps day-2's renumbered
+    // batches 0..k from being silently shadowed (the documented hazard)
+    val r1 = StreamingOps.CurationResume.fromStore(spark, vstore, day = 1L)
+    assert(r1.committedBatchIds == Set(0L, 1L), r1.committedBatchIds.toString)
+    val r2 = StreamingOps.CurationResume.fromStore(spark, vstore, day = 2L)
+    assert(r2.committedBatchIds.isEmpty,
+      s"day-2 skip set must be empty at day start: ${r2.committedBatchIds}")
+    assert(r2.priorKeepers.select("doc_id").as[Long].collect().toSet ==
+      Set(101L, 111L), "day-2 resume must carry ALL day-1 keepers")
+
+    // ---- day 2: fresh checkpoint, day-scoped sink; batch 0 holds a
+    // COPY of day-1 keeper 101 (cross-day loop closure) + a new keeper
+    val d2b0 = Seq((201L, uniq("k1", 25)), (202L, uniq("k3", 25)))
+    val d2b1 = Seq((211L, uniq("k4", 25)))
+    val memB = MemoryStream[(Long, String)]
+    val qB = startStream(memB, 2L, Some(r2))
+    try { memB.addData(d2b0); qB.processAllAvailable() } finally qB.stop()
+    // mid-day-2 "crash": driver state gone; resume from the store with
+    // the SAME day — the skip set is day-2's {0}, day-1 history present
+    val r2b = StreamingOps.CurationResume.fromStore(spark, vstore, day = 2L)
+    assert(r2b.committedBatchIds == Set(0L), r2b.committedBatchIds.toString)
+    assert(r2b.priorKeepers.select("doc_id").as[Long].collect().toSet ==
+      Set(101L, 111L, 202L), "restart keepers = day-1's plus day-2-so-far's")
+    val memC = MemoryStream[(Long, String)]
+    val qC = startStream(memC, 2L, Some(r2b))
+    try {
+      memC.addData(d2b0); qC.processAllAvailable() // replayed, skipped
+      memC.addData(d2b1); qC.processAllAvailable() // new, processed
+    } finally qC.stop()
+
+    // ---- the rolled history: every batch exactly once under its day
+    val hist = vstore.readRange(spark, Map("doc_id" -> (null: Any, null: Any)))
+    val perBatch = hist.groupBy(col("day"), col("batch_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(perBatch == Map((1L, 0L) -> 2L, (1L, 1L) -> 1L,
+      (2L, 0L) -> 2L, (2L, 1L) -> 1L),
+      s"per-(day, batch) history drifted: $perBatch")
+    // cross-day closure: 201 (day 2) is dup_of_corpus of day-1 keeper 101
+    val r201 = hist.filter(col("doc_id") === 201L)
+      .select("curation_reject", "cluster_id").head
+    assert(r201.getString(0) == "dup_of_corpus" && r201.getLong(1) == 101L,
+      r201.toString)
+    // day-3 start: empty skip set, keepers from BOTH days
+    val r3 = StreamingOps.CurationResume.fromStore(spark, vstore, day = 3L)
+    assert(r3.committedBatchIds.isEmpty)
+    assert(r3.priorKeepers.select("doc_id").as[Long].collect().toSet ==
+      Set(101L, 111L, 202L, 211L))
+
+    // a pre-day-scope store refuses a day-scoped restart loudly
+    val legacy = IncrementStore(s"$dir/legacy", s"$dir/legacy_manifest",
+      filesPerIncrement = 2)
+    legacy.writeIncrement(Seq((1L, "t", 1L, null: String, 0L))
+      .toDF("doc_id", "text", "cluster_id", "curation_reject", "batch_id"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.CurationResume.fromStore(spark, legacy, day = 2L)
+    }
+    assert(e.getMessage.contains("no day column") ||
+      e.getMessage.contains("predates the day-roll"), e.getMessage)
+  }
+
   test("curationIncrementStream + IncrementStore: the documented recovery recipe end-to-end (store sink, crash, store-rebuilt resume)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Dedup
