@@ -98,11 +98,18 @@ import org.apache.spark.sql.functions._
   * scaladoc says; this layer is the measured, spec-pinned path PAST
   * that ceiling, where the flat collect becomes tens of seconds and
   * hundreds of driver MB while the index stays O(groups). Bulk
-  * adoption (r19, ProfileManifest, BENCH_FORENSICS_r19_manifest.txt):
-  * [[buildGrouped]] at 100k files / 100 groups builds in 64.4 s vs the
-  * flat build's 57.2 s (1.13×) — within the migration budget where the
-  * r18 writeGroup loop paid 237 s (4.2×); 300k/300: 167.9 s vs 149.8 s
-  * (1.12×) vs the loop's 735 s. */
+  * adoption (r19, ProfileManifest, BENCH_FORENSICS_r19_manifest.txt,
+  * within-run ratios on a 16-core box): [[buildGrouped]] at 100k files
+  * / 100 groups builds in 98.8 s vs the flat build's 85.3 s (1.16×) —
+  * within the migration budget where the writeGroup-per-group loop
+  * paid 297.9 s (3.5×); 300k/300: 192.7 s vs 222.7 s (~1×, the bulk
+  * scan ran second over page-cache-warm files) vs the loop's 853.1 s
+  * (4.4×) — the honest claim is "one flat-build scan plus tiny
+  * metadata writes". The digest gate (r19) catches a backdated
+  * same-bytes rewrite in 3.99/11.53 s at 100k/300k — the aggregate
+  * gate's own cost (4.11/11.34 s) — with auditDrift attributing it in
+  * 4.53/11.79 s and the one-group rewriteGroup converging in
+  * 3.34/2.45 s. */
 final case class GroupedManifest(root: String, statsCols: Seq[String]) {
   require(statsCols.nonEmpty, "grouped manifest: statsCols must be non-empty")
 
@@ -355,6 +362,51 @@ final case class GroupedManifest(root: String, statsCols: Seq[String]) {
       prev.filter(col(GroupCol) =!= group).unionByName(fresh))
     Manifest.write(gm, groupPath(group))
     writeIndex(spark, ix)
+    ix
+  }
+
+  /** Batched metadata transition (package-private — the store's
+    * reconciliation tail): apply `drops` + `rewrites` + `adds` with ONE
+    * staged index write instead of one per mutation. A bulk retirement
+    * of G groups through per-group dropGroup would pay G full index
+    * rewrites — measured 20.0 s for 60 retired groups at ProfileStore's
+    * 240-file point, a quadratic-in-groups term a compaction over a
+    * large range must not carry. Write order keeps the single-group
+    * ops' crash windows: new/rewritten group manifests land FIRST, the
+    * index swaps once (staged), dropped manifests are deleted LAST — a
+    * crash before the index write leaves a stale index the gates
+    * refuse (re-run converges); after it, only harmless orphan
+    * manifests. */
+  private[graft] def applyBatch(spark: SparkSession, drops: Seq[String],
+      rewrites: Map[String, Seq[String]],
+      adds: Map[String, Seq[String]]): DataFrame = {
+    (drops ++ rewrites.keys ++ adds.keys).foreach(requireGroupName)
+    require((rewrites.keySet & adds.keySet).isEmpty &&
+      !drops.exists(rewrites.keySet) && !drops.exists(adds.keySet),
+      "grouped manifest: a group may appear in only one of drops/rewrites/adds")
+    val prev = Manifest.localize(index(spark))
+    val known = prev.select(col(GroupCol)).collect().map(_.getString(0)).toSet
+    val unknownRw = rewrites.keySet.filterNot(known)
+    val dupAdd = adds.keySet.filter(known)
+    require(unknownRw.isEmpty && dupAdd.isEmpty,
+      s"grouped manifest: rewrites of unknown group(s) " +
+        s"[${unknownRw.toSeq.sorted.mkString(", ")}] / adds of existing " +
+        s"group(s) [${dupAdd.toSeq.sorted.mkString(", ")}]")
+    val fresh = (rewrites ++ adds).toSeq.sortBy(_._1).map { case (g, files) =>
+      require(files.nonEmpty, s"grouped manifest: group $g has no files")
+      val gm = statsFor(spark, files)
+      Manifest.write(gm, groupPath(g))
+      rollup(spark, g, gm)
+    }
+    val retire = (drops ++ rewrites.keys).toSet
+    val retained =
+      if (retire.isEmpty) prev
+      else prev.filter(!col(GroupCol).isin(retire.toSeq: _*))
+    val ix = Manifest.localize(
+      fresh.foldLeft(retained)(_.unionByName(_)))
+    writeIndex(spark, ix)
+    val f = fs(spark)
+    drops.foreach { g => f.delete(new Path(groupPath(g)), true); () }
     ix
   }
 

@@ -615,18 +615,25 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     val reg = gm.groupFiles(spark).collect()
       .map(r => (r.getString(0), Manifest.normalize(r.getString(1)),
         r.getLong(2), r.getLong(3)))
+    val drops = Seq.newBuilder[String]
+    val rewrites = Map.newBuilder[String, Seq[String]]
     reg.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (g, rows) =>
       val survivors = rows.filter(r => diskMap.contains(r._2))
       val drifted = rows.exists(r => diskMap.get(r._2)
         .forall(d => (d._2, d._3) != ((r._3, r._4))))
-      if (survivors.isEmpty) { gm.dropGroup(spark, g); () }
-      else if (drifted) {
-        gm.rewriteGroup(spark, g, survivors.map(r => diskMap(r._2)._1).toSeq)
-        ()
-      }
+      if (survivors.isEmpty) drops += g
+      else if (drifted)
+        rewrites += g -> survivors.map(r => diskMap(r._2)._1).toSeq
     }
     val known = reg.map(_._2).toSet
     val unreg = disk.filterNot(f => known(Manifest.normalize(f._1))).map(_._1)
-    if (unreg.nonEmpty) { gm.writeGroup(spark, freshName, unreg); () }
+    val adds = if (unreg.nonEmpty) Map(freshName -> unreg) else Map.empty[String, Seq[String]]
+    val (d, rw) = (drops.result(), rewrites.result())
+    // ONE batched transition: every fixup lands under a single staged
+    // index write (per-group dropGroup would pay one index rewrite per
+    // retired group — quadratic in groups for a bulk compaction)
+    if (d.nonEmpty || rw.nonEmpty || adds.nonEmpty) {
+      gm.applyBatch(spark, d, rw, adds); ()
+    }
   }
 }
