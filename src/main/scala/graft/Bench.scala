@@ -622,26 +622,30 @@ object Bench {
       // SPARK_GRAFT_FUZZY_BUDGET raises the rep1 budget when a leg
       // deliberately pays for the canonical med-of-3 protocol (r13
       // verdict: a matching protocol beats a labeled mismatch) — the
-      // default keeps the ~17 min/rep sf10 join from tripling every
+      // default keeps the ~3-17 min/rep sf10 join from tripling every
       // routine leg
       val fuzzyBudget = sys.env.get("SPARK_GRAFT_FUZZY_BUDGET")
         .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
         .getOrElse(120.0)
-      // q = 3 ADOPTED for this domain (r17 verdict #7, decided by
-      // measurement in r18): on the long low-entropy key-derived names
-      // (constant 9-char prefix + 9 digits) the q=2 prefix grams are
-      // drawn from ~100 common digit bigrams, so the Ed-Join candidate
-      // join explodes; trigrams are ~10x rarer each. Measured at the
-      // 1.5M-name sf10 domain: 829.0 s (q=2, r17 committed leg) ->
-      // 225.7 s (q=3, clean window, ProfileFuzzy) with pair-count
-      // parity (262,500 @ sf0.1 both; brute-force equality for
-      // q in {2,3} is FuzzyJoinSpec-pinned). The lib default stays
-      // q=2 — shorter/higher-entropy domains lose gram diversity at
-      // q=3; this is per-domain tuning, documented in FuzzyJoin.
-      val (fzT, fzProto) = medOrRep1(() => evaluate(
-        graft.operators.FuzzyJoin.fuzzyPairs(cust, "id", "s", maxDist = 1,
-          q = 3)),
-        budgetSecs = fuzzyBudget)
+      // RETIRED from every-leg execution (r18 verdict #4, decided r19):
+      // the five-round fuzzy_pairs_cname question is CLOSED — q = 3
+      // adopted for this domain by measurement (829.0 s q=2 r17 leg ->
+      // 171.8 s q=3 r18 committed leg at the 1.5M-name sf10 domain,
+      // pair parity spec-pinned for q in {2,3}), and re-paying ~172 s
+      // per sf10 leg measures nothing new. The side-line now runs only
+      // when SPARK_GRAFT_FUZZY_SENTINEL is set (the every-N-rounds
+      // sentinel / on-demand mode; ProfileFuzzy remains the deep-dive
+      // tool); the skip is printed so the leg's record states the
+      // decision rather than silently omitting the line.
+      val fuzzySentinel = sys.env.contains("SPARK_GRAFT_FUZZY_SENTINEL")
+      val (fzT, fzProto) =
+        if (fuzzySentinel)
+          medOrRep1(() => evaluate(
+            graft.operators.FuzzyJoin.fuzzyPairs(cust, "id", "s",
+              maxDist = 1, q = 3)),
+            budgetSecs = fuzzyBudget)
+        else (-1.0, "RETIRED r19 (q=3 adopted r18; " +
+          "set SPARK_GRAFT_FUZZY_SENTINEL to re-measure)")
       val emb = graft.Tables.embeddings(spark, sfDir)
       val pcaT = med(() => {
         val m = graft.ml.Pca.fit(emb, "embedding", k = 8)
@@ -653,8 +657,10 @@ object Bench {
         val (bm, _) = graft.ml.Bpe.fit(docs, "text", numMerges = 200)
         evaluate(graft.ml.Bpe.tokenCount(docs, "text", bm))
       })
+      val fzLine = if (fzT >= 0) f"fuzzy_pairs_cname=$fzT%.3f s (q=3) "
+                   else "fuzzy_pairs_cname=SKIPPED "
       tee.log(f"[bench] lib_additions4 ngram_lm_fit_score=$lmT%.3f s " +
-        f"fuzzy_pairs_cname=$fzT%.3f s (q=3 adopted r18) " +
+        fzLine +
         f"pca_fit_project=$pcaT%.3f s " +
         f"compress_ratio=$crT%.3f s bpe_fit200_count=$bpeT%.3f s " +
         s"(med of 3; fuzzy: $fzProto)")
