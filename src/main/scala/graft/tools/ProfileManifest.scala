@@ -150,7 +150,7 @@ object ProfileManifest {
         s"grouped prune diverged from flat: ${gSurv.size} vs ${flatSurv.size}")
       log(f"n=$n GROUPED(${chunks.size} groups) build=$gBuildS%.1f s " +
         f"prune_narrow=${gPruneNarrowS * 1000}%.0f ms " +
-        f"fresh_aggregate=${gFreshS * 1000}%.0f ms " +
+        f"fresh_gate(agg+digest)=${gFreshS * 1000}%.0f ms " +
         f"fresh_strict=$gFreshStrictS%.2f s " +
         f"read_pruned=$gReadPrunedS%.2f s index_bytes=$ixBytes " +
         "(prune parity with flat: ok)")
@@ -160,6 +160,62 @@ object ProfileManifest {
         f""""require_fresh_aggregate_s":$gFreshS%.4f,""" +
         f""""require_fresh_strict_s":$gFreshStrictS%.3f,""" +
         f""""read_pruned_s":$gReadPrunedS%.3f,"index_bytes":$ixBytes}""")
+
+      // ---- r19: the BULK adoption path on the same table + chunking —
+      // buildGrouped's one-scan build vs the per-group writeGroup loop
+      // above and the flat build; index must equal the accreted one.
+      val fileToGroup = chunks.zipWithIndex.flatMap { case (fsq, i) =>
+        fsq.map(f => Manifest.normalize(f) -> f"g$i%04d")
+      }.toMap
+      val gm3 = graft.sources.GroupedManifest(
+        s"$work/grouped_bulk_$n", Seq("doc_id"))
+      val tb3 = System.nanoTime()
+      gm3.buildGrouped(spark, dir, f => fileToGroup(f))
+      val bulkS = (System.nanoTime() - tb3) / 1e9
+      require(gm3.index(spark).collect().map(_.toString).sorted.toSeq ==
+        gm2.index(spark).collect().map(_.toString).sorted.toSeq,
+        "bulk index must equal the accreted index row-for-row")
+      // the digest tier's catch, priced: backdate-rewrite one file
+      // (same bytes, mtime under the max) and time the refusing gate +
+      // the auditDrift attribution that names it
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val victim = new org.apache.hadoop.fs.Path(
+        new java.net.URI(ordered(ordered.length / 3)))
+      val vst = fsys.getFileStatus(victim)
+      val vbytes = new Array[Byte](vst.getLen.toInt)
+      val vin = fsys.open(victim)
+      try vin.readFully(0L, vbytes) finally vin.close()
+      val vout = fsys.create(victim, true)
+      try vout.write(vbytes) finally vout.close()
+      fsys.setTimes(victim, vst.getModificationTime - 7, -1)
+      val tdg = System.nanoTime()
+      val caught = try { gm3.requireFresh(spark, dir); false }
+        catch { case _: IllegalArgumentException => true }
+      val digestCatchS = (System.nanoTime() - tdg) / 1e9
+      require(caught, "the digest gate must catch the backdated rewrite")
+      val ta = System.nanoTime()
+      val drift = gm3.auditDrift(spark, dir)
+      val auditS = (System.nanoTime() - ta) / 1e9
+      require(drift.size == 1 && drift.head._3 == "rewritten_in_place",
+        s"auditDrift must name exactly the victim: $drift")
+      // converge: rewriteGroup just the drifted group, gate green again
+      val grp = drift.head._1
+      val grpFiles = gm3.groupManifest(spark, grp)
+        .select(col("_file")).collect().map(_.getString(0)).toSeq
+      val tc = System.nanoTime()
+      gm3.rewriteGroup(spark, grp, grpFiles)
+      val convergeS = (System.nanoTime() - tc) / 1e9
+      gm3.requireFresh(spark, dir)
+      log(f"n=$n BULK buildGrouped=$bulkS%.1f s (vs flat build=$buildS%.1f s, " +
+        f"writeGroup loop=$gBuildS%.1f s); digest gate caught the backdated " +
+        f"rewrite in $digestCatchS%.2f s, auditDrift attributed it in " +
+        f"$auditS%.2f s, rewriteGroup($grp) converged in $convergeS%.2f s")
+      println(f"""{"metric":"manifest_bulk_adoption","files":$n,""" +
+        f""""groups":${chunks.size},"build_grouped_s":$bulkS%.2f,""" +
+        f""""flat_build_s":$buildS%.2f,"writegroup_loop_s":$gBuildS%.2f,""" +
+        f""""digest_catch_s":$digestCatchS%.3f,"audit_drift_s":$auditS%.3f,""" +
+        f""""converge_rewrite_s":$convergeS%.3f}""")
     }
     spark.stop()
   }

@@ -75,6 +75,67 @@ object ProfileStore {
         f"compact_range=$crT%.3f s (-> $crFiles files) " +
         f"compact_full=$cT%.3f s (-> $cFiles files) " +
         "(writes/maintenance rep1, reads med of 3)")
+
+    // ---- the grouped metadata layer (r19): same lifecycle, then the
+    // multi-increment point — after N accreted increments the flat
+    // manifest's gate state is O(files) collected rows while the grouped
+    // index is O(increments), and the append path's metadata term never
+    // collects the whole manifest. Increments are deliberately tiny so
+    // the walls isolate the METADATA term, not the data write.
+    val nInc = sys.env.get("SPARK_GRAFT_STORE_INCS").map(_.toInt).getOrElse(120)
+    def accrete(st: graft.sources.IncrementStore,
+                tag: String): (Double, Double, Double, Long) = {
+      var lastW = 0.0
+      (0 until nInc).foreach { i =>
+        val inc = spark.range(i * 1000L, i * 1000L + 100L)
+          .select(col("id").as("doc_id"),
+            concat(lit(s"$tag text "), col("id")).as("text"))
+        val w = t(st.writeIncrement(inc))
+        if (i == nInc - 1) lastW = w
+      }
+      val gate = med(() => { st.readAll(spark).count(); () })
+      val band = med(() => graft.Bench.evaluate(st.readRange(spark,
+        Map("doc_id" -> ((nInc / 2 * 1000L): Any,
+          (nInc / 2 * 1000L + 99L): Any)))))
+      val files = st.manifest(spark).count()
+      (lastW, gate, band, files)
+    }
+    val fStore = graft.sources.IncrementStore(
+      s"$work/multi_flat/t", s"$work/multi_flat/m", filesPerIncrement = 2)
+    val gStore = graft.sources.IncrementStore(
+      s"$work/multi_grp/t", s"$work/multi_grp/m", filesPerIncrement = 2,
+      grouped = true)
+    val (fLastW, fGate, fBand, fFiles) = accrete(fStore, "f")
+    val (gLastW, gGate, gBand, gFiles) = accrete(gStore, "g")
+    require(fFiles == gFiles, s"file counts diverged: $fFiles vs $gFiles")
+    // parity: the band read is row-identical across backends
+    val bandIv = Map("doc_id" -> ((nInc / 2 * 1000L): Any,
+      (nInc / 2 * 1000L + 99L): Any))
+    val fRows = fStore.readRange(spark, bandIv)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val gRows = gStore.readRange(spark, bandIv)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    require(fRows == gRows && fRows.size == 100,
+      s"grouped band read diverged: ${gRows.size} vs ${fRows.size}")
+    val flatBytes = org.apache.spark.util.SizeEstimator.estimate(
+      fStore.manifest(spark).collect())
+    val ixBytes = org.apache.spark.util.SizeEstimator.estimate(
+      gStore.groupedManifest.index(spark).collect())
+    val ixRows = gStore.groupedManifest.index(spark).count()
+    // one grouped maintenance job on the accreted table: compactRange
+    // the first half of the increments (their groups retire into one)
+    val gcrT2 = t { gStore.compactRange(spark,
+      Map("doc_id" -> (0L: Any, (nInc / 2 * 1000L - 1L): Any)),
+      targetFileBytes = 256L << 20) }
+    val ixRowsAfter = gStore.groupedManifest.index(spark).count()
+    System.err.println(
+      f"[ps] multi-increment ($nInc increments, $fFiles files): " +
+        f"flat last_append=$fLastW%.3f s gate_read=$fGate%.3f s " +
+        f"band_read=$fBand%.3f s driver_bytes=$flatBytes | " +
+        f"grouped last_append=$gLastW%.3f s gate_read=$gGate%.3f s " +
+        f"band_read=$gBand%.3f s index_rows=$ixRows " +
+        f"index_bytes=$ixBytes compact_range_half=$gcrT2%.3f s " +
+        f"(-> $ixRowsAfter index rows; band reads row-identical)")
     spark.stop()
   }
 }
