@@ -217,6 +217,52 @@ class GroupedManifestSpec extends SparkSpec {
     assert(e3.getMessage.contains("no groups"), e3.getMessage)
   }
 
+  test("applyBatch: a drops/rewrites/adds transition equals the equivalent single-group ops with ONE index swap; refusals pinned") {
+    val tmp = java.nio.file.Files.createTempDirectory("gm_batch").toString
+    val table = s"$tmp/t"
+    val dayFiles = accrete(table)
+    // two roots, same accreted state: one transitions via applyBatch,
+    // the oracle via the equivalent per-group op sequence
+    val batch = GroupedManifest(s"$tmp/m_batch", Seq("doc_id"))
+    val oracle = GroupedManifest(s"$tmp/m_oracle", Seq("doc_id"))
+    for (g <- Seq(batch, oracle); (fs, d) <- dayFiles.zipWithIndex)
+      g.writeGroup(spark, s"day$d", fs)
+
+    // transition: drop day0, rewrite day1 to HALF its files, add day3
+    // over day0's files (a compaction-like reshuffle of ownership)
+    val day1Half = dayFiles(1).take(1)
+    batch.applyBatch(spark, drops = Seq("day0"),
+      rewrites = Map("day1" -> day1Half),
+      adds = Map("day3" -> dayFiles(0)))
+    oracle.dropGroup(spark, "day0")
+    oracle.rewriteGroup(spark, "day1", day1Half)
+    oracle.writeGroup(spark, "day3", dayFiles(0))
+    assert(batch.index(spark).collect().map(_.toString).sorted.toSeq ==
+      oracle.index(spark).collect().map(_.toString).sorted.toSeq,
+      "batched transition must equal the per-group op sequence")
+    for (g <- Seq("day1", "day2", "day3"))
+      assert(batch.groupManifest(spark, g).collect()
+        .map(_.toString).sorted.toSeq ==
+        oracle.groupManifest(spark, g).collect()
+          .map(_.toString).sorted.toSeq, s"group $g manifest diverged")
+    // the dropped group's manifest is gone from disk on both
+    val fsys = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/m_batch/groups/day0.parquet")))
+
+    // refusals: overlapping sets, unknown rewrite, duplicate add
+    val eOverlap = intercept[IllegalArgumentException](
+      batch.applyBatch(spark, Seq("day2"), Map("day2" -> dayFiles(2)), Map()))
+    assert(eOverlap.getMessage.contains("only one of"), eOverlap.getMessage)
+    val eUnknown = intercept[IllegalArgumentException](
+      batch.applyBatch(spark, Seq(), Map("nosuch" -> dayFiles(2)), Map()))
+    assert(eUnknown.getMessage.contains("unknown group"), eUnknown.getMessage)
+    val eDup = intercept[IllegalArgumentException](
+      batch.applyBatch(spark, Seq(), Map(), Map("day2" -> dayFiles(2))))
+    assert(eDup.getMessage.contains("existing group"), eDup.getMessage)
+  }
+
   test("buildGrouped: one-scan bulk adoption equals incremental accretion row-for-row, prunes with flat parity, refuses an occupied root") {
     val tmp = java.nio.file.Files.createTempDirectory("gm_bulk").toString
     val table = s"$tmp/t"
