@@ -70,14 +70,17 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     GroupedManifest(manifestPath, statsCols)
 
   /** Store-created groups are `inc_NNNNNN`; the next sequence number is
-    * parsed from the index's group names (O(groups) driver work). */
+    * parsed from the index's group names (O(groups) driver work).
+    * Anchored to WHOLE store-owned names (r19 ADVICE): a caller-created
+    * group merely containing the substring (`reinc_12`,
+    * `sync_inc_999999`) must not perturb the store's sequence. */
   private def nextGroupName(spark: SparkSession): String = {
-    val gm = groupedManifest
-    val pat = "inc_(\\d+)".r
+    val pat = "^inc_(\\d+)$".r
     val seqs =
-      if (!gm.indexExists(spark)) Seq.empty
-      else gm.groupNames(spark).flatMap(n =>
-        pat.findFirstMatchIn(n).map(_.group(1).toLong))
+      if (!groupedManifest.indexExists(spark)) Seq.empty
+      else groupedManifest.groupNames(spark).collect {
+        case pat(n) => n.toLong
+      }
     f"inc_${seqs.foldLeft(-1L)(math.max) + 1}%06d"
   }
 
@@ -634,6 +637,25 @@ final case class IncrementStore(tablePath: String, manifestPath: String,
     // retired group — quadratic in groups for a bulk compaction)
     if (d.nonEmpty || rw.nonEmpty || adds.nonEmpty) {
       gm.applyBatch(spark, d, rw, adds); ()
+    }
+    // r19 ADVICE (high) — convergence across a mutation's OWN crash
+    // window: a crash after applyBatch/writeGroup landed its group
+    // manifests but before the staged index write leaves the manifests
+    // in full agreement with disk, so every disk-derived fixup above is
+    // empty and only the index is stale (stale rollups for rewritten
+    // groups, missing rows for added ones) — a state requireFresh then
+    // refuses forever while re-running this method changes nothing.
+    // Verify index <-> manifest agreement per group (the batched
+    // identity read is this path's budget) and re-roll the index from
+    // the manifests when they disagree — one staged write, idempotent.
+    val stale = gm.indexDisagreement(spark)
+    if (stale.nonEmpty) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"increment store: index rollups disagreed with the group " +
+          s"manifests for group(s) [${stale.mkString(", ")}] (a prior " +
+          "mutation's staged index write did not land) — rebuilding " +
+          "the index from the manifests")
+      gm.rebuildIndex(spark); ()
     }
   }
 }

@@ -622,6 +622,87 @@ class CurationStorageSpec extends SparkSpec {
     checkBand(100L, 599L, "after post-recovery append")
   }
 
+  test("IncrementStore(grouped): a crash between a mutation's group-manifest writes and its staged index write — recover() restores a green gate (r19 ADVICE, high); caller group names cannot perturb the inc_ sequence") {
+    import graft.sources.IncrementStore
+    val tmp = java.nio.file.Files.createTempDirectory("store_staleix").toString
+    val store = IncrementStore(s"$tmp/verdicts", s"$tmp/meta",
+      filesPerIncrement = 2, grouped = true)
+    val gm = store.groupedManifest
+    def day(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    def allRows(): Seq[String] = spark.read.parquet(s"$tmp/verdicts")
+      .collect().map(_.toString).sorted.toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    val ixPath = new org.apache.hadoop.fs.Path(s"$tmp/meta/_index.parquet")
+    val saved = new org.apache.hadoop.fs.Path(s"$tmp/ix_saved")
+    def saveIx(): Unit = {
+      fs.delete(saved, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, ixPath, fs, saved, false, conf)
+      ()
+    }
+    def restoreIx(): Unit = {
+      fs.delete(ixPath, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs, ixPath, false, conf)
+      ()
+    }
+
+    store.writeIncrement(day(100 until 120))
+    store.writeIncrement(day(200 until 220))
+
+    // ---- window A: writeIncrement's writeGroup crash — the new
+    // group's manifest landed, its index row did not ----
+    saveIx()
+    store.writeIncrement(day(300 until 330))
+    val expectA = allRows()
+    restoreIx()
+    assert(gm.auditDrift(spark, s"$tmp/verdicts").isEmpty,
+      "manifests agree with disk — the disk-derived fixups are blind here")
+    assert(gm.indexDisagreement(spark) == Seq("inc_000002"))
+    val eA = intercept[IllegalArgumentException](store.readAll(spark))
+    assert(eA.getMessage.contains("stale"), eA.getMessage)
+    store.recover(spark)
+    assert(store.readAll(spark).collect().map(_.toString).sorted.toSeq
+      == expectA, "recovered reads must be row-exact")
+    gm.requireFresh(spark, s"$tmp/verdicts", strict = true)
+
+    // ---- window B: a deleteRows reconciliation crash — the dirty
+    // group's manifest rewritten, the index write never landed ----
+    saveIx()
+    val stats = store.deleteRows(spark, "doc_id",
+      (205L until 210L).map(x => x: Any))
+    assert(stats.rowsDeleted == 5)
+    val expectB = allRows()
+    restoreIx()
+    assert(gm.auditDrift(spark, s"$tmp/verdicts").isEmpty)
+    assert(gm.indexDisagreement(spark).nonEmpty)
+    intercept[IllegalArgumentException](
+      store.readRange(spark, Map("doc_id" -> (200L: Any, 299L: Any))))
+    store.recover(spark)
+    assert(store.readAll(spark).collect().map(_.toString).sorted.toSeq
+      == expectB)
+    gm.requireFresh(spark, s"$tmp/verdicts", strict = true)
+    // recover() is idempotent here like everywhere: a second run is a
+    // no-op on the already-consistent state
+    store.recover(spark)
+    assert(gm.indexDisagreement(spark).isEmpty)
+
+    // ---- the anchored inc_ sequence (r19 ADVICE, low): a caller group
+    // whose name merely CONTAINS inc_<digits> must not perturb it ----
+    day(900 until 905).write.mode("append").parquet(s"$tmp/verdicts")
+    val registered = gm.unionManifest(spark).select(col("_file")).collect()
+      .map(r => Manifest.normalize(r.getString(0))).toSet
+    val foreign = Manifest.listDataFiles(spark, s"$tmp/verdicts")
+      .map(_._1).filterNot(f => registered(Manifest.normalize(f)))
+    gm.writeGroup(spark, "sync_inc_999999", foreign)
+    store.writeIncrement(day(400 until 410))
+    assert(gm.groupNames(spark).contains("inc_000003"),
+      s"sequence must ignore non-store names: ${gm.groupNames(spark)}")
+    assert(!gm.groupNames(spark).contains("inc_1000000"))
+    assert(store.readRange(spark, Map("doc_id" -> (400L: Any, 409L: Any)))
+      .count() == 10)
+  }
+
   test("store lifecycle fuzz: random write/delete/compactRange/compact sequences match an in-memory model (6 seeds)") {
     import graft.sources.IncrementStore
     // model-based check over the WHOLE mutation surface the round added:

@@ -175,22 +175,35 @@ class GroupedManifestSpec extends SparkSpec {
     val ixBefore = gm.index(spark).collect().map(_.toString).sorted.toSeq
 
     // crash window: staged index committed, final deleted, rename never
-    // ran — the read path must adopt the committed staged copy
+    // ran — a READER prefers the committed staged copy WITHOUT touching
+    // disk (r19 ADVICE: reads must not mutate the metadata dir); the
+    // next MUTATION adopts it
     fsys.rename(ixPath, stPath)
-    assert(gm.indexExists(spark), "heal must adopt the committed staged index")
+    assert(gm.indexExists(spark), "reader must see the committed staged index")
     assert(gm.index(spark).collect().map(_.toString).sorted.toSeq == ixBefore)
-    assert(!fsys.exists(stPath), "adopted staged index must be renamed away")
+    assert(fsys.exists(stPath) && !fsys.exists(ixPath),
+      "a pure read must not rename/delete anything (r19 ADVICE)")
+    gm.requireFresh(spark, table) // reads through the staged copy too
+    gm.rewriteGroup(spark, "day2", dayFiles(2)) // a mutation adopts it
+    assert(!fsys.exists(stPath) && fsys.exists(ixPath),
+      "mutation entry must adopt the committed staged index")
+    assert(gm.index(spark).collect().map(_.toString).sorted.toSeq == ixBefore,
+      "same files re-scanned -> identical rollups")
 
     // crash window: staged write died BEFORE its commit (_SUCCESS absent)
-    // — the final index is still the truth; the partial stage is dropped
+    // — the final index is still the truth; readers ignore the partial
+    // stage (read-only), the next mutation drops it
     fsys.mkdirs(stPath)
     val junk = fsys.create(new org.apache.hadoop.fs.Path(stPath,
       "part-00000.parquet"), true)
     junk.write(Array[Byte](1, 2, 3)); junk.close()
     assert(gm.indexExists(spark))
-    assert(!fsys.exists(stPath), "uncommitted staged index must be dropped")
+    assert(fsys.exists(stPath), "a pure read leaves the dead stage in place")
     assert(gm.index(spark).collect().map(_.toString).sorted.toSeq == ixBefore)
     gm.requireFresh(spark, table)
+    gm.rewriteGroup(spark, "day2", dayFiles(2))
+    assert(!fsys.exists(stPath), "mutation entry must drop the dead stage")
+    assert(gm.index(spark).collect().map(_.toString).sorted.toSeq == ixBefore)
 
     // lost index (out-of-band): consulting or extending the manifest
     // refuses NAMING rebuildIndex — writeGroup's create branch would
@@ -215,6 +228,68 @@ class GroupedManifestSpec extends SparkSpec {
     (0 until 3).foreach(d => gm.dropGroup(spark, s"day$d"))
     val e3 = intercept[IllegalArgumentException](gm.requireFresh(spark, table))
     assert(e3.getMessage.contains("no groups"), e3.getMessage)
+  }
+
+  test("stale-index crash window (r19 ADVICE, high): manifests agree with disk, only the index is stale — auditDrift is EMPTY, indexDisagreement names the group, the refusal names rebuildIndex, rebuildIndex converges") {
+    val tmp = java.nio.file.Files.createTempDirectory("gm_staleix").toString
+    val table = s"$tmp/t"
+    val dayFiles = accrete(table)
+    val gm = GroupedManifest(s"$tmp/m", Seq("doc_id"))
+    dayFiles.zipWithIndex.foreach { case (fs, d) =>
+      gm.writeGroup(spark, s"day$d", fs)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    val ixPath = new org.apache.hadoop.fs.Path(s"$tmp/m/_index.parquet")
+    val saved = new org.apache.hadoop.fs.Path(s"$tmp/ix_saved")
+    org.apache.hadoop.fs.FileUtil.copy(fsys, ixPath, fsys, saved, false, conf)
+
+    // a data file's identity changes (in-place rewrite: mtime bumps) and
+    // the group manifest is brought forward — then the crash sim: the
+    // pre-mutation index is restored, exactly the state a crash between
+    // a mutation's Manifest.write calls and its staged writeIndex leaves
+    val victim = new org.apache.hadoop.fs.Path(
+      new java.net.URI(dayFiles(0).head))
+    fsys.setTimes(victim,
+      fsys.getFileStatus(victim).getModificationTime + 7000, -1)
+    gm.rewriteGroup(spark, "day0", dayFiles(0))
+    gm.requireFresh(spark, table, strict = true)
+    fsys.delete(ixPath, true)
+    org.apache.hadoop.fs.FileUtil.copy(fsys, saved, fsys, ixPath, false, conf)
+
+    // the disk-derived attribution CANNOT see this state: the group
+    // manifests already agree with disk
+    assert(gm.auditDrift(spark, table).isEmpty,
+      "manifests agree with disk — auditDrift must be empty")
+    assert(gm.indexDisagreement(spark) == Seq("day0"))
+    // reads refuse loudly and the message routes to the real fix
+    val e = intercept[IllegalArgumentException](gm.requireFresh(spark, table))
+    assert(e.getMessage.contains("rebuildIndex"), e.getMessage)
+    gm.rebuildIndex(spark)
+    gm.requireFresh(spark, table, strict = true)
+    assert(gm.indexDisagreement(spark).isEmpty)
+
+    // the added-group flavor of the same window: a new group's manifest
+    // landed, its index row did not (simulated: register out-of-band
+    // files as a group, then restore the pre-mutation index)
+    val before = Manifest.listDataFiles(spark, table).map(_._1).toSet
+    Layout.appendClustered(Seq((950L, "y")).toDF("doc_id", "text"),
+      table, 1, "doc_id")
+    val newFiles = Manifest.listDataFiles(spark, table).map(_._1)
+      .filterNot(before)
+    fsys.delete(saved, true)
+    org.apache.hadoop.fs.FileUtil.copy(fsys, ixPath, fsys, saved, false, conf)
+    gm.writeGroup(spark, "day3", newFiles)
+    fsys.delete(ixPath, true)
+    org.apache.hadoop.fs.FileUtil.copy(fsys, saved, fsys, ixPath, false, conf)
+    assert(gm.auditDrift(spark, table).isEmpty,
+      "the new group's manifest claims the new files — auditDrift empty")
+    assert(gm.indexDisagreement(spark) == Seq("day3"))
+    intercept[IllegalArgumentException](gm.requireFresh(spark, table))
+    gm.rebuildIndex(spark)
+    gm.requireFresh(spark, table, strict = true)
+    assert(gm.prune(spark, Map("doc_id" -> (950L, 950L))).toSet ==
+      newFiles.toSet)
   }
 
   test("applyBatch: a drops/rewrites/adds transition equals the equivalent single-group ops with ONE index swap; refusals pinned") {
