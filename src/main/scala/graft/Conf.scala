@@ -64,6 +64,37 @@ object Conf {
   val tuned: Map[String, String] = Map(
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // r20 (guide §3.1/§9): allow the planner to pick shuffled-hash join
+    // where its size conditions hold instead of always preferring
+    // sort-merge — the SMJ sites on this surface (dedup pair attach,
+    // curation label joins, q_upsert) sort array/text payload rows whose
+    // order the join never needs. This is a PREFERENCE, not a force: the
+    // planner still requires the build side to fit its per-partition hash
+    // map bound (autoBroadcastJoinThreshold × shuffle.partitions) and
+    // falls back to sort-merge otherwise, and AQE skew-split continues to
+    // apply. Measured r20 (sf0.1/32c, med-of-5): dedup_canonical_best
+    // 0.85→0.60 s, pipeline_curation ~1.3→0.87 s, q_upsert 0.42→0.26 s;
+    // dedup_minhash/dedup_ngram flat. Oracle hashes identical (89/89).
+    "spark.sql.join.preferSortMergeJoin" -> "false",
+    // r20 (guide §2.2/§2.5): AQE's byte-based partition coalescing
+    // serializes CPU-dense post-shuffle work on small-BYTE exchanges —
+    // the fuzzy-join candidate set (≈380k id-pair rows ≈ 3 MB) coalesced
+    // to 2 partitions under the default 1 MB floor, so the Levenshtein
+    // verify ran on 2 cores of 32 (measured: ~2.4 s of fuzzy_pairs' wall
+    // was this one stage). 256 KB lowers the coalescing target toward
+    // totalBytes/parallelism for such shuffles while still merging the
+    // genuinely tiny ones — the measured sweet spot: a 64 KB floor bought
+    // fuzzy_pairs another ~0.2 s but taxed ~90 small window/agg queries
+    // ~0.1-0.2 s each in extra per-task overhead (clean-window med-of-5
+    // A/B at 64KB/256KB/1MB on ts_sessionize, ts_sample,
+    // ts_fourier_features, q_topk_per_group, ts_rul_validation,
+    // q_top_words: 256 KB ≈ 1 MB on all six, fuzzy_pairs 2.63→2.07 s).
+    // Scale note: this is the parallelismFirst=true (default) code path
+    // only; the cluster profile below sets parallelismFirst=false, where
+    // coalescing follows advisoryPartitionSizeInBytes and this floor is
+    // inert — so the knob fixes the CPU-per-byte-heavy small-shuffle
+    // case without changing the 100 TB byte-sizing story.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "256KB",
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     // the comparison is against the COLUMN-PRUNED scan estimate, so even a
     // multi-MB fact file can present well under 1MB once projected — 64KB

@@ -16,10 +16,33 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** Load `table` with any top-level TIMESTAMP_NTZ column re-read as a µs
+    * TIMESTAMP whose instant is the stored wall clock read as UTC — the
+    * same value [[ntzAsUtcInstant]] computes (the parquet int64 micros
+    * pass through unchanged, so this is session-timezone-independent like
+    * the expression form), but applied through the READER SCHEMA instead
+    * of a projection. The difference is plan shape, not values: a filter
+    * on the column now reaches the scan as a parquet pushdown predicate
+    * (PushedFilters gains the comparison, enabling row-group min/max
+    * skipping — the r20 optimization-round q3_join plans showed the
+    * projection form reduced pushdown to bare IsNotNull), and no per-row
+    * timestampdiff/timestamp_micros conversion runs. Value parity with
+    * the expression form is pinned by TablesSpec. */
+  private def loadNtzAsUtc(spark: SparkSession, sfDir: String,
+                           table: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+    val raw = load(spark, sfDir, table)
+    if (!raw.schema.exists(_.dataType == TimestampNTZType)) raw
+    else spark.read.schema(StructType(raw.schema.map {
+      case f if f.dataType == TimestampNTZType => f.copy(dataType = TimestampType)
+      case f => f
+    })).parquet(s"$sfDir/$table.parquet")
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   =
-    ntzAsUtcInstant(load(spark, sfDir, "lineitem"), "l_shipdate")
+    loadNtzAsUtc(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     =
-    ntzAsUtcInstant(load(spark, sfDir, "orders"), "o_orderdate")
+    loadNtzAsUtc(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
@@ -35,7 +58,16 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(load(spark, sfDir, "events"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    load(spark, sfDir, "events").schema("ts").dataType match {
+      // untagged-µs form: reader-schema swap (see loadNtzAsUtc) so ts
+      // predicates stay pushdown-eligible and no per-row rewrite runs
+      case TimestampNTZType => loadNtzAsUtc(spark, sfDir, "events")
+      // legacy TIMESTAMP(NANOS)-as-long form: the expression rewrite is
+      // unavoidable (ns→µs integer division per row)
+      case LongType => normalizeEventTs(load(spark, sfDir, "events"))
+      case _ => load(spark, sfDir, "events")
+    }
   }
 
   /** ts → µs TIMESTAMP (instant = stored wall clock as UTC), whatever the

@@ -166,8 +166,34 @@ object FuzzyJoin {
     // len ≥ q(d+1) — i.e. above the same shortMax that routes
     // everything else here.
     val pfxLen = maxDist * q + 1
+    // r20: the gram path only ever EMITS pairs with
+    // `greatest(len_a, len_b) > gramFloor` (the band-partition predicate
+    // in the gramIds join below), and a string with
+    // `len <= gramFloor - maxDist` can never be in such a pair: its
+    // partner would need `len > gramFloor`, putting the length gap above
+    // maxDist — already not a match. Filtering both gram-side inputs to
+    // `len > gramFloor - maxDist` therefore drops only rows that cannot
+    // reach the join output (candidates unchanged, completeness intact —
+    // the prefix-filter lemma needs ONE shared total gram order, and the
+    // (df, gram) order over the filtered universe is still one shared
+    // order; rarity only steers efficiency). The practical effect: on
+    // domains that live entirely inside the deletion band (every string
+    // ≤ delMax — the gated fuzzy_pairs customer-name domain), the entire
+    // gram subtree (two explodes, the shared freq table, two SmallestK
+    // aggregations) now runs on zero rows instead of the full corpus.
+    // Note gramFloor - maxDist ≥ q − 1, so this subsumes the old
+    // `len >= q` has-a-gram guard. (delMax/gramFloor are hoisted above
+    // the gram path for this filter; the deletion band's rationale lives
+    // on its own block below.)
+    val delMax = maxDist match {
+      case 0 => Int.MaxValue
+      case 1 => 64
+      case 2 => 24
+      case _ => -1
+    }
+    val gramFloor = math.max(shortMax, delMax)
     def gramSet(df: DataFrame, side: String): DataFrame =
-      df.filter(col(s"len_$side") >= q)
+      df.filter(col(s"len_$side") > lit(gramFloor - maxDist))
         .select(col(s"id_$side"), col(s"len_$side"),
           explode(array_distinct(transform(
             sequence(lit(0), col(s"len_$side") - q),
@@ -206,12 +232,8 @@ object FuzzyJoin {
     // the band is capped at delMax where that stays small; longer
     // strings keep the prefix path, whose gram diversity grows with
     // length. d = 0 degenerates to an exact hash join over everything.
-    val delMax = maxDist match {
-      case 0 => Int.MaxValue
-      case 1 => 64
-      case 2 => 24
-      case _ => -1
-    }
+    // (delMax itself is defined above the gram path, which derives its
+    // input length floor from it.)
     // One plain (hashed-variant) equi-join. A positional refinement —
     // tagging each d=1 variant with its deleted index so substitution
     // candidates join on (variant, index) — was built and MEASURED OUT:
@@ -251,8 +273,8 @@ object FuzzyJoin {
 
     // prefix path covers the pairs above the deletion band (all pairs
     // when the band is inactive, d ≥ 3); the two bands partition on the
-    // same max-length test, so nothing emits twice
-    val gramFloor = math.max(shortMax, delMax)
+    // same max-length test (gramFloor, defined with the gram path above),
+    // so nothing emits twice
     val gramIds =
       if (delMax == Int.MaxValue) None // d = 0: deletion band covers all
       else Some(prefix(lgs, "a").join(prefix(rgs, "b"),

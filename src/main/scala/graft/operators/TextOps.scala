@@ -34,13 +34,16 @@ object TextOps {
   def qualityScore(docs: DataFrame, textCol: String,
                    stopwords: Seq[String]): DataFrame = {
     val t = col(textCol)
-    val toks = wsTokens(t)
+    // same single-tokenize rationale as langId (r20): nTok, the stopword
+    // filter and the mean-word-length fold each consumed the split —
+    // materialize it once
+    val toks = col("_toks")
     val nAlpha = regexp_count(t, lit("[A-Za-z]"))
     val nPunct = regexp_count(t, lit("[.,;:!?'\"()-]"))
     val nTok = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, tk => array_contains(stopArr, tk)))
-    docs.select(
+    docs.withColumn("_toks", wsTokens(t)).select(
         col("doc_id"),
         length(t).as("n_chars"),
         nTok.as("n_tokens"),
@@ -83,13 +86,20 @@ object TextOps {
     * profile method at Spark scale. */
   def langId(docs: DataFrame, textCol: String,
              lexicons: Map[String, Seq[String]]): DataFrame = {
-    val toks = wsTokens(col(textCol))
+    // tokenize ONCE into a materialized column: each lexicon's score
+    // consumes the token array twice (filter + size), so the inline form
+    // re-ran the split regex 2·|lexicons|+ times per row — HOF consumers
+    // are interpreted (no codegen CSE across them). Project collapse
+    // keeps a non-cheap multi-consumer alias materialized (r20; the
+    // fingerprint operator's scaladoc documents the same property).
+    val toks = col("_toks")
     val scoreCols = lexicons.toSeq.sortBy(_._1).map { case (lang, words) =>
       val arr = array(words.map(lit): _*)
       round(size(filter(toks, t => array_contains(arr, t))).cast("double") /
         greatest(size(toks), lit(1)), 6).as(s"score_$lang")
     }
-    val scored = docs.select(col("doc_id") +: scoreCols: _*)
+    val scored = docs.withColumn("_toks", wsTokens(col(textCol)))
+      .select(col("doc_id") +: scoreCols: _*)
     val langs = lexicons.keys.toSeq.sorted
     val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
       .reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Pins the r20 reader-schema form of the NTZ→UTC-instant normalization:
+  * values byte-identical to the expression form ([[Tables.ntzAsUtcInstant]])
+  * it replaced on the loader path, output type unchanged, and the plan
+  * property the swap exists for — timestamp predicates reaching the parquet
+  * scan as pushdown filters instead of dying on a derived column. */
+class TablesSpec extends SparkSpec {
+
+  test("loader ts columns: reader-schema form == expression form, byte-exact") {
+    for ((table, c) <- Seq(("lineitem", "l_shipdate"), ("orders", "o_orderdate"),
+                           ("events", "ts"))) {
+      val viaSchema = Tables.load(spark, sf, table) match {
+        case _ => // loader dispatch under test
+          (table match {
+            case "lineitem" => Tables.lineitem(spark, sf)
+            case "orders"   => Tables.orders(spark, sf)
+            case _          => Tables.events(spark, sf)
+          })
+      }
+      assert(viaSchema.schema(c).dataType == TimestampType,
+        s"$table.$c must surface as µs TIMESTAMP")
+      val viaExpr = Tables.ntzAsUtcInstant(Tables.load(spark, sf, table), c)
+      val a = viaSchema.select(col(c)).withColumn("us", unix_micros(col(c)))
+      val b = viaExpr.select(col(c)).withColumn("us", unix_micros(col(c)))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$table.$c: reader-schema values diverge from the expression form")
+    }
+  }
+
+  test("ts predicates on loader columns reach the scan as pushed filters") {
+    val plan = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < Tables.utcTs("1996-06-01"))
+      .queryExecution.executedPlan.toString
+    // the pre-r20 projection form pushed only IsNotNull; the reader-schema
+    // form must push the comparison itself
+    assert(plan.contains("LessThan(o_orderdate"),
+      s"o_orderdate comparison not pushed to the scan:\n${plan.take(1500)}")
+  }
+}
