@@ -39,11 +39,64 @@ object Tables {
     })).parquet(s"$sfDir/$table.parquet")
   }
 
+  /** Ceiling for the tiny-input rebalance below: a table at most this
+    * big may pay one extra round-robin exchange to unblock map-side
+    * parallelism; anything larger keeps its scan partitioning. */
+  private val RebalanceMaxBytes: Long = 256L << 20
+
+  // one decision per (session, table path): the probe plans a physical
+  // scan (file listing + split planning), which is not free to repeat on
+  // every query construction
+  private val rebalanceCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+
+  /** Rebalance for UNDER-SPLIT tiny inputs whose downstream map kernels
+    * are CPU-heavy (guide §2; the round brief's "derive partitioning from
+    * input size, not a constant tuned for local mode or the cluster"). A
+    * parquet file with one row group yields exactly one scan task
+    * regardless of `files.maxPartitionBytes` (row groups are
+    * unsplittable), so a map-side kernel over it — tokenizers, shingle
+    * hash families, the ~170× fuzzy deletion-band explode — serializes on
+    * one core while the other N−1 idle; the driver testdata ships every
+    * table in exactly that layout. When the planned scan parallelism is
+    * below the session default AND the table is tiny
+    * (≤ [[RebalanceMaxBytes]]), insert ONE hash repartition on the
+    * table's natural unique key: deterministic per row (so no
+    * sort-before-repartition pass — the r20 blanket ROUND-ROBIN attempt
+    * measured that hidden whole-row sort at ~+0.6 s on EVERY query's
+    * single scan task and was rolled back for this form), unique (so no
+    * skew), and the moved payload is bounded-tiny. At production scale
+    * (many files / many row groups) the partition count clears the bound
+    * and this is the identity — the condition derives from the input.
+    * Applied ONLY to the tables whose per-row kernels dominate their
+    * scans (documents: text kernels; customer: the fuzzy explode) — for
+    * the fact tables the map work between scan and first shuffle is too
+    * cheap to buy back an extra exchange of the full payload, measured
+    * not guessed (q1_agg 0.2→1.2 s under the blanket form). Filters and
+    * column pruning push through a RepartitionByExpression node, so
+    * PushedFilters/ReadSchema at the scan are unchanged (TablesSpec pins
+    * the pushdown). */
+  private def rebalanceTiny(spark: SparkSession, df: DataFrame,
+                            path: String, key: String): DataFrame = {
+    val para = spark.sparkContext.defaultParallelism
+    val doIt = rebalanceCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, path),
+      _ => df.rdd.getNumPartitions < para &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= RebalanceMaxBytes)
+    if (doIt) df.repartition(para, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   =
     loadNtzAsUtc(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     =
     loadNtzAsUtc(spark, sfDir, "orders")
-  def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")
+  // customer feeds the fuzzy join's ~170× deletion-band explode, so its
+  // scan parallelism is amplified; the pure dims (supplier/part/nation/
+  // region) are broadcast-sized with no map-side work worth an exchange
+  def customer(spark: SparkSession, sfDir: String): DataFrame   =
+    rebalanceTiny(spark, load(spark, sfDir, "customer"),
+      s"$sfDir/customer.parquet", "c_custkey")
   def supplier(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
@@ -100,6 +153,20 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
+
+  /** [[documents]] with the tiny-input rebalance — for consumers whose
+    * per-row map KERNEL dominates the scan (md5 shingle sets, the
+    * Stupid-Backoff gate scorer, multi-regex redaction/quality/langid
+    * chains). Light-map consumers (single md5, split-and-count, id
+    * hashing) keep the plain loader: for them the extra exchange of the
+    * text payload costs more than one core's worth of map work saves —
+    * measured per query in the r20 bench A/B, not assumed (dedup_minhash
+    * 1.2→0.9 s, dedup_ngram 0.9→0.5, curation_gate 0.7→0.3, text_pii
+    * 0.5→0.2 with the rebalance vs dedup_exact 0.2→0.6, doc_stratified
+    * 0.3→0.8 under a blanket one). */
+  def documentsKernel(spark: SparkSession, sfDir: String): DataFrame =
+    rebalanceTiny(spark, load(spark, sfDir, "documents"),
+      s"$sfDir/documents.parquet", "doc_id")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
   /** Session-tz-independent timestamp literal: the given ISO date (or

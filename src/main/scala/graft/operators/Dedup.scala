@@ -998,7 +998,7 @@ object Dedup {
       |FROM documents""".stripMargin
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    minhashProfileMd5(Tables.documents(spark, sfDir), "text")
+    minhashProfileMd5(Tables.documentsKernel(spark, sfDir), "text")
 
   /** DuckDB replay of [[minhashProfileMd5]], hash-exact end to end:
     *  - shingle strings replicate `shingles()` (the dedup_ngram-proven
@@ -1142,7 +1142,7 @@ object Dedup {
     * similar (or hash-coincident) docs collide. The length-band generator
     * survives as the lib-level [[ngramJaccardPairs]] for bounded corpora. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairsMd5(Tables.documents(spark, sfDir), "text", threshold = 0.0)
+    minhashPairsMd5(Tables.documentsKernel(spark, sfDir), "text", threshold = 0.0)
 
   /** DuckDB oracle for [[dedupNgram]]: the shared md5-minhash replay's
     * `pairs` CTE, emitted as-is. */

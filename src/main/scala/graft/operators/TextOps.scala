@@ -144,7 +144,7 @@ object TextOps {
       |FROM documents""".stripMargin
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
-    qualityScore(Tables.documents(spark, sfDir), "text", EnStop)
+    qualityScore(Tables.documentsKernel(spark, sfDir), "text", EnStop)
 
   val textQualitySql: String =
     """SELECT doc_id, n_chars, n_tokens, alpha_ratio, punct_ratio, stop_ratio,
@@ -198,7 +198,7 @@ object TextOps {
   /** Lexicons here are tiny demo profiles; real deployments plug in
     * trained per-language frequency tables. */
   def textLangid(spark: SparkSession, sfDir: String): DataFrame =
-    langId(Tables.documents(spark, sfDir), "text", Map(
+    langId(Tables.documentsKernel(spark, sfDir), "text", Map(
       "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
       "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
@@ -232,7 +232,7 @@ object TextOps {
     * (count/min/max/xor) so the oracle gate can sort and hash the result;
     * [[fingerprint]] keeps the full `array<long>` form (spec-tested). */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    fingerprint(Tables.documents(spark, sfDir), "text")
+    fingerprint(Tables.documentsKernel(spark, sfDir), "text")
       .select(col("doc_id"), col("n_fp").cast("long").as("n_fp"),
         col("fp_min"), col("fp_max"),
         aggregate(col("fingerprints"), lit(0L),
@@ -309,7 +309,7 @@ object TextOps {
     * at sf0.1) but NOT against round()'s half-way boundaries —
     * thresholded reasons are the honest hash-stable surface. */
   def curationGateQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docs = Tables.documentsKernel(spark, sfDir).select(col("doc_id"), col("text"))
     val (lm, bpe) = gateModels(spark, sfDir)
     curationGate(docs, "text", lm, maxPpl = 14.2, bpe = bpe)
       .select(col("doc_id"), col("lm_tokens"), col("gate_reason"))
@@ -729,7 +729,7 @@ object TextOps {
     * doc, IP + SSN + phone on every 7th) so the redaction path is exercised
     * regardless of corpus content. */
   def textPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
-    val dirty = Tables.documents(spark, sfDir).withColumn("dirty",
+    val dirty = Tables.documentsKernel(spark, sfDir).withColumn("dirty",
       concat(col("text"),
         when(pmod(col("doc_id"), lit(3)) === 0,
           lit(" contact j.doe@corp.example or sales+eu@corp.example")).otherwise(lit("")),
@@ -851,7 +851,7 @@ object TextOps {
        |  ELSE [list_aggregate($SqlToks, 'string_agg', ' ')] END)""".stripMargin
 
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionScore(Tables.documents(spark, sfDir), "text")
+    repetitionScore(Tables.documentsKernel(spark, sfDir), "text")
 
   val textRepetitionSql: String =
     s"""SELECT doc_id, n_ngrams, n_distinct, rep_ratio,

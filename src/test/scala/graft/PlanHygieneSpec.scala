@@ -49,11 +49,18 @@ class PlanHygieneSpec extends SparkSpec {
       // force a shuffle join so the bloom path (not broadcast reuse) applies
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // sf0.01: the fact side must clear the (already lowered) 1MB
-      // application-side scan threshold, which sf0.001 does not
+      // application-side scan threshold, which sf0.001 does not.
+      // Raw reads, not the Tables loaders: this pins the CONF capability
+      // on a production-shaped scan. The loaders' r20 tiny-input
+      // rebalance inserts a Repartition that InjectRuntimeFilter's
+      // application-side pattern does not traverse — by design the
+      // rebalance only fires on under-split TINY tables, exactly where a
+      // bloom pre-filter saves nothing, and is the identity at scale
+      // (TablesSpec pins both loader behaviors).
       val sf01 = "/root/testdata/sf0.01"
-      val orders = Tables.orders(spark, sf01)
+      val orders = spark.read.parquet(s"$sf01/orders.parquet")
         .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
-      val li = Tables.lineitem(spark, sf01)
+      val li = spark.read.parquet(s"$sf01/lineitem.parquet")
       val plan = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .groupBy("o_orderpriority").count()
         .queryExecution.optimizedPlan.toString

@@ -31,6 +31,25 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("loaders rebalance under-split tiny inputs to session parallelism") {
+    // one row group = one scan task no matter the core count; the loader
+    // inserts a round-robin repartition for such tiny inputs so map-side
+    // work parallelizes (identity at scale: many row groups clear the
+    // partition-count condition)
+    val para = spark.sparkContext.defaultParallelism
+    assert(Tables.documentsKernel(spark, sf).rdd.getNumPartitions == para,
+      "documentsKernel did not rebalance a single-row-group tiny input")
+    // the plain loader stays un-rebalanced (light-map consumers)
+    assert(Tables.documents(spark, sf).rdd.getNumPartitions < para,
+      "plain documents loader unexpectedly repartitioned")
+    // and the rebalance must NOT cost the scan its pushdown (filters push
+    // through a Repartition node)
+    val plan = Tables.documentsKernel(spark, sf)
+      .filter(col("doc_id") > 100L).queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(doc_id,100)"),
+      s"doc_id pushdown lost through the rebalance:\n${plan.take(1200)}")
+  }
+
   test("ts predicates on loader columns reach the scan as pushed filters") {
     val plan = Tables.orders(spark, sf)
       .filter(col("o_orderdate") < Tables.utcTs("1996-06-01"))
