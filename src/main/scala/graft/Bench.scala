@@ -199,16 +199,29 @@ object Bench {
     }
   }
 
-  /** Compact health block for the driver line: `[load, mbs, boot_s]` —
+  /** Compact health block for the driver line:
+    * `[load, mbs, boot_s]` or `[load, mbs, boot_s, wave_reruns]` —
     * 1-min load average (1dp), fresh-page supply MB/s (int), JVM boot
-    * time in whole seconds. Array form, because the no-health 94-query
-    * line sits at 1960 of the 1980-char budget and named keys would push
-    * the per-query map off the driver artifact (see formatLine's ladder).
+    * time in whole seconds, and (only when non-zero) how many queries the
+    * leg's wave re-run pass flagged and re-measured — the r20 verdict's
+    * #4 item: a leg whose in-suite medians were hit by a host throttle
+    * wave now SAYS SO in the one-line JSON, so a cross-round PERF
+    * comparison can be annotated per leg instead of reading 63 false
+    * regressions (the r20 failure mode). Thresholds, for the record:
+    * healthy ≈ load ≤ 2.0 and mbs ≥ 1000 (scaling_report.py's gate);
+    * wave_reruns > 0 means per-query medians may be wave-polluted — the
+    * clean re-run medians are in the forensics file's wave_rerun lines.
+    * The 4th element is omitted when zero so a clean leg's line budget is
+    * unchanged (the full-name 94-query line sits within ~8 chars of the
+    * 1980 budget). Array form, because named keys would push the
+    * per-query map off the driver artifact (see formatLine's ladder).
     * Field order is part of the contract — scaling_report.py's fallback
     * parser and the LineBudgetSpec pins both read it positionally. */
-  def healthJson(load: Double, mbs: Double, bootMs: Long): String = {
+  def healthJson(load: Double, mbs: Double, bootMs: Long,
+                 waveReruns: Int = 0): String = {
     val l = String.format(java.util.Locale.ROOT, "%.1f", Double.box(load))
-    s"""[$l,${mbs.round},${math.round(bootMs / 1000.0)}]"""
+    val w = if (waveReruns > 0) s",$waveReruns" else ""
+    s"""[$l,${mbs.round},${math.round(bootMs / 1000.0)}$w]"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -286,6 +299,17 @@ object Bench {
       tee.log(f"[bench] cluster-index build ${(System.nanoTime() - t0) / 1e9}%.3f s (amortized across dedup_clusters/dedup_canonical_best/pipeline_curation)")
     } catch { case scala.util.control.NonFatal(e) =>
       tee.log(s"[bench] cluster-index build FAILED: $e")
+    }
+    // r21: the md5-shingle session index shared by dedup_minhash /
+    // dedup_ngram — same amortized-session-state protocol as the cluster
+    // index above (built once, cost on the record, bypassed under
+    // SPARK_GRAFT_COLD=1 so cold reps pay the true inline derivation)
+    if (!cold) try {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.md5ShingleIndex(spark, sfDir).count()
+      tee.log(f"[bench] md5-shingle-index build ${(System.nanoTime() - t0) / 1e9}%.3f s (amortized across dedup_minhash/dedup_ngram)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      tee.log(s"[bench] md5-shingle-index build FAILED: $e")
     }
     // same treatment for the curation gate's session-scoped (LM, BPE)
     // models: corpus-snapshot inputs, built once, cost on the record
@@ -435,6 +459,7 @@ object Bench {
     // numbers (they are what actually happened); scaling_report.py
     // prefers the re-run when both are on record and the re-run's own
     // gap sample is clean. Failed queries are not waves; not re-run.
+    var waveReruns = 0
     try {
       val gapVals = traces.values.map(_._1).toSeq.sorted
       val medGapAll =
@@ -480,6 +505,7 @@ object Bench {
             }
           }.sorted
           if (reTimes.nonEmpty) {
+            waveReruns += 1
             val m =
               if (reTimes.size % 2 == 1) reTimes(reTimes.size / 2)
               else (reTimes(reTimes.size / 2 - 1) + reTimes(reTimes.size / 2)) / 2.0
@@ -615,7 +641,7 @@ object Bench {
       // at sf10), which inflates the TRUE pair count quadratically — a
       // generator artifact that measures nothing (the r10 GenScale
       // lesson). The key-derived domain grows linearly with scale.
-      val cust = graft.Tables.customer(spark, sfDir)
+      val cust = graft.Tables.customerKernel(spark, sfDir)
         .select(col("c_custkey").as("id"),
           org.apache.spark.sql.functions.format_string(
             "Customer#%09d", col("c_custkey")).as("s"))
@@ -847,7 +873,7 @@ object Bench {
     }
     val sfName = new java.io.File(sfDir).getName
     val out = formatLine(results, failed, sfName,
-      if (hMbs > 0) Some(healthJson(hLoad, hMbs, hBoot)) else None)
+      if (hMbs > 0) Some(healthJson(hLoad, hMbs, hBoot, waveReruns)) else None)
     tee.log(s"[bench] done ${java.time.Instant.now()} total=${results.values.filter(_ > 0).sum}")
     tee.close()
     println(out)

@@ -91,10 +91,21 @@ object Tables {
     loadNtzAsUtc(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     =
     loadNtzAsUtc(spark, sfDir, "orders")
-  // customer feeds the fuzzy join's ~170× deletion-band explode, so its
-  // scan parallelism is amplified; the pure dims (supplier/part/nation/
+  // plain loader: the relational consumers (q3_join, q5_multijoin,
+  // q_semi_anti, q_upsert) do trivial map work between scan and first
+  // join, so an extra exchange of the payload buys nothing (r20 verdict:
+  // the blanket customer rebalance cost q_semi_anti 8→72 tasks and an
+  // extra exchange on q3/q5). The pure dims (supplier/part/nation/
   // region) are broadcast-sized with no map-side work worth an exchange
   def customer(spark: SparkSession, sfDir: String): DataFrame   =
+    load(spark, sfDir, "customer")
+
+  /** [[customer]] with the tiny-input rebalance — ONLY for consumers
+    * whose per-row map kernel dominates the scan (the fuzzy join's ~170×
+    * deletion-band explode). Mirrors the documents/documentsKernel
+    * split: kernel consumers get scan-side parallelism, join-only
+    * consumers keep the plain scan (and its runtime-bloom eligibility). */
+  def customerKernel(spark: SparkSession, sfDir: String): DataFrame =
     rebalanceTiny(spark, load(spark, sfDir, "customer"),
       s"$sfDir/customer.parquet", "c_custkey")
   def supplier(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "supplier")

@@ -186,10 +186,22 @@ object Dedup {
     * both divide the same two integers). */
   def minhashPairsMd5(docs: DataFrame, textCol: String, k: Int = 3,
                       numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7): DataFrame =
+    minhashPairsMd5From(docs.select(col("doc_id"),
+      md5ShingleHashes(col(textCol), k).as("sh")), numHashes, bands, threshold)
+
+  /** [[minhashPairsMd5]] over a PRE-DERIVED (doc_id, sh) frame. The md5
+    * shingle set is this family's dominant map cost and the pair plan
+    * consults it in THREE branches (band buckets + both attach joins);
+    * taking the frame as an input lets a caller that owns a persisted
+    * copy ([[md5ShingleIndex]]) pay the derivation once instead of once
+    * per branch per evaluation — r21, the r20 verdict's #5 item. Values
+    * are unchanged by construction: the inlined form passes the raw
+    * derivation expression and yields the previous plan verbatim. */
+  def minhashPairsMd5From(withSh: DataFrame,
+                          numHashes: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = requireBandScheme(numHashes, bands)
-    val withSh = docs.select(col("doc_id"),
-      md5ShingleHashes(col(textCol), k).as("sh"))
     // band key = the signature slice itself, comma-joined: a string key
     // replays as DuckDB string_agg(... ORDER BY seed) where a hashed key
     // (xxhash64 of the slice) would not
@@ -223,8 +235,18 @@ object Dedup {
     * `dedup_minhash` surface since r9 (the xxhash64 fast path stays the
     * lib default; this one trades ~2× the map-side hash cost for a full
     * DuckDB hash-parity oracle). */
-  def minhashProfileMd5(docs: DataFrame, textCol: String): DataFrame = {
-    val pairs = minhashPairsMd5(docs, textCol, threshold = 0.0)
+  def minhashProfileMd5(docs: DataFrame, textCol: String): DataFrame =
+    minhashProfileMd5From(docs.select(col("doc_id"),
+      md5ShingleHashes(col(textCol), 3).as("sh")))
+
+  /** [[minhashProfileMd5]] over a pre-derived (doc_id, sh) frame — the
+    * profile consults the shingle set in a FOURTH branch (n_shingles),
+    * so the shared-frame win compounds here (see
+    * [[minhashPairsMd5From]]). n_shingles = size(sh) is the same value
+    * the inline form computed (the derivation is deterministic and
+    * row-preserving over docs). */
+  def minhashProfileMd5From(withSh: DataFrame): DataFrame = {
+    val pairs = minhashPairsMd5From(withSh, threshold = 0.0)
     val sym = pairs.select(col("doc_id_a").as("doc_id"),
                   col("doc_id_b").as("match_id"), col("jaccard"))
       .unionByName(pairs.select(col("doc_id_b").as("doc_id"),
@@ -233,8 +255,7 @@ object Dedup {
       .agg(max_by(col("match_id"), struct(col("jaccard"), col("match_id"))).as("best_match_id"),
            max(col("jaccard")).as("best_jaccard"),
            count(lit(1)).as("n_candidates"))
-    docs.select(col("doc_id"),
-        size(md5ShingleHashes(col(textCol), 3)).as("n_shingles"))
+    withSh.select(col("doc_id"), size(col("sh")).as("n_shingles"))
       .join(best, Seq("doc_id"), "left")
   }
 
@@ -979,6 +1000,40 @@ object Dedup {
     }
   }
 
+  /** Session-scoped md5-shingle index: the persisted (doc_id, sh) frame
+    * over the documents corpus that [[dedupMinhash]] and [[dedupNgram]]
+    * share. Their md5-60 shingle derivation is the family's dominant map
+    * cost and appears in FOUR plan branches per profile evaluation (band
+    * buckets, two attach joins, n_shingles); the r20 disposition kept the
+    * recompute-per-branch trade because a lazy gated return cannot own a
+    * per-call persist (the FuzzyJoin PersistHandle lesson). This is the
+    * r20 verdict's prescribed resolution (#5): SESSION ownership, exactly
+    * like [[clusterIndex]] / the curation session states — built once per
+    * (app, sfDir), corpus-snapshot input, the bench pays the build
+    * visibly in its amortized pre-build block, and `SPARK_GRAFT_COLD=1`
+    * bypasses the memo so every cold evaluation pays the true inline
+    * derivation (and reproduces the pre-r21 plan verbatim). */
+  def md5ShingleIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    def derive(): DataFrame =
+      Tables.documentsKernel(spark, sfDir)
+        .select(col("doc_id"), md5ShingleHashes(col("text"), 3).as("sh"))
+    if (coldMode) return derive()
+    shingleCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    val k = (spark.sparkContext.applicationId, sfDir)
+    Option(shingleCache.get(k)).map(_._2).getOrElse {
+      val df = derive()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = shingleCache.putIfAbsent(k, (spark, df))
+      // race loser: drop the duplicate persist registration (nothing was
+      // materialized yet — unpersist of an uncomputed frame is a no-op
+      // beyond deregistration)
+      if (prev != null) { df.unpersist(blocking = false); prev._2 } else df
+    }
+  }
+
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (SparkSession, DataFrame)]()
+
   // ---------- SparkEntry glue ----------
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -998,7 +1053,7 @@ object Dedup {
       |FROM documents""".stripMargin
 
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    minhashProfileMd5(Tables.documentsKernel(spark, sfDir), "text")
+    minhashProfileMd5From(md5ShingleIndex(spark, sfDir))
 
   /** DuckDB replay of [[minhashProfileMd5]], hash-exact end to end:
     *  - shingle strings replicate `shingles()` (the dedup_ngram-proven
@@ -1142,7 +1197,7 @@ object Dedup {
     * similar (or hash-coincident) docs collide. The length-band generator
     * survives as the lib-level [[ngramJaccardPairs]] for bounded corpora. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairsMd5(Tables.documentsKernel(spark, sfDir), "text", threshold = 0.0)
+    minhashPairsMd5From(md5ShingleIndex(spark, sfDir), threshold = 0.0)
 
   /** DuckDB oracle for [[dedupNgram]]: the shared md5-minhash replay's
     * `pairs` CTE, emitted as-is. */

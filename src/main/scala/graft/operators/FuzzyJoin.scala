@@ -342,7 +342,7 @@ object FuzzyJoin {
   def fuzzyPairsQuery(spark: org.apache.spark.sql.SparkSession,
                       sfDir: String): DataFrame =
     fuzzyPairs(
-      graft.Tables.customer(spark, sfDir)
+      graft.Tables.customerKernel(spark, sfDir)
         .filter(col("c_custkey") <= 1200)
         .select(col("c_custkey").as("id"), col("c_name").as("s")),
       "id", "s", maxDist = 2)

@@ -37,13 +37,13 @@ object TextOps {
     // same single-tokenize rationale as langId (r20): nTok, the stopword
     // filter and the mean-word-length fold each consumed the split —
     // materialize it once
-    val toks = col("_toks")
+    val toks = col("__graft_toks")
     val nAlpha = regexp_count(t, lit("[A-Za-z]"))
     val nPunct = regexp_count(t, lit("[.,;:!?'\"()-]"))
     val nTok = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, tk => array_contains(stopArr, tk)))
-    docs.withColumn("_toks", wsTokens(t)).select(
+    docs.withColumn("__graft_toks", wsTokens(t)).select(
         col("doc_id"),
         length(t).as("n_chars"),
         nTok.as("n_tokens"),
@@ -92,13 +92,13 @@ object TextOps {
     // are interpreted (no codegen CSE across them). Project collapse
     // keeps a non-cheap multi-consumer alias materialized (r20; the
     // fingerprint operator's scaladoc documents the same property).
-    val toks = col("_toks")
+    val toks = col("__graft_toks")
     val scoreCols = lexicons.toSeq.sortBy(_._1).map { case (lang, words) =>
       val arr = array(words.map(lit): _*)
       round(size(filter(toks, t => array_contains(arr, t))).cast("double") /
         greatest(size(toks), lit(1)), 6).as(s"score_$lang")
     }
-    val scored = docs.withColumn("_toks", wsTokens(col(textCol)))
+    val scored = docs.withColumn("__graft_toks", wsTokens(col(textCol)))
       .select(col("doc_id") +: scoreCols: _*)
     val langs = lexicons.keys.toSeq.sorted
     val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))

@@ -45,7 +45,7 @@ object ProfileFuzzy {
     // replicates c_name verbatim, which inflates TRUE pairs
     // quadratically — a generator artifact; the key-derived domain
     // grows linearly). See Bench lib_additions4.
-    val cust = graft.Tables.customer(spark, sfDir)
+    val cust = graft.Tables.customerKernel(spark, sfDir)
       .select(col("c_custkey").as("id"),
         format_string("Customer#%09d", col("c_custkey")).as("s"))
     val n = cust.count()

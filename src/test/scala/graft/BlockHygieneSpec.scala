@@ -41,6 +41,10 @@ class BlockHygieneSpec extends SparkSpec {
     // index + increment fixpoint checkpoints and persisted stage frames
     // are sanctioned survivors exactly like the recipe's
     graft.operators.Curation.curationIncrementQuery(spark, sf).count()
+    // r21: the session md5-shingle index (one persisted (doc_id, sh)
+    // frame shared by dedup_minhash / dedup_ngram — the r20 verdict's
+    // #5 item) is sanctioned session state like the above
+    graft.operators.Dedup.md5ShingleIndex(spark, sf).count()
     val baseline = sc.getPersistentRDDs.keySet
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       fn(spark, sf).count()

@@ -80,6 +80,13 @@ class LineBudgetSpec extends AnyFunSuite {
     val results = names.map(_ -> 3.21).toMap
     val health = Bench.healthJson(0.93, 5012.4, 2100)
     assert(health == """[0.9,5012,2]""", health)
+    // r21 (r20 verdict #4): a leg whose wave re-run pass fired carries
+    // the count as a 4th positional element; zero is omitted so a clean
+    // leg's byte budget is unchanged
+    assert(Bench.healthJson(0.93, 5012.4, 2100, waveReruns = 0)
+      == """[0.9,5012,2]""")
+    assert(Bench.healthJson(6.30, 240.0, 330000, waveReruns = 5)
+      == """[6.3,240,330,5]""")
     val line = Bench.formatLine(results, Nil, "sf0.1", Some(health))
     assert(line.length <= 1980, s"len=${line.length}")
     assert(line.contains(""","h":[0.9,5012,2],"sf":"""), line)

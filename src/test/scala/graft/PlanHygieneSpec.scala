@@ -50,17 +50,17 @@ class PlanHygieneSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // sf0.01: the fact side must clear the (already lowered) 1MB
       // application-side scan threshold, which sf0.001 does not.
-      // Raw reads, not the Tables loaders: this pins the CONF capability
-      // on a production-shaped scan. The loaders' r20 tiny-input
-      // rebalance inserts a Repartition that InjectRuntimeFilter's
-      // application-side pattern does not traverse — by design the
-      // rebalance only fires on under-split TINY tables, exactly where a
-      // bloom pre-filter saves nothing, and is the identity at scale
-      // (TablesSpec pins both loader behaviors).
+      // The ACTUAL loaders (r20 ADVICE): orders/lineitem are never
+      // rebalanced (only customerKernel/documentsKernel are — TablesSpec
+      // pins that), so this asserts InjectRuntimeFilter works through the
+      // production read path (loadNtzAsUtc's reader-schema scan), not
+      // just through a bare parquet read. The kernel loaders' Repartition
+      // is the one shape the rule won't traverse — by design it only
+      // fires on under-split TINY tables, where a bloom saves nothing.
       val sf01 = "/root/testdata/sf0.01"
-      val orders = spark.read.parquet(s"$sf01/orders.parquet")
+      val orders = Tables.orders(spark, sf01)
         .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
-      val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      val li = Tables.lineitem(spark, sf01)
       val plan = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .groupBy("o_orderpriority").count()
         .queryExecution.optimizedPlan.toString

@@ -13,13 +13,10 @@ class TablesSpec extends SparkSpec {
   test("loader ts columns: reader-schema form == expression form, byte-exact") {
     for ((table, c) <- Seq(("lineitem", "l_shipdate"), ("orders", "o_orderdate"),
                            ("events", "ts"))) {
-      val viaSchema = Tables.load(spark, sf, table) match {
-        case _ => // loader dispatch under test
-          (table match {
-            case "lineitem" => Tables.lineitem(spark, sf)
-            case "orders"   => Tables.orders(spark, sf)
-            case _          => Tables.events(spark, sf)
-          })
+      val viaSchema = table match {
+        case "lineitem" => Tables.lineitem(spark, sf)
+        case "orders"   => Tables.orders(spark, sf)
+        case _          => Tables.events(spark, sf)
       }
       assert(viaSchema.schema(c).dataType == TimestampType,
         s"$table.$c must surface as µs TIMESTAMP")
@@ -33,15 +30,19 @@ class TablesSpec extends SparkSpec {
 
   test("loaders rebalance under-split tiny inputs to session parallelism") {
     // one row group = one scan task no matter the core count; the loader
-    // inserts a round-robin repartition for such tiny inputs so map-side
-    // work parallelizes (identity at scale: many row groups clear the
-    // partition-count condition)
+    // inserts a hash repartition on the table's natural unique key for
+    // such tiny inputs so map-side work parallelizes (identity at scale:
+    // many row groups clear the partition-count condition)
     val para = spark.sparkContext.defaultParallelism
     assert(Tables.documentsKernel(spark, sf).rdd.getNumPartitions == para,
       "documentsKernel did not rebalance a single-row-group tiny input")
-    // the plain loader stays un-rebalanced (light-map consumers)
+    assert(Tables.customerKernel(spark, sf).rdd.getNumPartitions == para,
+      "customerKernel did not rebalance a single-row-group tiny input")
+    // the plain loaders stay un-rebalanced (light-map/join-only consumers)
     assert(Tables.documents(spark, sf).rdd.getNumPartitions < para,
       "plain documents loader unexpectedly repartitioned")
+    assert(Tables.customer(spark, sf).rdd.getNumPartitions < para,
+      "plain customer loader unexpectedly repartitioned")
     // and the rebalance must NOT cost the scan its pushdown (filters push
     // through a Repartition node)
     val plan = Tables.documentsKernel(spark, sf)

@@ -280,11 +280,14 @@ def health(path, bench_json):
                         "pagetouch_mb_s": int(m.group(2)),
                         "jvm_boot_ms": int(m.group(3))}
     h = bench_json.get("h")
-    if isinstance(h, list) and len(h) == 3:
-        # compact positional form [load(1dp), mbs, boot_s] — the driver
-        # line's 1980-char budget can't afford named keys
+    if isinstance(h, list) and len(h) in (3, 4):
+        # compact positional form [load(1dp), mbs, boot_s(, wave_reruns)]
+        # — the driver line's 1980-char budget can't afford named keys;
+        # the 4th element (r21) is emitted only when the leg's wave
+        # re-run pass fired, i.e. when per-query medians may be polluted
         return {"load_avg": h[0], "pagetouch_mb_s": h[1],
-                "jvm_boot_ms": h[2] * 1000}
+                "jvm_boot_ms": h[2] * 1000,
+                "wave_reruns": h[3] if len(h) == 4 else 0}
     return None
 
 
