@@ -98,20 +98,37 @@ object Curation {
                    maxCompressRatio: Double = Double.MaxValue,
                    nearThreshold: Double = 0.8,
                    spanN: Int = 20, minKeptRatio: Double = 0.3,
-                   embedScreen: Option[EmbedScreen] = None)
+                   embedScreen: Option[EmbedScreen] = None,
+                   pinStages: Boolean = false)
       : (DataFrame, FuzzyJoin.PersistHandle) = {
     require(minKeptRatio >= 0.0 && minKeptRatio <= 1.0,
       s"curate: minKeptRatio $minKeptRatio outside [0, 1]")
     require(nearThreshold > 0.0 && nearThreshold <= 1.0,
       s"curate: nearThreshold $nearThreshold outside (0, 1]")
     val lvl = StorageLevel.MEMORY_AND_DISK
+    // pinStages=true (r21, guide §3.3 "materialising an intermediate
+    // truncates the plan" / the r20 verdict's #6 item): the SESSION-OWNED
+    // callers (curationRecipeQuery) swap the stage persists for eager
+    // localCheckpoints. Values are identical — the same frames are
+    // materialized to the same storage level — but a persisted frame
+    // KEEPS its full logical lineage, so every downstream verdict leg
+    // re-enters analysis/optimization/cache-lookup over the whole
+    // fixpoint history per evaluation (the recipe's executed plan was
+    // ~14k lines; the increment's ~96k — ~1 s/rep of pure driver work on
+    // cached data), while a localCheckpoint truncates each leg's subtree
+    // to a block scan. Per-call users keep persist: their handles' close
+    // frees blocks eagerly (a checkpoint RDD is reclaimed by the
+    // ContextCleaner after GC instead), and a closed persist degrades to
+    // recompute where a freed checkpoint cannot.
+    def pinned(df: DataFrame): DataFrame =
+      if (pinStages) df.localCheckpoint() else df.persist(lvl)
     def reject(ids: DataFrame, from: DataFrame, reason: String): DataFrame =
       from.join(ids, Seq("doc_id")).select(col("doc_id"), col("text"),
         lit(reason).as("curation_reject"))
 
     // standardized working frame — internal names, one column each way
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .persist(lvl)
+    val base = pinned(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
     // stage 0: degenerate text out FIRST. A null document is not a
     // "duplicate" of another null document in any curation sense, and
@@ -131,8 +148,8 @@ object Curation {
     val exact = Dedup.exactKeepFirst(s0, "text")
     val rej1 = reject(exact.filter(col("is_dup") === 1).select("doc_id"),
       s0, "exact_dup")
-    val s1 = s0.join(exact.filter(col("is_dup") === 0).select("doc_id"),
-      Seq("doc_id")).persist(lvl)
+    val s1 = pinned(s0.join(exact.filter(col("is_dup") === 0).select("doc_id"),
+      Seq("doc_id")))
 
     // stage 2: near dedup (eager — dedupClusters runs its label
     // fixpoint at call time, which is why s1 is persisted first)
@@ -149,7 +166,7 @@ object Curation {
     // recipe's most expensive stage — once more per evaluation just to
     // label the gutted docs (r14 plan audit of the 28.5 s sf10 rep).
     val spans = Dedup.duplicatedSpans(s2, "doc_id", "text", n = spanN)
-    val cut = Dedup.cutSpans(s2, spans, "doc_id", "text").persist(lvl)
+    val cut = pinned(Dedup.cutSpans(s2, spans, "doc_id", "text"))
     val rej3 = cut.filter(col("kept_ratio") < minKeptRatio)
       .select(col("doc_id"), col("text_dedup").as("text"),
         lit("boilerplate_gutted").as("curation_reject"))
@@ -160,9 +177,8 @@ object Curation {
     // reason). Persisted for the same two-consumer reason as `cut`: the
     // reject leg and the keeper leg would otherwise each re-run the
     // LM/deflate/BPE kernels over every surviving document.
-    val gated = TextOps.curationGate(s3, "text", lm, maxPpl, bpe,
-      minTokens, maxTokens, minCompressRatio, maxCompressRatio)
-      .persist(lvl)
+    val gated = pinned(TextOps.curationGate(s3, "text", lm, maxPpl, bpe,
+      minTokens, maxTokens, minCompressRatio, maxCompressRatio))
     val rej4 = gated.filter(col("gate_reason").isNotNull)
       .select(col("doc_id"), col("text"),
         col("gate_reason").as("curation_reject"))
@@ -261,9 +277,13 @@ object Curation {
       // the handle is deliberately NOT closed on the memoized path: its
       // four persisted frames are the session state this memo exists to
       // own
+      // pinStages on the session path only (cold mode keeps persist so a
+      // cold rep's handle-close frees blocks eagerly): session frames are
+      // never closed, and the localCheckpoint truncation is what keeps
+      // each warm rep's re-planned tree small — see curateCorpus
       curateCorpus(docs, "doc_id", "text", lm,
         maxPpl = 14.2, bpe, nearThreshold = 0.5, spanN = 5,
-        minKeptRatio = 0.9)
+        minKeptRatio = 0.9, pinStages = !Dedup.coldMode)
     }
     if (Dedup.coldMode) {
       val (out, h) = build()
@@ -482,15 +502,23 @@ object Curation {
                       bucketIndex: Option[Dedup.BucketIndex] = None,
                       spanIndex: Option[DataFrame] = None,
                       spanN: Int = 20, minKeptRatio: Double = 0.3,
-                      embedScreen: Option[EmbedScreen] = None)
+                      embedScreen: Option[EmbedScreen] = None,
+                      pinStages: Boolean = false)
       : (DataFrame, IncrementHandle) = {
     require(nearThreshold > 0.0 && nearThreshold <= 1.0,
       s"curate increment: nearThreshold $nearThreshold outside (0, 1]")
     require(minKeptRatio >= 0.0 && minKeptRatio <= 1.0,
       s"curate increment: minKeptRatio $minKeptRatio outside [0, 1]")
     val lvl = StorageLevel.MEMORY_AND_DISK
-    val base = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .persist(lvl)
+    // pinStages: same lineage-truncation trade as [[curateCorpus]]'s —
+    // see the comment there. The increment's verdict legs re-planned the
+    // LARGEST tree on the gated surface (~96k plan lines per evaluation
+    // over cached inputs: corpus bucket probe + two label fixpoints +
+    // span probe, re-entered by ~8 legs).
+    def pinned(df: DataFrame): DataFrame =
+      if (pinStages) df.localCheckpoint() else df.persist(lvl)
+    val base = pinned(
+      newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
     // same tokenizer-matched whitespace class as the batch recipe's
     // stage 0 (see curateCorpus — trim() misses '\t'/'\n'-only text)
     val degenerate = col("text").isNull || col("text").rlike("^\\s*$")
@@ -505,8 +533,8 @@ object Curation {
       .select(col("doc_id"), col("text"),
         lit(null).cast("long").as("cluster_id"),
         lit("exact_dup").as("curation_reject"))
-    val s1 = s0.join(exact.filter(col("is_dup") === 0).select("doc_id"),
-      Seq("doc_id")).persist(lvl)
+    val s1 = pinned(s0.join(exact.filter(col("is_dup") === 0).select("doc_id"),
+      Seq("doc_id")))
     // bucketIndex = yesterday's persisted minhashBuckets index when the
     // caller holds one (the near probe then never touches corpus text);
     // without it the corpus is hashed once per increment map-side — the
@@ -523,7 +551,7 @@ object Curation {
     // per evaluation (the r14 two-consumer plan-audit find, caught here
     // by the r15 bench smoke: 4.1 s/rep at sf0.1 against warm caches).
     // O(batch) rows; owned by the returned handle like the rest.
-    val labels = labels0.persist(lvl)
+    val labels = pinned(labels0)
     def labeledReject(ids: DataFrame, reason: String): DataFrame =
       s1.join(ids, Seq("doc_id")).select(col("doc_id"), col("text"),
         col("cluster_id"), lit(reason).as("curation_reject"))
@@ -532,9 +560,9 @@ object Curation {
     val rej2b = labeledReject(labels.filter(col("attached_to_existing") === 0
         && col("cluster_id") =!= col("doc_id"))
       .select("doc_id", "cluster_id"), "near_dup")
-    val s2 = s1.join(labels.filter(col("attached_to_existing") === 0
+    val s2 = pinned(s1.join(labels.filter(col("attached_to_existing") === 0
         && col("cluster_id") === col("doc_id"))
-      .select("doc_id", "cluster_id"), Seq("doc_id")).persist(lvl)
+      .select("doc_id", "cluster_id"), Seq("doc_id")))
     // optional substring stage: cut corpus-or-batch-duplicated spans,
     // reject the gutted — texts downstream (incl. keepers) are post-cut
     val (rej2c, s2b, cutPersist) = spanIndex match {
@@ -545,9 +573,8 @@ object Curation {
         // persist the CUT frame, not just its keeper side — the gutted
         // leg would otherwise re-run the span probe per evaluation
         // (the batch recipe's r14 plan-audit find, same shape here)
-        val cut = Dedup.cutSpans(s2, spans, "doc_id", "text")
-          .join(s2.select("doc_id", "cluster_id"), Seq("doc_id"))
-          .persist(lvl)
+        val cut = pinned(Dedup.cutSpans(s2, spans, "doc_id", "text")
+          .join(s2.select("doc_id", "cluster_id"), Seq("doc_id")))
         (Some(cut.filter(col("kept_ratio") < minKeptRatio)
           .select(col("doc_id"), col("text_dedup").as("text"),
             col("cluster_id"),
@@ -559,9 +586,8 @@ object Curation {
     }
     // gated persisted for its two consumers (reject + keeper legs) —
     // the LM/deflate/BPE kernels run once per doc per evaluation
-    val gated = TextOps.curationGate(s2b, "text", lm, maxPpl, bpe,
-      minTokens, maxTokens, minCompressRatio, maxCompressRatio)
-      .persist(lvl)
+    val gated = pinned(TextOps.curationGate(s2b, "text", lm, maxPpl, bpe,
+      minTokens, maxTokens, minCompressRatio, maxCompressRatio))
     val rej3 = gated.filter(col("gate_reason").isNotNull)
       .select(col("doc_id"), col("text"), col("cluster_id"),
         col("gate_reason").as("curation_reject"))
@@ -666,9 +692,11 @@ object Curation {
       val lm = graft.ml.NgramLm.fit(corpus, "text")
       val (bpe, _) = graft.ml.Bpe.fit(corpus, "text", numMerges = 50)
       val spanIx = Dedup.gramIndex(corpus, "text", n = 5)
+      // pinStages on the session path only — see curationRecipeQuery
       curateIncrement(batch, "doc_id", "text", corpus, oldLabels,
         lm, maxPpl = 28.4, bpe, nearThreshold = 0.5, md5Family = true,
-        spanIndex = Some(spanIx), spanN = 5, minKeptRatio = 0.9)
+        spanIndex = Some(spanIx), spanN = 5, minKeptRatio = 0.9,
+        pinStages = !Dedup.coldMode)
     }
     if (Dedup.coldMode) {
       val (out, h) = build()
